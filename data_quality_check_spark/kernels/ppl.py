@@ -1,0 +1,71 @@
+"""KenLM-style character n-gram perplexity (SURVEY.md §2 O-11).
+
+Char trigram LM with stupid backoff (factor 0.4) trained at import
+time on the combined word pools of all five languages; the backoff is
+baked into one dense (V, V, V) float32 log-prob tensor so scoring is a
+single vectorized gather + segment mean.  ppl = exp(-mean ln p) over
+the trigrams of the (lowercased) text; texts shorter than 3 chars get
+ppl = PPL_SHORT (treated as un-scorable, does not trip the rule).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from ..constants import PPL_BACKOFF, WORD_POOLS
+from .text import V, encode_chars
+
+PPL_SHORT = 1.0  # neutral value for texts with < 3 chars
+
+
+def _train() -> np.ndarray:
+    corpus = " ".join(" ".join(WORD_POOLS[lang]) for lang in sorted(WORD_POOLS))
+    codes, _ = encode_chars([corpus])
+    c1 = np.zeros(V, dtype=np.float64)
+    c2 = np.zeros((V, V), dtype=np.float64)
+    c3 = np.zeros((V, V, V), dtype=np.float64)
+    np.add.at(c1, codes, 1.0)
+    np.add.at(c2, (codes[:-1], codes[1:]), 1.0)
+    np.add.at(c3, (codes[:-2], codes[1:-1], codes[2:]), 1.0)
+    total = c1.sum()
+    # unigram with floor so unseen chars get a tiny but finite prob
+    p1 = (c1 + 0.5) / (total + 0.5 * V)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        p2 = np.where(c1[:, None] > 0, c2 / np.maximum(c1[:, None], 1), 0.0)
+        p3 = np.where(c2[:, :, None] > 0, c3 / np.maximum(c2[:, :, None], 1), 0.0)
+    # stupid backoff baked dense: p(c3|c1c2) = p3 or b*p2 or b^2*p1
+    backed = np.where(
+        p3 > 0, p3,
+        np.where(p2[None, :, :] > 0, PPL_BACKOFF * p2[None, :, :],
+                 PPL_BACKOFF * PPL_BACKOFF * p1[None, None, :]),
+    )
+    return np.log(backed).astype(np.float32)
+
+
+_LOGP3: np.ndarray = _train()
+
+
+def perplexity(texts: "pd.Series | list[str]") -> np.ndarray:
+    """-> float64 ppl per input row."""
+    codes, lengths = encode_chars(texts)
+    n = len(lengths)
+    out = np.full(n, PPL_SHORT, dtype=np.float64)
+    if n == 0 or len(codes) < 3:
+        return out
+    ends = np.cumsum(lengths)
+    tri_lp = _LOGP3[codes[:-2], codes[1:-1], codes[2:]].astype(np.float64)
+    # trigram j spans rows via its first char j; valid iff j+2 same row
+    row_of = np.searchsorted(ends, np.arange(len(codes)), side="right")
+    valid = row_of[:-2] == row_of[2:]
+    tri_lp = np.where(valid, tri_lp, 0.0)
+    csum = np.concatenate([[0.0], np.cumsum(tri_lp)])
+    starts = ends - lengths
+    n_tri = np.maximum(lengths - 2, 0)
+    lo = np.minimum(starts, len(tri_lp))
+    hi = np.minimum(np.maximum(ends - 2, lo), len(tri_lp))
+    sums = csum[hi] - csum[lo]
+    with np.errstate(over="ignore"):
+        ppl = np.exp(-sums / np.maximum(n_tri, 1))
+    out = np.where(n_tri > 0, ppl, PPL_SHORT)
+    return out

@@ -1,0 +1,148 @@
+"""Duplicate detection (SURVEY.md §2 O-23 + training-pipeline dedup
+family).  First-wins semantics everywhere: the smallest image_id /
+doc_id in a duplicate group is the keeper.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def with_dup_rank(df: DataFrame, key: str = "phash",
+                  order: str = "image_id") -> DataFrame:
+    """O-23: row_number over phash; rank > 1 == duplicate.  One
+    shuffle on `key`; rows must already be pruned of heavy payload
+    columns before this point (pipeline drops `bytes` first)."""
+    w = Window.partitionBy(key).orderBy(order)
+    return df.withColumn("dup_rank", F.row_number().over(w))
+
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Exact dedup via hash-groupBy on xxhash64(text): scalable
+    (shuffle on a 64-bit key, no text comparison) first-wins keeper
+    per content hash."""
+    return (
+        df.withColumn("content_hash", F.xxhash64(F.col(text_col)))
+        .groupBy("content_hash")
+        .agg(F.min(id_col).alias("keeper_id"), F.count("*").alias("group_size"))
+    )
+
+
+def _shingles(text_col: str, k: int = 5):
+    """Character k-shingles of the lowercased text as an array column."""
+    lowered = F.lower(F.col(text_col))
+    n = F.greatest(F.length(lowered) - F.lit(k - 1), F.lit(1))
+    return F.transform(
+        F.sequence(F.lit(1), n), lambda i: F.substring(lowered, i, k))
+
+
+def minhash_signatures(df: DataFrame, text_col: str, id_col: str,
+                       num_hashes: int = 16, shingle_k: int = 5) -> DataFrame:
+    """MinHash over char-shingles, all JVM-side: shingle -> xxhash64
+    with per-function seed -> min.  Returns (id, sig array<bigint>)."""
+    sh = _shingles(text_col, shingle_k)
+    sig = F.array(*[
+        F.array_min(F.transform(sh, lambda s, i=i: F.xxhash64(s, F.lit(i))))
+        for i in range(num_hashes)
+    ])
+    return df.select(F.col(id_col), sig.alias("sig"))
+
+
+def minhash_lsh_dups(df: DataFrame, text_col: str, id_col: str,
+                     num_hashes: int = 16, bands: int = 4,
+                     shingle_k: int = 5) -> DataFrame:
+    """LSH banding: split the signature into `bands` bands, hash each
+    band, group by (band_idx, band_hash); groups with >1 member are
+    near-dup candidate clusters.  Returns one row per candidate
+    cluster with its members.  Scale path: the only shuffle is the
+    groupBy on the 64-bit band hash."""
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k)
+    banded = sigs.select(
+        id_col,
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(*[
+                    F.col("sig")[b * rows_per_band + r]
+                    for r in range(rows_per_band)
+                ]).alias("band_hash"),
+            )
+            for b in range(bands)
+        ])).alias("bb"),
+    )
+    return (
+        banded.groupBy("bb.band", "bb.band_hash")
+        .agg(F.sort_array(F.collect_set(id_col)).alias("members"),
+             F.count("*").alias("n"))
+        .filter(F.col("n") > 1)
+    )
+
+
+def simhash64(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """64-bit SimHash over whitespace tokens: per-token xxhash64,
+    majority vote per bit — expressed with higher-order array
+    functions, zero Python.  Near-dups share a hash up to a few bits.
+    """
+    toks = F.filter(F.split(F.lower(F.col(text_col)), " "), lambda t: t != F.lit(""))
+    th = F.transform(toks, lambda t: F.xxhash64(t))
+    bit_votes = F.array(*[
+        F.aggregate(
+            th, F.lit(0),
+            lambda acc, hv, i=i: acc + F.when(
+                F.shiftright(hv, i).bitwiseAND(F.lit(1)) == 1, F.lit(1)
+            ).otherwise(F.lit(-1)),
+        )
+        for i in range(64)
+    ])
+    sim = F.aggregate(
+        F.zip_with(bit_votes, F.sequence(F.lit(0), F.lit(63)),
+                   lambda v, i: F.when(v > 0, F.shiftleft(F.lit(1).cast("bigint"), i))
+                   .otherwise(F.lit(0).cast("bigint"))),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc.bitwiseOR(x),
+    )
+    return df.select(F.col(id_col), sim.alias("simhash"))
+
+
+def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
+                        n: int = 3, threshold: float = 0.8,
+                        band_hashes: int = 8) -> DataFrame:
+    """n-gram Jaccard near-dup pairs with an LSH pre-filter: candidate
+    pairs come from shared min-hash buckets (cheap, distributed), then
+    exact Jaccard over token n-gram sets is computed only within
+    candidates via array_intersect/array_union — never all-pairs."""
+    toks = F.filter(F.split(F.lower(F.col(text_col)), " "), lambda t: t != F.lit(""))
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.concat_ws("_", *[F.element_at(toks, i + j + 1) for j in range(n)]),
+        ),
+    ).otherwise(F.array(F.concat_ws("_", toks)))
+    base = df.select(F.col(id_col), F.array_distinct(grams).alias("grams"))
+    bucketed = base.select(
+        id_col, "grams",
+        F.explode(F.array(*[
+            F.array_min(F.transform("grams", lambda g, i=i: F.xxhash64(g, F.lit(i))))
+            for i in range(band_hashes)
+        ])).alias("bucket_hash"),
+    )
+    pairs = (
+        bucketed.alias("a")
+        .join(bucketed.alias("b"),
+              (F.col("a.bucket_hash") == F.col("b.bucket_hash"))
+              & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .select(F.col(f"a.{id_col}").alias("id_a"),
+                F.col(f"b.{id_col}").alias("id_b"),
+                F.col("a.grams").alias("ga"), F.col("b.grams").alias("gb"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    inter = F.size(F.array_intersect("ga", "gb")).cast("double")
+    union = F.size(F.array_union("ga", "gb")).cast("double")
+    return (
+        pairs.withColumn("jaccard", inter / union)
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )

@@ -1,0 +1,89 @@
+"""Explicit partitioning + skew handling (SURVEY.md §2 O-29..O-31;
+BASELINE.json:14 "partitioning / shuffle / skew handled explicitly",
+"salted repartition on phash buckets to defuse skew from
+duplicate-heavy shards").
+
+Duplicate-heavy shards concentrate one phash (viral image clusters)
+into one bucket; AQE's skew-join splitting does not help aggregation
+or UDF stages, so hot buckets are salted by hand: a deterministic
+salt from xxhash64(image_id) spreads a hot bucket over SALT_FACTOR
+partitions, UDF work runs per (bucket, salt), and aggregations run
+two-phase (partial per salt, final per bucket) so results are
+provably identical to the unsalted plan (property test
+tests/test_properties.py::test_salting_invariant).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..constants import HOT_BUCKET_ALPHA, N_BUCKETS, SALT_FACTOR
+
+
+def with_bucket(df: DataFrame, phash_col: str = "phash",
+                n_buckets: int = N_BUCKETS) -> DataFrame:
+    """O-29: stable checkpoint/audit unit, bucket = pmod(phash, B)."""
+    return df.withColumn(
+        "bucket", F.pmod(F.col(phash_col), F.lit(n_buckets)).cast("int"))
+
+
+def detect_hot_buckets(df: DataFrame, alpha: float = HOT_BUCKET_ALPHA) -> list[int]:
+    """Buckets with count > alpha * mean.  Reads only the phash column
+    (column pruning keeps `bytes` out of this scan)."""
+    counts = (
+        with_bucket(df.select("phash"))
+        .groupBy("bucket").count().collect()
+    )
+    if not counts:
+        return []
+    mean = sum(r["count"] for r in counts) / len(counts)
+    return sorted(r["bucket"] for r in counts if r["count"] > alpha * mean)
+
+
+def with_salt(df: DataFrame, hot_buckets: list[int],
+              salt_factor: int = SALT_FACTOR) -> DataFrame:
+    """Deterministic salt: non-zero only for hot buckets, so cold
+    buckets keep exactly one shuffle partition group."""
+    if not hot_buckets:
+        return df.withColumn("salt", F.lit(0))
+    hot = F.array(*[F.lit(b) for b in hot_buckets])
+    return df.withColumn(
+        "salt",
+        F.when(
+            F.array_contains(hot, F.col("bucket")),
+            F.pmod(F.xxhash64("image_id"), F.lit(salt_factor)).cast("int"),
+        ).otherwise(F.lit(0)),
+    )
+
+
+def salted_repartition(df: DataFrame, num_partitions: int,
+                       hot_buckets: list[int],
+                       salt_factor: int = SALT_FACTOR) -> DataFrame:
+    """O-30: the pipeline's one heavy shuffle — co-locates each
+    (bucket, salt) group; hot buckets fan out over salt_factor
+    partitions instead of melting one task."""
+    return with_salt(df, hot_buckets, salt_factor).repartition(
+        num_partitions, "bucket", "salt")
+
+
+def two_phase_agg(df: DataFrame, group_col: str, aggs: dict[str, str]) -> DataFrame:
+    """Salting-safe aggregation: partial per (group, salt), final per
+    group.  `aggs` maps output alias -> 'fn(col)' with fn in
+    {count, sum}.  Identical results to df.groupBy(group_col).agg(...)
+    for any salt assignment (algebraic aggregates)."""
+    partial_exprs, final_exprs = [], []
+    for alias, spec in aggs.items():
+        fn, col = spec.rstrip(")").split("(")
+        p = f"__p_{alias}"
+        if fn == "count":
+            partial_exprs.append(F.count(F.lit(1) if col == "*" else col).alias(p))
+        elif fn == "sum":
+            partial_exprs.append(F.sum(col).alias(p))
+        else:
+            raise ValueError(f"two_phase_agg: unsupported fn {fn}")
+        final_exprs.append(F.sum(p).alias(alias))
+    return (
+        df.groupBy(group_col, "salt").agg(*partial_exprs)
+        .groupBy(group_col).agg(*final_exprs)
+    )

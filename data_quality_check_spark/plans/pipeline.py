@@ -1,0 +1,126 @@
+"""End-to-end quality-filter pipeline assembly (SURVEY.md §3 E1).
+
+Stage order is chosen around Spark's execution model:
+
+1. scan (columnar, schema-validated)        — O-1
+2. null guard flags + bucket assign          — O-6, O-29   [codegen]
+3. heuristic rule flags (Column exprs)       — O-7..O-9    [codegen]
+4. all four Arrow UDFs in ONE select         — O-10..O-13  [single
+   ArrowEvalPython pass; `bytes` is consumed here and dropped
+   immediately after, so the payload never crosses a shuffle]
+5. dup-rank window on phash                  — O-23        [shuffle 1,
+   payload-free rows]
+6. keep decision (Column exprs)              — O-14        [codegen]
+7. salted repartition by (bucket, salt)      — O-30        [shuffle 2]
+   + results write partitioned by bucket     — O-4
+   + two-phase bucket metrics                — O-15 (reuses the
+   (bucket, salt) partitioning — no extra shuffle for the partial)
+
+Steady state = exactly 2 heavy shuffles, both free of the image
+payload.  See BENCH/PLANS.md for the captured physical plans.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..constants import (
+    MAX_PPL,
+    N_BUCKETS,
+    RULE_DUP,
+    RULE_LANG,
+    RULE_NULL,
+    RULE_PIXEL,
+    RULE_PPL,
+    RULE_REPETITION,
+    RULE_STOPWORD,
+    RULE_SYMBOL,
+    RULE_TOO_LONG,
+    RULE_TOO_SHORT,
+    RULE_TOXIC,
+    LANG_UND,
+)
+from ..functions import rules as R
+from ..functions.udfs import decode_udf, langid_udf, ppl_udf, scrub_udf
+from ..operators.dedup import with_dup_rank
+from ..operators.keep import flag_col, with_keep
+from ..operators.salt import with_bucket
+
+RESULT_COLUMNS = [
+    "image_id", "bucket", "lang", "lang_conf", "ppl",
+    "keep", "drop_reasons", "caption_scrubbed", "scrub_hits",
+    "pixel_ok", "psnr_db",
+]
+
+
+def enrich(images: DataFrame, n_buckets: int = N_BUCKETS,
+           with_decode: bool = True) -> DataFrame:
+    """Stages 2-4: flags + UDF outputs; no shuffle introduced.
+
+    Returns a payload-free frame (bytes dropped after the decode UDF).
+    """
+    cap = R.caption_norm(F.col("caption"))
+    toks = R.tokens(cap)
+
+    df = with_bucket(images, n_buckets=n_buckets)
+    df = df.withColumn(
+        flag_col(RULE_NULL),
+        R.null_fields_bad({c: F.col(c) for c in
+                           ("image_id", "caption", "bytes", "w", "h")}),
+    )
+
+    udf_cols = [
+        langid_udf(cap).alias("lid"),
+        ppl_udf(cap).alias("ppl"),
+        scrub_udf(F.col("caption")).alias("scr"),
+    ]
+    if with_decode:
+        udf_cols.append(
+            decode_udf("bytes", "fmt", "w", "h", "phash").alias("dec"))
+
+    df = df.select(
+        "image_id", "bucket", "phash", "fmt", "w", "h",
+        F.col(flag_col(RULE_NULL)),
+        R.too_short_bad(cap).alias(flag_col(RULE_TOO_SHORT)),
+        R.too_long_bad(cap).alias(flag_col(RULE_TOO_LONG)),
+        R.repetition_bad(toks).alias(flag_col(RULE_REPETITION)),
+        R.stopword_bad(toks).alias(flag_col(RULE_STOPWORD)),
+        R.symbol_bad(cap).alias(flag_col(RULE_SYMBOL)),
+        *udf_cols,
+    )
+
+    flat = [
+        F.col("lid.lang").alias("lang"),
+        F.col("lid.lang_conf").alias("lang_conf"),
+        F.col("ppl"),
+        F.col("scr.caption_scrubbed").alias("caption_scrubbed"),
+        F.col("scr.scrub_hits").alias("scrub_hits"),
+        (F.col("lid.lang") == LANG_UND).alias(flag_col(RULE_LANG)),
+        (F.col("ppl") > MAX_PPL).alias(flag_col(RULE_PPL)),
+        F.col("scr.toxic").alias(flag_col(RULE_TOXIC)),
+    ]
+    if with_decode:
+        flat += [
+            F.col("dec.pixel_ok").alias("pixel_ok"),
+            F.col("dec.psnr_db").alias("psnr_db"),
+            (~F.col("dec.pixel_ok")).alias(flag_col(RULE_PIXEL)),
+        ]
+    keep_cols = [c for c in df.columns if c not in ("lid", "scr", "dec", "ppl")]
+    return df.select(*keep_cols, *flat)
+
+
+def decide(enriched: DataFrame) -> DataFrame:
+    """Stages 5-6: dup rank (shuffle on phash) + keep decision."""
+    ranked = with_dup_rank(enriched)
+    ranked = ranked.withColumn(flag_col(RULE_DUP), F.col("dup_rank") > 1)
+    return with_keep(ranked)
+
+
+def quality_frame(images: DataFrame, n_buckets: int = N_BUCKETS) -> DataFrame:
+    """Full per-row verdict frame (no writes, no salting)."""
+    return decide(enrich(images, n_buckets=n_buckets))
+
+
+def results_select(df: DataFrame) -> DataFrame:
+    return df.select(*RESULT_COLUMNS)
