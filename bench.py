@@ -1,0 +1,106 @@
+"""Headline benchmark (driver contract: one JSON line to stdout).
+
+Runs the full quality-filter pipeline (scan -> rules -> 4 Arrow UDFs
+-> dup-rank -> keep -> results/audit/ledger writes) over the
+synthetic images table at the SF implied by $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1 => SF=0.1 => 100k images), plus a set
+of headline relational queries over the driver fixtures, on
+local[$SPARK_GRAFT_CPUS].
+
+Prints: {"metric": "...", "value": N, "unit": "sec",
+         "queries": {...}, "sf": ...}
+`value` = wall seconds of the full pipeline run (scan->write).
+Scaling evidence (local[8] vs local[32]) is produced separately by
+tools/bench_scaling.py -> BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE_KEYS = [
+    "agg_pricing_summary",
+    "join_smj_3way",
+    "win_moving",
+    "dedup_minhash_lsh",
+    "sim_topk_cosine",
+    "text_quality_score",
+]
+
+
+def run_pipeline(spark, sf: float, out_root: str) -> float:
+    from data_quality_check_spark.plans import checkpoint as CP
+    from data_quality_check_spark.plans.catalog import LocalParquetCatalog
+    from data_quality_check_spark.sources import images as IM
+
+    cat = LocalParquetCatalog(spark, out_root)
+    df = IM.read_images(spark, sf)
+    t0 = time.time()
+    CP.run(spark, cat, df, run_key=f"bench-{time.time_ns()}")
+    return time.time() - t0
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+    from data_quality_check_spark.queries import REGISTRY, _sf_of
+    from data_quality_check_spark.session import get_spark
+    from data_quality_check_spark.sources import images as IM
+
+    sf = _sf_of(sf_dir)
+    IM.ensure_images(sf)  # generation cost excluded from timings
+
+    spark = get_spark(master=f"local[{cpus}]",
+                      shuffle_partitions=max(int(cpus) * 2, 16),
+                      app_name="dqc-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    timings: dict[str, float] = {}
+    tmp_dirs: list[str] = []
+
+    def _tmp() -> str:
+        d = tempfile.mkdtemp(prefix="dqc-bench-")
+        tmp_dirs.append(d)
+        return d
+
+    try:
+        # warm-up at the TARGET sf: spawns the full Python-worker pool
+        # width + JIT/codegen (BASELINE.md bench protocol)
+        run_pipeline(spark, sf, _tmp())
+        runs = sorted(run_pipeline(spark, sf, _tmp()) for _ in range(3))
+        timings["pipeline"] = round(runs[1], 3)  # median of 3
+
+        for key in HEADLINE_KEYS:
+            fn, _sql = REGISTRY[key]
+            t0 = time.time()
+            df = fn(spark, sf_dir)
+            n = df.count()
+            timings[key] = round(time.time() - t0, 3)
+            assert n >= 0
+    finally:
+        for d in tmp_dirs:
+            shutil.rmtree(d, ignore_errors=True)
+        spark.stop()
+
+    n_rows = IM.sf_rows(sf)
+    print(json.dumps({
+        "metric": "full_pipeline_wall",
+        "value": timings["pipeline"],
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "rows": n_rows,
+        "images_per_sec": round(n_rows / timings["pipeline"], 1),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -70,6 +70,36 @@ def scrub_udf(it: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
         yield scrub_series(captions)
 
 
+TEXT_SCHEMA = StructType([
+    StructField("lang", StringType()),
+    StructField("lang_conf", DoubleType()),
+    StructField("ppl", DoubleType()),
+    StructField("caption_scrubbed", StringType()),
+    StructField("scrub_hits", MapType(StringType(), IntegerType())),
+    StructField("toxic", BooleanType()),
+])
+
+
+@pandas_udf(TEXT_SCHEMA)
+def text_udf(it: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
+    """Fused langid + perplexity + scrub: scalar-iter pandas UDFs are
+    NOT fused by Spark (each becomes its own ArrowEvalPython stage +
+    Python worker), so the pipeline ships the caption to Python once
+    and runs all three kernels on that batch."""
+    from ..kernels.langid import classify
+    from ..kernels.ppl import perplexity
+    from ..kernels.scrub import scrub_series
+
+    for captions in it:
+        filled = captions.fillna("")
+        lid = classify(filled)
+        out = scrub_series(captions)
+        out.insert(0, "lang", lid["lang"])
+        out.insert(1, "lang_conf", lid["lang_conf"])
+        out.insert(2, "ppl", perplexity(filled))
+        yield out
+
+
 @pandas_udf(DECODE_SCHEMA)
 def decode_udf(
     it: Iterator[tuple[pd.Series, pd.Series, pd.Series, pd.Series, pd.Series]],
@@ -90,20 +120,25 @@ def decode_udf(
         w_real = np.zeros(n, dtype=np.int32)
         h_real = np.zeros(n, dtype=np.int32)
         ph_real = np.zeros(n, dtype=np.int64)
+        blobs = blob.to_numpy()
+        fmts = fmt.to_numpy()
+        ws = w.to_numpy()
+        hs = h.to_numpy()
+        phs = phash.to_numpy()
         for i in range(n):
-            b = blob.iloc[i]
+            b = blobs[i]
             if b is None:
                 continue
             try:
-                pix = codecs.decode(b, fmt.iloc[i], int(w.iloc[i]), int(h.iloc[i]))
+                pix = codecs.decode(b, fmts[i], int(ws[i]), int(hs[i]))
             except Exception:
                 continue
             h_real[i], w_real[i] = pix.shape[0], pix.shape[1]
             ph_real[i] = codecs.ahash64(pix)
             ok[i] = (
-                h_real[i] == int(h.iloc[i])
-                and w_real[i] == int(w.iloc[i])
-                and ph_real[i] == int(phash.iloc[i])
+                h_real[i] == int(hs[i])
+                and w_real[i] == int(ws[i])
+                and ph_real[i] == int(phs[i])
             )
             if ok[i]:
                 psnr[i] = np.inf

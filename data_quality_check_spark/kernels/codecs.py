@@ -103,6 +103,18 @@ def encode_png(pix: np.ndarray, filter_mode: int = -1, level: int = 1) -> bytes:
     pix = pix.astype(np.uint8, copy=False)
     bpp = 3
     raw = pix.reshape(h, w * bpp).astype(np.int16)
+    if filter_mode == 2:
+        # vectorized up-filter fast path (the corpus encoder's choice:
+        # decodes via one cumsum, compresses gradients well)
+        d = raw.copy()
+        d[1:] -= raw[:-1]
+        body = np.concatenate(
+            [np.full((h, 1), 2, dtype=np.uint8),
+             (d & 0xFF).astype(np.uint8)], axis=1).tobytes()
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+        idat = zlib.compress(body, level)
+        return (PNG_SIG + _chunk(b"IHDR", ihdr) + _chunk(b"IDAT", idat)
+                + _chunk(b"IEND", b""))
     prev = np.zeros(w * bpp, dtype=np.int16)
     lines = []
     for y in range(h):
@@ -157,32 +169,43 @@ def decode_png(data: bytes) -> np.ndarray:
         raise ValueError("png payload size mismatch")
     arr = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
     fts = arr[:, 0]
-    rows = arr[:, 1:].astype(np.int16)
+    if (fts > 4).any():
+        raise ValueError(f"bad png filter type {int(fts.max())}")
+    rows = arr[:, 1:]
+
+    if (fts == 0).all():
+        return rows.reshape(h, w, 3).copy()
+    if (fts == 2).all():
+        # up-filter everywhere: one cumsum down the columns (mod 256 is
+        # linear, so int64 cumsum & 0xFF is exact) — the fast path the
+        # synthetic corpus encoder emits
+        return (rows.astype(np.int64).cumsum(axis=0) & 0xFF).astype(
+            np.uint8).reshape(h, w, 3)
+
     out = np.zeros((h, stride), dtype=np.int16)
     prev = np.zeros(stride, dtype=np.int16)
     for y in range(h):
-        cur = rows[y].copy()
+        cur = rows[y].astype(np.int16)
         ft = fts[y]
         if ft == 0:
             pass
         elif ft == 2:
             cur = (cur + prev) & 0xFF
-        elif ft in (1, 3, 4):
-            # sequential in x over pixels (vector over the 3 channels)
+        elif ft == 1:
+            # left-filter: per-channel prefix sum along the row
+            px = cur.reshape(w, bpp).astype(np.int64)
+            cur = (px.cumsum(axis=0) & 0xFF).astype(np.int16).reshape(stride)
+        else:  # 3 (avg) and 4 (Paeth): true sequential dependency
             left = np.zeros(bpp, dtype=np.int16)
             upleft = np.zeros(bpp, dtype=np.int16)
             for x in range(0, stride, bpp):
                 up = prev[x : x + bpp]
-                if ft == 1:
-                    cur[x : x + bpp] = (cur[x : x + bpp] + left) & 0xFF
-                elif ft == 3:
+                if ft == 3:
                     cur[x : x + bpp] = (cur[x : x + bpp] + ((left + up) >> 1)) & 0xFF
                 else:
                     cur[x : x + bpp] = (cur[x : x + bpp] + _paeth(left, up, upleft)) & 0xFF
                 left = cur[x : x + bpp]
                 upleft = up.astype(np.int16)
-        else:
-            raise ValueError(f"bad png filter type {ft}")
         out[y] = cur
         prev = cur
     return out.astype(np.uint8).reshape(h, w, 3)
@@ -198,7 +221,7 @@ def encode(pix: np.ndarray, fmt: str) -> bytes:
     if fmt == "ppm":
         return encode_ppm(pix)
     if fmt == "png":
-        return encode_png(pix)
+        return encode_png(pix, filter_mode=2)
     raise ValueError(f"unknown fmt {fmt!r}")
 
 
@@ -244,10 +267,8 @@ def ahash64(pix: np.ndarray) -> int:
     areas = np.outer(ys[1:] - ys[:-1], xs[1:] - xs[:-1]).astype(np.float64)
     means = sums / areas
     bits = (means > means.mean()).flatten()
-    v = np.uint64(0)
-    for b in bits:  # MSB first; 64 iterations, negligible
-        v = np.uint64(v << np.uint64(1)) | np.uint64(bool(b))
-    return int(v.astype(np.int64))
+    packed = np.packbits(bits)  # MSB-first per byte, big-endian order
+    return int(np.frombuffer(packed.tobytes(), dtype=">i8")[0])
 
 
 def psnr_db(a: np.ndarray, b: np.ndarray) -> float:

@@ -62,12 +62,17 @@ def classify(texts: "pd.Series | list[str]") -> pd.DataFrame:
         row_of = np.searchsorted(ends, np.arange(len(codes)), side="right")
         valid = row_of[:-1] == row_of[1:]
         pair_lp = np.where(valid, pair_lp, 0.0)
-        csum = np.concatenate(
-            [np.zeros((len(LANGS), 1)), np.cumsum(pair_lp, axis=1)], axis=1)
         n_pairs = np.maximum(lengths - 1, 0)
-        lo = np.minimum(starts, len(codes) - 1)
-        hi = np.maximum(ends - 1, lo)
-        sums = csum[:, hi] - csum[:, lo]  # (L, n)
+        # per-row segment sums via reduceat: each row's sum depends
+        # ONLY on its own values => identical across any batch
+        # composition (scalar-iter UDF batches vs one oracle batch).
+        # Pad one zero so every row start is a valid boundary; clipped
+        # boundaries of trailing empty rows then only ever drop the pad.
+        total = len(codes)
+        pair_pad = np.concatenate(
+            [pair_lp, np.zeros((len(LANGS), 1))], axis=1)
+        lo = np.clip(starts, 0, total - 1).astype(np.int64)
+        sums = np.add.reduceat(pair_pad, lo, axis=1)
         mean_lp = np.where(n_pairs > 0, sums / np.maximum(n_pairs, 1), -np.inf)
     else:
         mean_lp = np.full((len(LANGS), n), -np.inf)

@@ -59,12 +59,15 @@ def perplexity(texts: "pd.Series | list[str]") -> np.ndarray:
     row_of = np.searchsorted(ends, np.arange(len(codes)), side="right")
     valid = row_of[:-2] == row_of[2:]
     tri_lp = np.where(valid, tri_lp, 0.0)
-    csum = np.concatenate([[0.0], np.cumsum(tri_lp)])
     starts = ends - lengths
     n_tri = np.maximum(lengths - 2, 0)
-    lo = np.minimum(starts, len(tri_lp))
-    hi = np.minimum(np.maximum(ends - 2, lo), len(tri_lp))
-    sums = csum[hi] - csum[lo]
+    # per-row segment sums via reduceat (batch-composition-invariant;
+    # see kernels/langid.py for rationale); pad two zeros so row
+    # starts are valid boundaries even with trailing empty rows
+    total = len(codes)
+    tri_pad = np.concatenate([tri_lp, np.zeros(2)])
+    lo = np.clip(starts, 0, total - 1).astype(np.int64)
+    sums = np.add.reduceat(tri_pad, lo)
     with np.errstate(over="ignore"):
         ppl = np.exp(-sums / np.maximum(n_tri, 1))
     out = np.where(n_tri > 0, ppl, PPL_SHORT)

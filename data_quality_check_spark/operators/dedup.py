@@ -87,22 +87,29 @@ def simhash64(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """
     toks = F.filter(F.split(F.lower(F.col(text_col)), " "), lambda t: t != F.lit(""))
     th = F.transform(toks, lambda t: F.xxhash64(t))
-    bit_votes = F.array(*[
-        F.aggregate(
-            th, F.lit(0),
-            lambda acc, hv, i=i: acc + F.when(
-                F.shiftright(hv, i).bitwiseAND(F.lit(1)) == 1, F.lit(1)
-            ).otherwise(F.lit(-1)),
-        )
-        for i in range(64)
-    ])
-    sim = F.aggregate(
-        F.zip_with(bit_votes, F.sequence(F.lit(0), F.lit(63)),
-                   lambda v, i: F.when(v > 0, F.shiftleft(F.lit(1).cast("bigint"), i))
-                   .otherwise(F.lit(0).cast("bigint"))),
-        F.lit(0).cast("bigint"),
-        lambda acc, x: acc.bitwiseOR(x),
+    # one pass over tokens: acc is the 64-wide vote vector (shift
+    # amounts must be Python ints, hence the unrolled F.array)
+    votes = F.aggregate(
+        th,
+        F.array(*[F.lit(0) for _ in range(64)]),
+        lambda acc, hv: F.zip_with(
+            acc,
+            F.array(*[
+                F.when(F.shiftright(hv, i).bitwiseAND(F.lit(1)) == 1, F.lit(1))
+                .otherwise(F.lit(-1))
+                for i in range(64)
+            ]),
+            lambda a, b: a + b,
+        ),
     )
+    # fold votes -> 64-bit hash; bit 63 via the negative literal to
+    # stay inside signed int64
+    sim = F.lit(0).cast("bigint")
+    for i in range(64):
+        sim = sim.bitwiseOR(
+            F.when(votes[i] > 0,
+                   F.lit(-(1 << 63) if i == 63 else (1 << i)).cast("bigint"))
+            .otherwise(F.lit(0).cast("bigint")))
     return df.select(F.col(id_col), sim.alias("simhash"))
 
 

@@ -1,0 +1,101 @@
+"""Similarity search over embedding columns (training-data pipeline
+ops): brute-force cosine top-k baseline + LSH-bucketed scale path.
+
+Dot products run JVM-side via higher-order array functions
+(zip_with + aggregate, sequential double accumulation — deterministic
+order), no Python in the hot path.  The query side is broadcast (the
+query set is small by construction); the corpus is never collected.
+
+Scale path: random-hyperplane LSH signs computed from xxhash64-seeded
+pseudo-random projections bucket the corpus once (shuffle on a small
+int key); candidates are only scored within matching buckets —
+at 10^12 rows the brute-force cross product is replaced by
+|corpus|/2^bits work per query.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dvec(col):
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v)
+
+
+def _norm(a):
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+
+
+def with_cosine(joined: DataFrame, qcol: str, ccol: str) -> DataFrame:
+    """cos rounded to 6 decimals BEFORE ranking: makes top-k ordering
+    reproducible across engines/accumulation orders (ties broken by
+    neighbor_id)."""
+    qa, ca = _dvec(F.col(qcol)), _dvec(F.col(ccol))
+    return joined.withColumn(
+        "cos", F.round(_dot(qa, ca) / (_norm(qa) * _norm(ca)), 6))
+
+
+def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
+                id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Brute-force exact top-k neighbors per query (baseline)."""
+    q = queries.select(F.col(id_col).alias("query_id"),
+                       F.col(vec_col).alias("qvec"))
+    c = corpus.select(F.col(id_col).alias("neighbor_id"),
+                      F.col(vec_col).alias("cvec"))
+    joined = c.crossJoin(F.broadcast(q)).filter(
+        F.col("neighbor_id") != F.col("query_id"))
+    scored = with_cosine(joined, "qvec", "cvec")
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "cos", "rk")
+    )
+
+
+def _lsh_signature(vec_col, dim: int, bits: int):
+    """Sign of <v, r_b> for pseudo-random hyperplanes r_b; r_b[i] is a
+    deterministic hash-derived value in [-1, 1) — reproducible across
+    engines and runs with zero stored model."""
+    sig = F.lit(0)
+    for b in range(bits):
+        proj = F.aggregate(
+            F.zip_with(
+                _dvec(vec_col),
+                F.transform(F.sequence(F.lit(0), F.lit(dim - 1)),
+                            lambda i, b=b: (F.pmod(F.xxhash64(i, F.lit(b)), F.lit(20001))
+                                            - 10000).cast("double") / 10000.0),
+                lambda x, r: x * r,
+            ),
+            F.lit(0.0), lambda acc, v: acc + v)
+        sig = sig + F.when(proj > 0, F.lit(1 << b)).otherwise(F.lit(0))
+    return sig
+
+
+def lsh_cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
+                    bits: int = 4, dim: int = 64,
+                    id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Approximate top-k: candidates restricted to the query's LSH
+    bucket (hamming-0).  Recall is traded for a |corpus|/2^bits
+    candidate set; increase `bits` with corpus size."""
+    c = corpus.select(F.col(id_col).alias("neighbor_id"),
+                      F.col(vec_col).alias("cvec"),
+                      _lsh_signature(F.col(vec_col), dim, bits).alias("sig"))
+    q = queries.select(F.col(id_col).alias("query_id"),
+                       F.col(vec_col).alias("qvec"),
+                       _lsh_signature(F.col(vec_col), dim, bits).alias("sig"))
+    joined = c.join(F.broadcast(q), "sig").filter(
+        F.col("neighbor_id") != F.col("query_id"))
+    scored = with_cosine(joined, "qvec", "cvec")
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "cos", "rk")
+    )

@@ -1,0 +1,126 @@
+"""Catalog abstraction (SURVEY.md §1.4): Iceberg semantics in
+production, plain Parquet + atomic JSON manifests in the sandbox.
+
+The spec (BASELINE.json:14) mandates Iceberg tables; the sandbox has
+no iceberg-spark-runtime jar and no network, so all pipeline logic is
+written against this interface:
+
+- ``LocalParquetCatalog``: directory-per-table, `bucket=NN/`
+  partition subdirs via dynamic partition overwrite, append via
+  unique-named parquet sub-files.  Gives the append/overwrite
+  atomicity the checkpoint protocol needs (manifest rename last).
+- ``IcebergCatalog``: thin wrapper over ``spark.read.table`` /
+  ``writeTo().append()`` / ``overwritePartitions()``; usable on a
+  real cluster via
+  ``spark-submit --packages org.apache.iceberg:iceberg-spark-runtime-3.5_2.12:...``
+  (documented, not executable here).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class Catalog:
+    def read_table(self, name: str) -> DataFrame: ...
+    def append(self, name: str, df: DataFrame) -> None: ...
+    def overwrite_partitions(self, name: str, df: DataFrame, keys: list[str]) -> None: ...
+    def table_exists(self, name: str) -> bool: ...
+    def snapshot_id(self, name: str) -> str | None: ...
+
+
+class LocalParquetCatalog(Catalog):
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    # -- helpers -----------------------------------------------------------
+    def _dir(self, name: str) -> str:
+        return os.path.join(self.root, name)
+
+    def _manifest_dir(self, name: str) -> str:
+        return os.path.join(self._dir(name), "_manifests")
+
+    def _write_manifest(self, name: str, op: str) -> str:
+        """Write-then-rename: the rename is the commit point."""
+        mdir = self._manifest_dir(name)
+        os.makedirs(mdir, exist_ok=True)
+        sid = f"{int(time.time() * 1000):013d}-{uuid.uuid4().hex[:8]}"
+        tmp = os.path.join(mdir, f".{sid}.json.tmp")
+        final = os.path.join(mdir, f"{sid}.json")
+        with open(tmp, "w") as f:
+            json.dump({"snapshot": sid, "op": op}, f)
+        os.replace(tmp, final)
+        return sid
+
+    # -- interface ---------------------------------------------------------
+    def table_exists(self, name: str) -> bool:
+        d = self._dir(name)
+        if not os.path.isdir(d):
+            return False
+        for dirpath, _dirs, files in os.walk(d):
+            if "_manifests" in dirpath:
+                continue
+            if any(f.endswith(".parquet") for f in files):
+                return True
+        return False
+
+    def read_table(self, name: str) -> DataFrame:
+        return self.spark.read.parquet(self._dir(name))
+
+    def append(self, name: str, df: DataFrame) -> None:
+        df.write.mode("append").parquet(self._dir(name))
+        self._write_manifest(name, "append")
+
+    def overwrite_partitions(self, name: str, df: DataFrame, keys: list[str]) -> None:
+        """Dynamic partition overwrite: only partitions present in
+        `df` are replaced — the idempotent-rerun primitive for
+        per-bucket results (spark.sql.sources.partitionOverwriteMode
+        = dynamic, set in session.py)."""
+        (df.write.mode("overwrite")
+         .partitionBy(*keys)
+         .parquet(self._dir(name)))
+        self._write_manifest(name, "overwrite_partitions")
+
+    def snapshot_id(self, name: str) -> str | None:
+        mdir = self._manifest_dir(name)
+        if not os.path.isdir(mdir):
+            return None
+        snaps = sorted(f for f in os.listdir(mdir) if f.endswith(".json"))
+        return snaps[-1].removesuffix(".json") if snaps else None
+
+
+class IcebergCatalog(Catalog):
+    """Iceberg branch for real clusters (interface-identical; not
+    executable in the sandbox — no iceberg jar, no network [ENV])."""
+
+    def __init__(self, spark: SparkSession, namespace: str = "dq"):
+        self.spark = spark
+        self.ns = namespace
+
+    def _fq(self, name: str) -> str:
+        return f"{self.ns}.{name}"
+
+    def table_exists(self, name: str) -> bool:
+        return self.spark.catalog.tableExists(self._fq(name))
+
+    def read_table(self, name: str) -> DataFrame:
+        return self.spark.read.table(self._fq(name))
+
+    def append(self, name: str, df: DataFrame) -> None:
+        df.writeTo(self._fq(name)).append()
+
+    def overwrite_partitions(self, name: str, df: DataFrame, keys: list[str]) -> None:
+        df.writeTo(self._fq(name)).overwritePartitions()
+
+    def snapshot_id(self, name: str) -> str | None:
+        rows = self.spark.sql(
+            f"SELECT snapshot_id FROM {self._fq(name)}.snapshots "
+            "ORDER BY committed_at DESC LIMIT 1").collect()
+        return str(rows[0][0]) if rows else None

@@ -1,0 +1,164 @@
+"""Per-bucket checkpoint / resume protocol (SURVEY.md §2 O-21, O-33;
+BASELINE.json:14 "resumes from per-partition checkpoints", "every
+partition writes lineage + rule-hit metrics to an ... audit table").
+
+Commit protocol per wave of buckets:
+  1. results partitions written via idempotent dynamic-partition
+     overwrite (crash => partial files are replaced on rerun),
+  2. audit rows appended (lineage + rule-hit metrics per bucket),
+  3. ledger rows appended LAST — the ledger row is the commit point.
+Resume = anti-join of all buckets against ledger 'done' rows; a crash
+between (1) and (3) simply reruns the wave, overwriting the same
+partitions.  Wave size bounds the work lost to a failure.
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..constants import N_BUCKETS, RULE_ORDER
+from ..operators.keep import flag_col
+from ..operators.salt import detect_hot_buckets, salted_repartition, two_phase_agg
+from .catalog import Catalog
+from .pipeline import RESULT_COLUMNS, quality_frame
+
+RESULTS_TABLE = "results"
+AUDIT_TABLE = "audit"
+LEDGER_TABLE = "checkpoint_ledger"
+
+_AUDIT_NON_MAP = [
+    "run_id", "bucket", "n_rows", "n_keep", "input_fingerprint",
+    "app_id", "attempt", "code_version", "wall_ms",
+]
+
+
+def done_buckets(catalog: Catalog, run_key: str) -> list[int]:
+    if not catalog.table_exists(LEDGER_TABLE):
+        return []
+    rows = (
+        catalog.read_table(LEDGER_TABLE)
+        .filter((F.col("run_key") == run_key) & (F.col("status") == "done"))
+        .select("bucket").distinct().collect()
+    )
+    return sorted(r["bucket"] for r in rows)
+
+
+def pending_buckets(spark: SparkSession, catalog: Catalog, run_key: str,
+                    n_buckets: int = N_BUCKETS) -> list[int]:
+    """O-21 resume anti-join, expressed as a DataFrame op so the same
+    plan scales to catalogs where the ledger is a big table."""
+    all_b = spark.range(n_buckets).select(F.col("id").cast("int").alias("bucket"))
+    if not catalog.table_exists(LEDGER_TABLE):
+        return [r["bucket"] for r in all_b.collect()]
+    done = (
+        catalog.read_table(LEDGER_TABLE)
+        .filter((F.col("run_key") == run_key) & (F.col("status") == "done"))
+        .select("bucket")
+    )
+    pend = all_b.join(done, "bucket", "left_anti")
+    return sorted(r["bucket"] for r in pend.collect())
+
+
+def run(spark: SparkSession, catalog: Catalog, images: DataFrame,
+        run_key: str, n_buckets: int = N_BUCKETS, wave_size: int | None = None,
+        shuffle_partitions: int | None = None,
+        fail_after_wave: int | None = None) -> dict:
+    """Process all pending buckets in waves; returns run stats.
+
+    fail_after_wave: test hook — raise after committing that many
+    waves (tests/test_resume.py fault injection).
+    """
+    t0 = time.time()
+    pending = pending_buckets(spark, catalog, run_key, n_buckets)
+    if not pending:
+        return {"run_key": run_key, "waves": 0, "buckets": 0,
+                "skipped": n_buckets, "wall_s": 0.0}
+
+    hot = detect_hot_buckets(images)
+    verdict = quality_frame(images, n_buckets=n_buckets)
+    nparts = shuffle_partitions or int(
+        spark.conf.get("spark.sql.shuffle.partitions"))
+
+    wave_size = wave_size or len(pending)
+    waves = [pending[i:i + wave_size] for i in range(0, len(pending), wave_size)]
+    app_id = spark.sparkContext.applicationId
+    run_id = f"{run_key}-{int(t0)}"
+
+    for wi, wave in enumerate(waves):
+        wt0 = time.time()
+        # partition pruning: bucket filter sits above the scan and the
+        # verdict frame, Catalyst pushes what it can; hot-bucket salt
+        # spreads duplicate-heavy buckets across tasks (O-30)
+        wave_df = verdict.filter(F.col("bucket").isin([int(b) for b in wave]))
+        wave_df = salted_repartition(wave_df, nparts,
+                                     [b for b in hot if b in set(wave)])
+        wave_df = wave_df.persist()
+        try:
+            # 1. results (idempotent dynamic partition overwrite)
+            catalog.overwrite_partitions(
+                RESULTS_TABLE,
+                wave_df.select(*RESULT_COLUMNS).sortWithinPartitions("image_id"),
+                ["bucket"],
+            )
+
+            # 2. audit: lineage + rule-hit metrics per bucket, salted
+            #    two-phase agg (partial per (bucket, salt))
+            aggs = {"n_rows": "count(*)", "n_keep": "sum(keep_l)"}
+            for r in RULE_ORDER:
+                aggs[f"hits_{r}"] = f"sum({flag_col(r)}_l)"
+            casted = wave_df.select(
+                "bucket", "salt", "image_id",
+                F.col("keep").cast("long").alias("keep_l"),
+                *[F.col(flag_col(r)).cast("long").alias(f"{flag_col(r)}_l")
+                  for r in RULE_ORDER],
+            )
+            per_bucket = two_phase_agg(casted, "bucket", aggs)
+            fingerprints = (
+                casted.groupBy("bucket")
+                .agg(F.xxhash64(F.concat_ws(",", F.sort_array(
+                    F.collect_list("image_id")))).cast("string")
+                    .alias("input_fingerprint"))
+            )
+            wall_ms = int((time.time() - wt0) * 1000)
+            audit = (
+                per_bucket.join(fingerprints, "bucket")
+                .select(
+                    F.lit(run_id).alias("run_id"),
+                    "bucket", "n_rows", "n_keep",
+                    F.map_from_arrays(
+                        F.array(*[F.lit(r) for r in RULE_ORDER]),
+                        F.array(*[F.col(f"hits_{r}") for r in RULE_ORDER]),
+                    ).alias("rule_hits"),
+                    "input_fingerprint",
+                    F.lit(app_id).alias("app_id"),
+                    F.lit(0).alias("attempt"),
+                    F.lit("0.1.0").alias("code_version"),
+                    F.current_timestamp().alias("finished_at"),
+                    F.lit(wall_ms).alias("wall_ms"),
+                )
+            )
+            catalog.append(AUDIT_TABLE, audit)
+
+            # 3. ledger LAST = commit point
+            ledger = spark.createDataFrame(
+                [(run_key, int(b), "done") for b in wave],
+                "run_key string, bucket int, status string",
+            ).withColumn("committed_at", F.current_timestamp())
+            catalog.append(LEDGER_TABLE, ledger)
+        finally:
+            wave_df.unpersist()
+
+        if fail_after_wave is not None and wi + 1 >= fail_after_wave:
+            raise RuntimeError(f"injected failure after wave {wi + 1}")
+
+    return {
+        "run_key": run_key,
+        "waves": len(waves),
+        "buckets": len(pending),
+        "skipped": n_buckets - len(pending),
+        "hot_buckets": hot,
+        "wall_s": time.time() - t0,
+    }

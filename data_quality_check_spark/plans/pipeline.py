@@ -42,7 +42,7 @@ from ..constants import (
     LANG_UND,
 )
 from ..functions import rules as R
-from ..functions.udfs import decode_udf, langid_udf, ppl_udf, scrub_udf
+from ..functions.udfs import decode_udf, text_udf
 from ..operators.dedup import with_dup_rank
 from ..operators.keep import flag_col, with_keep
 from ..operators.salt import with_bucket
@@ -70,11 +70,7 @@ def enrich(images: DataFrame, n_buckets: int = N_BUCKETS,
                            ("image_id", "caption", "bytes", "w", "h")}),
     )
 
-    udf_cols = [
-        langid_udf(cap).alias("lid"),
-        ppl_udf(cap).alias("ppl"),
-        scrub_udf(F.col("caption")).alias("scr"),
-    ]
+    udf_cols = [text_udf(F.col("caption")).alias("txt")]
     if with_decode:
         udf_cols.append(
             decode_udf("bytes", "fmt", "w", "h", "phash").alias("dec"))
@@ -91,14 +87,14 @@ def enrich(images: DataFrame, n_buckets: int = N_BUCKETS,
     )
 
     flat = [
-        F.col("lid.lang").alias("lang"),
-        F.col("lid.lang_conf").alias("lang_conf"),
-        F.col("ppl"),
-        F.col("scr.caption_scrubbed").alias("caption_scrubbed"),
-        F.col("scr.scrub_hits").alias("scrub_hits"),
-        (F.col("lid.lang") == LANG_UND).alias(flag_col(RULE_LANG)),
-        (F.col("ppl") > MAX_PPL).alias(flag_col(RULE_PPL)),
-        F.col("scr.toxic").alias(flag_col(RULE_TOXIC)),
+        F.col("txt.lang").alias("lang"),
+        F.col("txt.lang_conf").alias("lang_conf"),
+        F.col("txt.ppl").alias("ppl"),
+        F.col("txt.caption_scrubbed").alias("caption_scrubbed"),
+        F.col("txt.scrub_hits").alias("scrub_hits"),
+        (F.col("txt.lang") == LANG_UND).alias(flag_col(RULE_LANG)),
+        (F.col("txt.ppl") > MAX_PPL).alias(flag_col(RULE_PPL)),
+        F.col("txt.toxic").alias(flag_col(RULE_TOXIC)),
     ]
     if with_decode:
         flat += [
@@ -106,7 +102,7 @@ def enrich(images: DataFrame, n_buckets: int = N_BUCKETS,
             F.col("dec.psnr_db").alias("psnr_db"),
             (~F.col("dec.pixel_ok")).alias(flag_col(RULE_PIXEL)),
         ]
-    keep_cols = [c for c in df.columns if c not in ("lid", "scr", "dec", "ppl")]
+    keep_cols = [c for c in df.columns if c not in ("txt", "dec")]
     return df.select(*keep_cols, *flat)
 
 

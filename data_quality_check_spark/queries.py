@@ -1,0 +1,794 @@
+"""Driver-contract query registry (SURVEY.md §2 query keys).
+
+Each entry: key -> (spark_fn, duckdb_sql | None).  spark_fn(spark,
+sf_dir) returns a DataFrame; duckdb_sql is ANSI SQL DuckDB runs on
+the same parquet fixtures (pre-registered views) — None for
+non-SQL-expressible ops (model UDFs, image decode), which get the
+driver's rows-only check.
+
+Column names are aliased identically on both sides (the driver's
+compare sorts columns by name before hashing).  Float aggregates are
+rounded on BOTH sides to keep the value-hash stable across engines.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .constants import (
+    MAX_CAPTION_LEN,
+    MIN_CAPTION_LEN,
+    MIN_DISTINCT_TOKEN_RATIO,
+    MIN_STOPWORD_RATIO,
+    N_BUCKETS,
+    STOPWORDS,
+)
+from .operators import dedup, metrics, salt
+from .plans import pipeline
+from .sources import images as IM
+
+# ---------------------------------------------------------------------------
+# helpers
+# ---------------------------------------------------------------------------
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def _sf_of(sf_dir: str) -> float:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    return float(base.removeprefix("sf")) if base.startswith("sf") else 0.001
+
+
+def _images(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return IM.read_images(spark, _sf_of(sf_dir))
+
+
+_EN_STOPS = STOPWORDS["en"]
+_EN_STOPS_SQL = "[" + ", ".join(f"'{w}'" for w in _EN_STOPS) + "]"
+
+# document text tokens (single-space separated fixture text)
+def _doc_tokens():
+    return F.filter(F.split(F.col("text"), " "), lambda t: t != F.lit(""))
+
+
+def _distinct_ratio():
+    toks = _doc_tokens()
+    return F.size(F.array_distinct(toks)).cast("double") / F.size(toks)
+
+
+def _stop_ratio():
+    toks = _doc_tokens()
+    stops = F.array(*[F.lit(w) for w in _EN_STOPS])
+    return (F.size(F.filter(toks, lambda t: F.array_contains(stops, t)))
+            .cast("double") / F.size(toks))
+
+
+def _symbol_density():
+    # symbols = chars left after stripping alnum + whitespace
+    return (F.length(F.regexp_replace("text", r"[0-9A-Za-z\s]", ""))
+            .cast("double") / F.length("text"))
+
+
+_DOC_DR_SQL = ("len(list_distinct(list_filter(string_split(text, ' '), t -> t != '')))"
+               " / CAST(len(list_filter(string_split(text, ' '), t -> t != '')) AS DOUBLE)")
+_DOC_SR_SQL = (f"len(list_filter(string_split(text, ' '), t -> list_contains({_EN_STOPS_SQL}, t)))"
+               " / CAST(len(list_filter(string_split(text, ' '), t -> t != '')) AS DOUBLE)")
+_DOC_SD_SQL = ("length(regexp_replace(text, '[0-9A-Za-z\\s]', '', 'g'))"
+               " / CAST(length(text) AS DOUBLE)")
+
+
+# ---------------------------------------------------------------------------
+# A. scans
+# ---------------------------------------------------------------------------
+
+def q_scan_lineitem(spark, sf_dir):
+    return _t(spark, sf_dir, "lineitem")
+
+
+SQL_SCAN_LINEITEM = "SELECT * FROM lineitem"
+
+
+def q_scan_images(spark, sf_dir):
+    # rows-only: images is this engine's own synthesized table (O-1/O-3)
+    return _images(spark, sf_dir).select("image_id", "w", "h", "fmt", "phash")
+
+
+# ---------------------------------------------------------------------------
+# B. projection / filter / heuristic rules
+# ---------------------------------------------------------------------------
+
+def q_project_prune(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.filter(F.col("l_shipdate") >= F.lit("1998-01-01").cast("timestamp"))
+            .select("l_orderkey", "l_extendedprice"))
+
+
+SQL_PROJECT_PRUNE = (
+    "SELECT l_orderkey, l_extendedprice FROM lineitem "
+    "WHERE l_shipdate >= TIMESTAMP '1998-01-01'"
+)
+
+
+def q_filter_nulls(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.filter(
+        F.col("text").isNotNull() & (F.length("text") > 0)
+        & F.col("lang").isNotNull()
+    ).select("doc_id", "lang", "n_chars")
+
+
+SQL_FILTER_NULLS = (
+    "SELECT doc_id, lang, n_chars FROM documents "
+    "WHERE text IS NOT NULL AND length(text) > 0 AND lang IS NOT NULL"
+)
+
+
+def q_rule_length(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.length("text").alias("text_len"),
+        F.length("text").between(MIN_CAPTION_LEN, MAX_CAPTION_LEN).alias("len_ok"),
+    )
+
+
+SQL_RULE_LENGTH = (
+    f"SELECT doc_id, length(text) AS text_len, "
+    f"length(text) BETWEEN {MIN_CAPTION_LEN} AND {MAX_CAPTION_LEN} AS len_ok "
+    "FROM documents"
+)
+
+
+def q_rule_repetition(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.round(_distinct_ratio(), 6).alias("distinct_ratio"),
+        (_distinct_ratio() >= MIN_DISTINCT_TOKEN_RATIO).alias("rep_ok"),
+    )
+
+
+SQL_RULE_REPETITION = (
+    f"SELECT doc_id, round({_DOC_DR_SQL}, 6) AS distinct_ratio, "
+    f"{_DOC_DR_SQL} >= {MIN_DISTINCT_TOKEN_RATIO} AS rep_ok FROM documents"
+)
+
+
+def q_rule_stopword_symbol(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.round(_stop_ratio(), 6).alias("stop_ratio"),
+        F.round(_symbol_density(), 6).alias("symbol_density"),
+    )
+
+
+SQL_RULE_STOPWORD_SYMBOL = (
+    f"SELECT doc_id, round({_DOC_SR_SQL}, 6) AS stop_ratio, "
+    f"round({_DOC_SD_SQL}, 6) AS symbol_density FROM documents"
+)
+
+
+def q_keep_decision(spark, sf_dir):
+    """SQL-expressible heuristic subset of the keep decision (the full
+    pipeline keep incl. model UDFs is keep_decision_images)."""
+    d = _t(spark, sf_dir, "documents")
+    keep = (
+        F.length("text").between(MIN_CAPTION_LEN, MAX_CAPTION_LEN)
+        & (_distinct_ratio() >= MIN_DISTINCT_TOKEN_RATIO)
+        & (_stop_ratio() >= MIN_STOPWORD_RATIO)
+        & (_symbol_density() <= 0.30)
+    )
+    return d.select("doc_id", keep.alias("keep"))
+
+
+SQL_KEEP_DECISION = (
+    f"SELECT doc_id, (length(text) BETWEEN {MIN_CAPTION_LEN} AND {MAX_CAPTION_LEN}) "
+    f"AND ({_DOC_DR_SQL} >= {MIN_DISTINCT_TOKEN_RATIO}) "
+    f"AND ({_DOC_SR_SQL} >= {MIN_STOPWORD_RATIO}) "
+    f"AND ({_DOC_SD_SQL} <= 0.30) AS keep FROM documents"
+)
+
+
+# ---------------------------------------------------------------------------
+# C/D. UDF surface (rows-only: DuckDB cannot express the models)
+# ---------------------------------------------------------------------------
+
+def q_udf_langid(spark, sf_dir):
+    from .functions.udfs import langid_udf
+    d = _t(spark, sf_dir, "documents")
+    out = d.select("doc_id", langid_udf(F.col("text")).alias("lid"))
+    return out.select("doc_id", F.col("lid.lang").alias("lang"),
+                      F.round("lid.lang_conf", 6).alias("lang_conf"))
+
+
+def q_udf_perplexity(spark, sf_dir):
+    from .functions.udfs import ppl_udf
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", F.round(ppl_udf(F.col("text")), 6).alias("ppl"))
+
+
+def q_udf_scrub(spark, sf_dir):
+    from .functions.udfs import scrub_udf
+    d = _t(spark, sf_dir, "documents")
+    out = d.select("doc_id", scrub_udf(F.col("text")).alias("s"))
+    return out.select("doc_id", F.col("s.caption_scrubbed").alias("scrubbed"),
+                      F.col("s.toxic").alias("toxic"))
+
+
+def q_udf_decode(spark, sf_dir):
+    from .functions.udfs import decode_udf
+    im = _images(spark, sf_dir)
+    out = im.select("image_id", decode_udf("bytes", "fmt", "w", "h", "phash").alias("d"))
+    return out.select("image_id", "d.pixel_ok", "d.w_real", "d.h_real", "d.phash_real")
+
+
+def q_keep_decision_images(spark, sf_dir):
+    """Full pipeline verdict over the synthetic images table."""
+    return pipeline.results_select(
+        pipeline.quality_frame(_images(spark, sf_dir))).drop("psnr_db")
+
+
+# ---------------------------------------------------------------------------
+# E. aggregations
+# ---------------------------------------------------------------------------
+
+def q_agg_pricing_summary(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+             F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+             F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+             F.count("*").alias("n"))
+    )
+
+
+SQL_AGG_PRICING_SUMMARY = (
+    "SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 4) AS sum_qty, "
+    "round(sum(l_extendedprice), 2) AS sum_price, "
+    "round(avg(l_discount), 6) AS avg_disc, count(*) AS n "
+    "FROM lineitem GROUP BY l_returnflag, l_linestatus"
+)
+
+
+def q_agg_bucket_metrics(spark, sf_dir):
+    # rows-only: per-bucket rule-hit metrics over the images pipeline
+    frame = pipeline.quality_frame(_images(spark, sf_dir))
+    return metrics.bucket_metrics(frame).select("bucket", "n_rows", "n_keep")
+
+
+def q_agg_f1(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    scored = d.select(
+        (_stop_ratio() >= MIN_STOPWORD_RATIO).alias("pred"),
+        F.col("n_chars").between(100, 400).alias("label"),
+    )
+    c = scored.agg(
+        F.sum((F.col("pred") & F.col("label")).cast("long")).alias("tp"),
+        F.sum((F.col("pred") & ~F.col("label")).cast("long")).alias("fp"),
+        F.sum((~F.col("pred") & F.col("label")).cast("long")).alias("fn"),
+    )
+    return c.select(
+        "tp", "fp", "fn",
+        F.round(2 * F.col("tp") / (2 * F.col("tp") + F.col("fp") + F.col("fn")), 6)
+        .alias("f1"),
+    )
+
+
+SQL_AGG_F1 = f"""
+WITH scored AS (
+  SELECT ({_DOC_SR_SQL} >= {MIN_STOPWORD_RATIO}) AS pred,
+         (n_chars BETWEEN 100 AND 400) AS label
+  FROM documents
+), c AS (
+  SELECT CAST(sum(CASE WHEN pred AND label THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+         CAST(sum(CASE WHEN pred AND NOT label THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+         CAST(sum(CASE WHEN NOT pred AND label THEN 1 ELSE 0 END) AS BIGINT) AS fn
+  FROM scored
+)
+SELECT tp, fp, fn, round(2.0 * tp / (2.0 * tp + fp + fn), 6) AS f1 FROM c
+"""
+
+
+def q_agg_distinct(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+    )
+
+
+SQL_AGG_DISTINCT = (
+    "SELECT count(DISTINCT l_partkey) AS n_parts, "
+    "count(DISTINCT l_suppkey) AS n_supps, "
+    "count(DISTINCT l_orderkey) AS n_orders FROM lineitem"
+)
+
+
+def q_agg_rollup(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.rollup("lang", "source")
+        .agg(F.count("*").alias("n"), F.sum("n_chars").alias("chars"))
+    )
+
+
+SQL_AGG_ROLLUP = (
+    "SELECT lang, source, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS chars "
+    "FROM documents GROUP BY ROLLUP(lang, source)"
+)
+
+
+# ---------------------------------------------------------------------------
+# F. joins
+# ---------------------------------------------------------------------------
+
+def q_join_broadcast(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(F.col("c_mktsegment").alias("mktsegment"))
+        .agg(F.count("*").alias("n_orders"),
+             F.round(F.sum("o_totalprice"), 2).alias("total"))
+    )
+
+
+SQL_JOIN_BROADCAST = (
+    "SELECT c.c_mktsegment AS mktsegment, count(*) AS n_orders, "
+    "round(sum(o.o_totalprice), 2) AS total "
+    "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey "
+    "GROUP BY c.c_mktsegment"
+)
+
+
+def q_join_smj_3way(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(F.count("*").alias("n_lines"),
+             F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+             .alias("revenue"))
+    )
+
+
+SQL_JOIN_SMJ_3WAY = (
+    "SELECT n.n_name AS nation, count(*) AS n_lines, "
+    "round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue "
+    "FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey "
+    "JOIN customer c ON o.o_custkey = c.c_custkey "
+    "JOIN nation n ON c.c_nationkey = n.n_nationkey "
+    "GROUP BY n.n_name"
+)
+
+
+def q_join_anti_resume(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .select("c_custkey", "c_name")
+    )
+
+
+SQL_JOIN_ANTI_RESUME = (
+    "SELECT c_custkey, c_name FROM customer c "
+    "WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)"
+)
+
+
+def q_join_range(spark, sf_dir):
+    e = _t(spark, sf_dir, "events").alias("e")
+    e2 = _t(spark, sf_dir, "events").alias("e2")
+    cond = (
+        (F.col("e2.user_id") == F.col("e.user_id"))
+        & (F.col("e2.ts") > F.col("e.ts"))
+        & (F.col("e2.ts") <= F.col("e.ts") + F.expr("INTERVAL 5 MINUTES"))
+    )
+    return (
+        e.join(e2, cond, "left")
+        .groupBy(F.col("e.event_id").alias("event_id"))
+        .agg(F.count("e2.event_id").alias("n_follow"))
+    )
+
+
+SQL_JOIN_RANGE = (
+    "SELECT e.event_id AS event_id, count(e2.event_id) AS n_follow "
+    "FROM events e LEFT JOIN events e2 ON e2.user_id = e.user_id "
+    "AND e2.ts > e.ts AND e2.ts <= e.ts + INTERVAL 5 MINUTE "
+    "GROUP BY e.event_id"
+)
+
+
+# ---------------------------------------------------------------------------
+# G. windows
+# ---------------------------------------------------------------------------
+
+def q_win_dup_rank(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select("event_id", F.row_number().over(w).alias("rn"))
+
+
+SQL_WIN_DUP_RANK = (
+    "SELECT event_id, row_number() OVER "
+    "(PARTITION BY user_id ORDER BY ts, event_id) AS rn FROM events"
+)
+
+
+def q_win_moving(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(-6, 0))
+    return e.select("event_id", F.round(F.sum("value").over(w), 4).alias("moving_sum"))
+
+
+SQL_WIN_MOVING = (
+    "SELECT event_id, round(sum(value) OVER (PARTITION BY user_id "
+    "ORDER BY ts, event_id ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4) "
+    "AS moving_sum FROM events"
+)
+
+
+def q_win_topk(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    return (
+        d.select("doc_id", "lang", "n_chars", F.row_number().over(w).alias("rk"))
+        .filter(F.col("rk") <= 3)
+    )
+
+
+SQL_WIN_TOPK = (
+    "SELECT doc_id, lang, n_chars, rk FROM ("
+    "SELECT doc_id, lang, n_chars, row_number() OVER "
+    "(PARTITION BY lang ORDER BY n_chars DESC, doc_id ASC) AS rk "
+    "FROM documents) WHERE rk <= 3"
+)
+
+
+# ---------------------------------------------------------------------------
+# H/I. sorts / set ops
+# ---------------------------------------------------------------------------
+
+def q_sort_limit(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.orderBy(F.desc("l_extendedprice"), "l_orderkey", "l_linenumber")
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .limit(100)
+    )
+
+
+SQL_SORT_LIMIT = (
+    "SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem "
+    "ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 100"
+)
+
+
+def q_setop_except(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    big = o.filter(F.col("o_totalprice") > 100000).select("o_custkey")
+    fin = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    return big.subtract(fin)  # EXCEPT (distinct semantics)
+
+
+SQL_SETOP_EXCEPT = (
+    "SELECT o_custkey FROM orders WHERE o_totalprice > 100000 "
+    "EXCEPT SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'"
+)
+
+
+# ---------------------------------------------------------------------------
+# J. partitioning / shuffle
+# ---------------------------------------------------------------------------
+
+def q_bucket_assign(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.select(F.pmod(F.col("l_orderkey"), F.lit(N_BUCKETS)).alias("bucket"))
+        .groupBy("bucket").agg(F.count("*").alias("n"))
+    )
+
+
+SQL_BUCKET_ASSIGN = (
+    f"SELECT l_orderkey % {N_BUCKETS} AS bucket, count(*) AS n "
+    "FROM lineitem GROUP BY 1"
+)
+
+
+def q_skew_salted_agg(spark, sf_dir):
+    """Salted two-phase agg; must equal the plain GROUP BY (salting is
+    semantics-invariant — SURVEY.md §7 hard part #3)."""
+    li = _t(spark, sf_dir, "lineitem").withColumn(
+        "salt", F.pmod(F.xxhash64("l_orderkey", "l_linenumber"), F.lit(8)).cast("int"))
+    out = salt.two_phase_agg(
+        li, "l_returnflag", {"n": "count(*)", "qty": "sum(l_quantity)"})
+    return out.select("l_returnflag", "n", F.round("qty", 4).alias("qty"))
+
+
+SQL_SKEW_SALTED_AGG = (
+    "SELECT l_returnflag, count(*) AS n, round(sum(l_quantity), 4) AS qty "
+    "FROM lineitem GROUP BY l_returnflag"
+)
+
+
+def q_resume_pending(spark, sf_dir):
+    # rows-only: ledger anti-join resume over the images pipeline unit
+    all_b = spark.range(N_BUCKETS).select(F.col("id").cast("int").alias("bucket"))
+    done = spark.createDataFrame(
+        [(b,) for b in range(0, N_BUCKETS, 2)], "bucket int")
+    return all_b.join(done, "bucket", "left_anti")
+
+
+# ---------------------------------------------------------------------------
+# M. scalar function surface
+# ---------------------------------------------------------------------------
+
+def q_fn_string(spark, sf_dir):
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_name").alias("uname"),
+        F.substring("p_type", 1, 5).alias("t5"),
+        F.length("p_brand").alias("blen"),
+        F.regexp_replace("p_name", "[aeiou]", "").alias("novowel"),
+        F.concat_ws("-", "p_brand", "p_type").alias("bt"),
+    )
+
+
+SQL_FN_STRING = (
+    "SELECT p_partkey, upper(p_name) AS uname, substring(p_type, 1, 5) AS t5, "
+    "length(p_brand) AS blen, regexp_replace(p_name, '[aeiou]', '', 'g') AS novowel, "
+    "concat_ws('-', p_brand, p_type) AS bt FROM part"
+)
+
+
+def q_fn_datetime(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        F.date_trunc("hour", "ts").alias("h"),
+        F.year("ts").alias("y"),
+        F.month("ts").alias("m"),
+        F.dayofmonth("ts").alias("d"),
+        F.hour("ts").alias("hh"),
+        F.unix_timestamp("ts").alias("epoch_s"),
+    )
+
+
+SQL_FN_DATETIME = (
+    "SELECT event_id, date_trunc('hour', ts) AS h, "
+    "CAST(year(ts) AS INT) AS y, CAST(month(ts) AS INT) AS m, "
+    "CAST(day(ts) AS INT) AS d, CAST(hour(ts) AS INT) AS hh, "
+    "CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s FROM events"
+)
+
+
+def q_fn_array(spark, sf_dir):
+    em = _t(spark, sf_dir, "embeddings")
+    vec = F.transform("embedding", lambda x: x.cast("double"))
+    sumsq = F.aggregate(vec, F.lit(0.0), lambda acc, x: acc + x * x)
+    return em.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.round(F.aggregate(vec, F.lit(0.0), lambda acc, x: acc + x), 4).alias("s"),
+        F.round(sumsq, 4).alias("sq"),
+        F.round(F.array_max("embedding").cast("double"), 6).alias("mx"),
+    )
+
+
+SQL_FN_ARRAY = (
+    "SELECT vec_id, len(embedding) AS dim, "
+    "round(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE))), 4) AS s, "
+    "round(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), 4) AS sq, "
+    "round(CAST(list_max(embedding) AS DOUBLE), 6) AS mx FROM embeddings"
+)
+
+
+def q_fn_json(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("bigint").alias("k"),
+    )
+
+
+SQL_FN_JSON = (
+    "SELECT event_id, CAST(regexp_extract(props, '\"k\": (-?\\d+)', 1) AS BIGINT) "
+    "AS k FROM events"
+)
+
+
+# ---------------------------------------------------------------------------
+# Training-data pipeline family: dedup / similarity / text analysis
+# ---------------------------------------------------------------------------
+
+def q_dedup_exact(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return (
+        dedup.exact_dedup(d, "text", "doc_id")
+        .select("keeper_id", "group_size")
+    )
+
+
+SQL_DEDUP_EXACT = (
+    "SELECT min(doc_id) AS keeper_id, count(*) AS group_size "
+    "FROM documents GROUP BY text"
+)
+
+
+def q_dedup_minhash_lsh(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_dups(d, "text", "doc_id").select(
+        "band", "members", "n")
+
+
+def q_dedup_simhash(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return dedup.simhash64(d, "text", "doc_id")
+
+
+def q_dedup_ngram_jaccard(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return dedup.ngram_jaccard_pairs(d, "text", "doc_id", threshold=0.3)
+
+
+def q_sim_topk_cosine(spark, sf_dir):
+    from .operators.similarity import cosine_topk
+    em = _t(spark, sf_dir, "embeddings")
+    return cosine_topk(em, em.filter(F.col("vec_id") < 5), k=5)
+
+
+SQL_SIM_TOPK_COSINE = """
+WITH scored AS (
+  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+    round(
+      list_sum(list_transform(list_zip(q.embedding, n.embedding),
+               t -> CAST(t[1] AS DOUBLE) * CAST(t[2] AS DOUBLE)))
+      / (sqrt(list_sum(list_transform(q.embedding,
+               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+       * sqrt(list_sum(list_transform(n.embedding,
+               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6) AS cos
+  FROM embeddings q, embeddings n
+  WHERE q.vec_id < 5 AND n.vec_id <> q.vec_id
+), ranked AS (
+  SELECT query_id, neighbor_id, cos, row_number() OVER
+    (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rk
+  FROM scored
+)
+SELECT query_id, neighbor_id, cos, rk FROM ranked WHERE rk <= 5
+"""
+
+
+def q_sim_lsh_topk(spark, sf_dir):
+    from .operators.similarity import lsh_cosine_topk
+    em = _t(spark, sf_dir, "embeddings")
+    return lsh_cosine_topk(em, em.filter(F.col("vec_id") < 5), k=5)
+
+
+def q_text_tokens(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    toks = _doc_tokens()
+    bpe_ish = F.regexp_extract_all("text", F.lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), 0)
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_ws_tokens"),
+        F.size(bpe_ish).alias("n_bpe_tokens"),
+    )
+
+
+SQL_TEXT_TOKENS = (
+    "SELECT doc_id, len(list_filter(string_split(text, ' '), t -> t != '')) "
+    "AS n_ws_tokens, len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) "
+    "AS n_bpe_tokens FROM documents"
+)
+
+
+def q_text_quality_score(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    score = (
+        0.4 * F.least(F.lit(1.0), F.length("text") / F.lit(200.0))
+        + 0.3 * _stop_ratio()
+        + 0.3 * _distinct_ratio()
+    )
+    return d.select("doc_id", F.round(score, 6).alias("quality_score"))
+
+
+SQL_TEXT_QUALITY_SCORE = (
+    "SELECT doc_id, round(0.4 * least(1.0, length(text) / 200.0) "
+    f"+ 0.3 * {_DOC_SR_SQL} + 0.3 * {_DOC_DR_SQL}, 6) AS quality_score "
+    "FROM documents"
+)
+
+
+def q_text_fingerprint(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.md5(F.lower(F.trim("text"))).alias("fingerprint"),
+    )
+
+
+SQL_TEXT_FINGERPRINT = (
+    "SELECT doc_id, md5(lower(trim(text))) AS fingerprint FROM documents"
+)
+
+
+def q_multimodal_features(spark, sf_dir):
+    from .operators.multimodal import extract_features
+    return extract_features(_images(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
+    # scans / projection / rules
+    "scan_lineitem": (q_scan_lineitem, SQL_SCAN_LINEITEM),
+    "scan_images": (q_scan_images, None),
+    "project_prune": (q_project_prune, SQL_PROJECT_PRUNE),
+    "filter_nulls": (q_filter_nulls, SQL_FILTER_NULLS),
+    "rule_length": (q_rule_length, SQL_RULE_LENGTH),
+    "rule_repetition": (q_rule_repetition, SQL_RULE_REPETITION),
+    "rule_stopword_symbol": (q_rule_stopword_symbol, SQL_RULE_STOPWORD_SYMBOL),
+    "keep_decision": (q_keep_decision, SQL_KEEP_DECISION),
+    # UDF surface
+    "udf_langid": (q_udf_langid, None),
+    "udf_perplexity": (q_udf_perplexity, None),
+    "udf_scrub": (q_udf_scrub, None),
+    "udf_decode": (q_udf_decode, None),
+    "keep_decision_images": (q_keep_decision_images, None),
+    # aggregations
+    "agg_pricing_summary": (q_agg_pricing_summary, SQL_AGG_PRICING_SUMMARY),
+    "agg_bucket_metrics": (q_agg_bucket_metrics, None),
+    "agg_f1": (q_agg_f1, SQL_AGG_F1),
+    "agg_distinct": (q_agg_distinct, SQL_AGG_DISTINCT),
+    "agg_rollup": (q_agg_rollup, SQL_AGG_ROLLUP),
+    # joins
+    "join_broadcast": (q_join_broadcast, SQL_JOIN_BROADCAST),
+    "join_smj_3way": (q_join_smj_3way, SQL_JOIN_SMJ_3WAY),
+    "join_anti_resume": (q_join_anti_resume, SQL_JOIN_ANTI_RESUME),
+    "join_range": (q_join_range, SQL_JOIN_RANGE),
+    # windows
+    "win_dup_rank": (q_win_dup_rank, SQL_WIN_DUP_RANK),
+    "win_moving": (q_win_moving, SQL_WIN_MOVING),
+    "win_topk": (q_win_topk, SQL_WIN_TOPK),
+    # sorts / set ops
+    "sort_limit": (q_sort_limit, SQL_SORT_LIMIT),
+    "setop_except": (q_setop_except, SQL_SETOP_EXCEPT),
+    # partitioning
+    "bucket_assign": (q_bucket_assign, SQL_BUCKET_ASSIGN),
+    "skew_salted_agg": (q_skew_salted_agg, SQL_SKEW_SALTED_AGG),
+    "resume_pending": (q_resume_pending, None),
+    # scalar fn surface
+    "fn_string": (q_fn_string, SQL_FN_STRING),
+    "fn_datetime": (q_fn_datetime, SQL_FN_DATETIME),
+    "fn_array": (q_fn_array, SQL_FN_ARRAY),
+    "fn_json": (q_fn_json, SQL_FN_JSON),
+    # training-data pipeline family
+    "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
+    "dedup_minhash_lsh": (q_dedup_minhash_lsh, None),
+    "dedup_simhash": (q_dedup_simhash, None),
+    "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, None),
+    "sim_topk_cosine": (q_sim_topk_cosine, SQL_SIM_TOPK_COSINE),
+    "sim_lsh_topk": (q_sim_lsh_topk, None),
+    "text_tokens": (q_text_tokens, SQL_TEXT_TOKENS),
+    "text_quality_score": (q_text_quality_score, SQL_TEXT_QUALITY_SCORE),
+    "text_fingerprint": (q_text_fingerprint, SQL_TEXT_FINGERPRINT),
+    "multimodal_features": (q_multimodal_features, None),
+}

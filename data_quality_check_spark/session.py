@@ -28,6 +28,11 @@ def get_spark(master: str | None = None,
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(arrow_batch))
         .config("spark.sql.adaptive.enabled", "true")
+        # sandbox fixtures are a handful of medium parquet files; a
+        # small split size keeps the pre-shuffle (UDF) stage at full
+        # parallelism.  On a real cluster with thousands of files the
+        # 128m default is right — override via extra_conf there.
+        .config("spark.sql.files.maxPartitionBytes", "8m")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")

@@ -203,7 +203,7 @@ def ensure_images(sf: float, root: str = "/root/repo/data") -> str:
         pdf = generate_pandas(sf)
         tbl = pa.Table.from_pandas(pdf, schema=ARROW_SCHEMA, preserve_index=False)
         tmp = path + ".tmp"
-        pq.write_table(tbl, tmp, compression="zstd", row_group_size=8192)
+        pq.write_table(tbl, tmp, compression="zstd", row_group_size=2048)
         os.replace(tmp, path)
     return path
 

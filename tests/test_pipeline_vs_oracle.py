@@ -1,0 +1,66 @@
+"""Golden-label oracle equivalence (SURVEY.md §5.2; the correctness
+gate of BASELINE.json:2,14): the distributed Spark pipeline must match
+the pure-pandas reference oracle — keep/drop F1 >= 0.99 (target 1.0),
+scrubbed captions exactly equal, pixel invariant exact."""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def test_row_alignment(pipeline_results, oracle_labels):
+    assert len(pipeline_results) == len(oracle_labels)
+    assert (pipeline_results.image_id.to_numpy()
+            == oracle_labels.image_id.to_numpy()).all()
+
+
+def test_keep_f1(pipeline_results, oracle_labels):
+    p = pipeline_results.keep.to_numpy()
+    t = oracle_labels.keep.to_numpy()
+    tp = int((p & t).sum())
+    fp = int((p & ~t).sum())
+    fn = int((~p & t).sum())
+    f1 = 2 * tp / (2 * tp + fp + fn)
+    assert f1 >= 0.99, f"F1 {f1} below floor"
+    assert f1 == 1.0, "rules are deterministic; expect exact agreement"
+
+
+def test_drop_reasons_exact(pipeline_results, oracle_labels):
+    for a, b in zip(pipeline_results.drop_reasons, oracle_labels.drop_reasons):
+        assert list(a) == list(b)
+
+
+def test_lang_and_ppl(pipeline_results, oracle_labels):
+    assert (pipeline_results.lang.to_numpy()
+            == oracle_labels.lang.to_numpy()).all()
+    assert np.allclose(pipeline_results.lang_conf.to_numpy(),
+                       oracle_labels.lang_conf.to_numpy(), rtol=0, atol=0)
+    assert np.allclose(pipeline_results.ppl.to_numpy(),
+                       oracle_labels.ppl.to_numpy(), rtol=0, atol=0)
+
+
+def test_scrubbed_caption_exact(pipeline_results, oracle_labels):
+    a = pipeline_results.caption_scrubbed
+    b = oracle_labels.caption_scrubbed
+    assert (a.fillna("\0") == b.fillna("\0")).all()
+
+
+def test_scrub_hits_exact(pipeline_results, oracle_labels):
+    for a, b in zip(pipeline_results.scrub_hits, oracle_labels.scrub_hits):
+        assert dict(a or {}) == dict(b or {})
+
+
+def test_pixel_invariant(pipeline_results, oracle_labels):
+    assert (pipeline_results.pixel_ok.to_numpy()
+            == oracle_labels.pixel_ok.to_numpy()).all()
+    # lossless sandbox formats: every valid row decodes exactly => inf
+    ok = pipeline_results.pixel_ok.to_numpy()
+    psnr = pipeline_results.psnr_db.to_numpy()
+    assert np.isinf(psnr[ok]).all()
+
+
+def test_keep_rate_sane(oracle_labels):
+    # the generator seeds ~35-40% violations; keep rate must be in a
+    # plausible band, not degenerate
+    rate = oracle_labels.keep.mean()
+    assert 0.4 < rate < 0.85, rate

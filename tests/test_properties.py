@@ -1,0 +1,77 @@
+"""Property-based tests (SURVEY.md §5.3, hypothesis): scrub
+idempotence, codec round-trip for arbitrary images, salting
+invariance, langid batch-order stability."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from data_quality_check_spark.kernels import codecs as C
+from data_quality_check_spark.kernels.langid import classify
+from data_quality_check_spark.kernels.scrub import scrub_series
+
+text_st = st.text(
+    alphabet=st.characters(min_codepoint=32, max_codepoint=0x2FFF),
+    max_size=200,
+)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(text_st, min_size=1, max_size=8))
+def test_scrub_idempotent(texts):
+    s = pd.Series(texts, dtype="object")
+    once = scrub_series(s)["caption_scrubbed"]
+    twice = scrub_series(once)["caption_scrubbed"]
+    assert list(once) == list(twice)
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.integers(1, 64), st.integers(1, 64), st.integers(0, 2**32 - 1))
+def test_codec_roundtrip_any_image(w, h, seed):
+    pix = np.random.default_rng(seed).integers(0, 256, (h, w, 3), dtype=np.uint8)
+    for fmt in ("raw", "ppm", "png"):
+        assert (C.decode(C.encode(pix, fmt), fmt, w, h) == pix).all()
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.lists(text_st, min_size=2, max_size=10), st.randoms())
+def test_langid_batch_order_invariance(texts, rnd):
+    """Classification of a row must not depend on its batch
+    neighbours (scalar-iter UDF correctness condition)."""
+    from data_quality_check_spark.kernels.ppl import perplexity
+
+    s = pd.Series(texts, dtype="object")
+    base = classify(s)
+    base_ppl = perplexity(s)
+    idx = list(range(len(texts)))
+    rnd.shuffle(idx)
+    shuf_s = s.iloc[idx].reset_index(drop=True)
+    shuffled = classify(shuf_s)
+    shuf_ppl = perplexity(shuf_s)
+    for out_pos, src_pos in enumerate(idx):
+        assert shuffled["lang"][out_pos] == base["lang"][src_pos]
+        assert shuffled["lang_conf"][out_pos] == base["lang_conf"][src_pos]
+        assert shuf_ppl[out_pos] == base_ppl[src_pos]
+
+
+def test_salting_invariance(spark):
+    """O-30: two-phase salted aggregation == plain aggregation for any
+    salt assignment (SURVEY.md §7 hard part #3)."""
+    from pyspark.sql import functions as F
+
+    from data_quality_check_spark.operators.salt import two_phase_agg
+
+    df = spark.range(10_000).select(
+        (F.col("id") % 7).alias("bucket"),
+        F.col("id").alias("v"),
+        F.pmod(F.xxhash64("id"), F.lit(13)).cast("int").alias("salt"),
+    )
+    salted = two_phase_agg(df, "bucket", {"n": "count(*)", "s": "sum(v)"})
+    plain = df.groupBy("bucket").agg(
+        F.count("*").alias("n"), F.sum("v").alias("s"))
+    a = {r["bucket"]: (r["n"], r["s"]) for r in salted.collect()}
+    b = {r["bucket"]: (r["n"], r["s"]) for r in plain.collect()}
+    assert a == b

@@ -1,0 +1,60 @@
+"""Driver-contract conformance (SURVEY.md §5.4): every REGISTRY entry
+runs; every oracle_sql pair matches DuckDB exactly at sf0.001 (the
+driver itself re-checks at sf0.01)."""
+
+from __future__ import annotations
+
+import os
+
+import duckdb
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+
+from data_quality_check_spark.queries import REGISTRY  # noqa: E402
+
+from tools.check_contract import TABLES, compare  # noqa: E402
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        p = os.path.join(SF_DIR, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    yield con
+    con.close()
+
+
+SQL_KEYS = [k for k, (_f, sql) in REGISTRY.items() if sql is not None]
+ROWS_ONLY_KEYS = [k for k, (_f, sql) in REGISTRY.items() if sql is None]
+
+
+@pytest.mark.parametrize("key", SQL_KEYS)
+def test_sql_oracle_match(spark, duck, key):
+    fn, sql = REGISTRY[key]
+    sdf = fn(spark, SF_DIR).toPandas()
+    ddf = duck.execute(sql).fetchdf()
+    err = compare(sdf, ddf)
+    assert err is None, f"{key}: {err}"
+
+
+@pytest.mark.parametrize("key", ROWS_ONLY_KEYS)
+def test_rows_only_runs(spark, key):
+    fn, _ = REGISTRY[key]
+    pdf = fn(spark, SF_DIR).toPandas()
+    # dedup_ngram_jaccard may legitimately find few pairs; everything
+    # else must produce rows
+    if key != "dedup_ngram_jaccard":
+        assert len(pdf) > 0, key
+
+
+def test_entry_contract(spark):
+    import __spark_entry__ as E
+
+    df = E.entry(spark)
+    assert df.count() > 0
+    qs, sqls = E.queries(), E.oracle_sql()
+    assert set(sqls) <= set(qs)
+    assert len(qs) == len(REGISTRY)

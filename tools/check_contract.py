@@ -1,0 +1,111 @@
+"""Local stand-in for the driver's correctness gate: run every
+queries() entry on Spark and its oracle_sql() on DuckDB over the same
+sf dir; compare row count, column names, and order-insensitive values
+(exact for non-floats, exact-after-round for floats — stricter than a
+value-hash).  Usage: python tools/check_contract.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+TABLES = ("region nation customer supplier part orders lineitem events "
+          "documents embeddings").split()
+
+
+def normalize(pdf: pd.DataFrame) -> pd.DataFrame:
+    pdf = pdf[sorted(pdf.columns)].copy()
+    for c in pdf.columns:
+        s = pdf[c]
+        if pd.api.types.is_datetime64_any_dtype(s):
+            pdf[c] = s.astype("datetime64[us]")
+        elif pd.api.types.is_float_dtype(s):
+            pdf[c] = s.astype("float64")
+        elif pd.api.types.is_integer_dtype(s):
+            pdf[c] = s.astype("int64")
+        elif s.dtype == object:
+            pdf[c] = s.map(
+                lambda v: tuple(v) if isinstance(v, (list, np.ndarray)) else v)
+    return pdf.sort_values(list(pdf.columns)).reset_index(drop=True)
+
+
+def compare(a: pd.DataFrame, b: pd.DataFrame) -> str | None:
+    if len(a) != len(b):
+        return f"rowcount {len(a)} vs {len(b)}"
+    if sorted(a.columns) != sorted(b.columns):
+        return f"columns {sorted(a.columns)} vs {sorted(b.columns)}"
+    a, b = normalize(a), normalize(b)
+    for c in a.columns:
+        if pd.api.types.is_float_dtype(a[c]):
+            av, bv = a[c].to_numpy(), b[c].to_numpy()
+            if not ((np.isnan(av) == np.isnan(bv)) | (av == bv)).all():
+                bad = np.nonzero(~((np.isnan(av) == np.isnan(bv)) | (av == bv)))[0][:3]
+                return f"col {c} float mismatch at {bad}: {av[bad]} vs {bv[bad]}"
+        else:
+            if not a[c].equals(b[c]):
+                neq = (a[c] != b[c])
+                idx = neq[neq].index[:3].tolist()
+                return (f"col {c} mismatch at {idx}: "
+                        f"{a[c].iloc[idx].tolist()} vs {b[c].iloc[idx].tolist()}")
+    return None
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    only = sys.argv[2].split(",") if len(sys.argv) > 2 else None
+
+    from data_quality_check_spark.queries import REGISTRY
+    from data_quality_check_spark.session import get_spark
+
+    spark = get_spark(master="local[8]", shuffle_partitions=8)
+    con = duckdb.connect()
+    for t in TABLES:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+
+    n_pass = n_fail = n_rowsonly = 0
+    for key, (fn, sql) in REGISTRY.items():
+        if only and key not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir).toPandas()
+        except Exception as e:
+            print(f"FAIL  {key}: spark error {type(e).__name__}: {e}")
+            n_fail += 1
+            continue
+        if sql is None:
+            print(f"rows  {key}: {len(sdf)} rows ({time.time()-t0:.1f}s)")
+            n_rowsonly += 1
+            if len(sdf) == 0 and key != "dedup_ngram_jaccard":
+                print(f"  WARNING: 0 rows for rows-only {key}")
+            continue
+        try:
+            ddf = con.execute(sql).fetchdf()
+        except Exception as e:
+            print(f"FAIL  {key}: duckdb error {e}")
+            n_fail += 1
+            continue
+        err = compare(sdf, ddf)
+        if err:
+            print(f"FAIL  {key}: {err}")
+            n_fail += 1
+        else:
+            print(f"ok    {key}: {len(sdf)} rows ({time.time()-t0:.1f}s)")
+            n_pass += 1
+    print(f"\n{n_pass} ok, {n_rowsonly} rows-only, {n_fail} FAIL")
+    spark.stop()
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
