@@ -100,6 +100,74 @@ def text_udf(it: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
         yield out
 
 
+FULL_SCHEMA = StructType(TEXT_SCHEMA.fields + DECODE_SCHEMA.fields)
+
+
+@pandas_udf(FULL_SCHEMA)
+def pipeline_udf(
+    it: Iterator[tuple[pd.Series, pd.Series, pd.Series, pd.Series, pd.Series, pd.Series]],
+) -> Iterator[pd.DataFrame]:
+    """(caption, bytes, fmt, w, h, phash) -> full per-row model
+    verdict.  One fused ArrowEvalPython stage: a single Python worker
+    per task (instead of a text + decode chain), one Arrow hop."""
+    from ..kernels.langid import classify
+    from ..kernels.ppl import perplexity
+    from ..kernels.scrub import scrub_series
+
+    for caption, blob, fmt, w, h, phash in it:
+        filled = caption.fillna("")
+        lid = classify(filled)
+        out = scrub_series(caption)
+        out.insert(0, "lang", lid["lang"])
+        out.insert(1, "lang_conf", lid["lang_conf"])
+        out.insert(2, "ppl", perplexity(filled))
+        dec = _decode_batch(blob, fmt, w, h, phash)
+        for c in dec.columns:
+            out[c] = dec[c].to_numpy()
+        yield out
+
+
+def _decode_batch(blob: pd.Series, fmt: pd.Series, w: pd.Series,
+                  h: pd.Series, phash: pd.Series) -> pd.DataFrame:
+    from ..kernels import codecs
+
+    n = len(blob)
+    ok = np.zeros(n, dtype=bool)
+    psnr = np.full(n, np.nan)
+    w_real = np.zeros(n, dtype=np.int32)
+    h_real = np.zeros(n, dtype=np.int32)
+    ph_real = np.zeros(n, dtype=np.int64)
+    blobs = blob.to_numpy()
+    fmts = fmt.to_numpy()
+    ws = w.to_numpy()
+    hs = h.to_numpy()
+    phs = phash.to_numpy()
+    for i in range(n):
+        b = blobs[i]
+        if b is None:
+            continue
+        try:
+            pix = codecs.decode(b, fmts[i], int(ws[i]), int(hs[i]))
+        except Exception:
+            continue
+        h_real[i], w_real[i] = pix.shape[0], pix.shape[1]
+        ph_real[i] = codecs.ahash64(pix)
+        ok[i] = (
+            h_real[i] == int(hs[i])
+            and w_real[i] == int(ws[i])
+            and ph_real[i] == int(phs[i])
+        )
+        if ok[i]:
+            psnr[i] = np.inf
+    return pd.DataFrame({
+        "pixel_ok": ok,
+        "psnr_db": psnr,
+        "w_real": w_real,
+        "h_real": h_real,
+        "phash_real": ph_real,
+    })
+
+
 @pandas_udf(DECODE_SCHEMA)
 def decode_udf(
     it: Iterator[tuple[pd.Series, pd.Series, pd.Series, pd.Series, pd.Series]],
@@ -111,41 +179,5 @@ def decode_udf(
     formats is the same pixels => inf dB (BASELINE.json:15 threshold
     of 40 dB applies to lossy formats on real clusters).
     """
-    from ..kernels import codecs
-
     for blob, fmt, w, h, phash in it:
-        n = len(blob)
-        ok = np.zeros(n, dtype=bool)
-        psnr = np.full(n, np.nan)
-        w_real = np.zeros(n, dtype=np.int32)
-        h_real = np.zeros(n, dtype=np.int32)
-        ph_real = np.zeros(n, dtype=np.int64)
-        blobs = blob.to_numpy()
-        fmts = fmt.to_numpy()
-        ws = w.to_numpy()
-        hs = h.to_numpy()
-        phs = phash.to_numpy()
-        for i in range(n):
-            b = blobs[i]
-            if b is None:
-                continue
-            try:
-                pix = codecs.decode(b, fmts[i], int(ws[i]), int(hs[i]))
-            except Exception:
-                continue
-            h_real[i], w_real[i] = pix.shape[0], pix.shape[1]
-            ph_real[i] = codecs.ahash64(pix)
-            ok[i] = (
-                h_real[i] == int(hs[i])
-                and w_real[i] == int(ws[i])
-                and ph_real[i] == int(phs[i])
-            )
-            if ok[i]:
-                psnr[i] = np.inf
-        yield pd.DataFrame({
-            "pixel_ok": ok,
-            "psnr_db": psnr,
-            "w_real": w_real,
-            "h_real": h_real,
-            "phash_real": ph_real,
-        })
+        yield _decode_batch(blob, fmt, w, h, phash)

@@ -63,16 +63,17 @@ def classify(texts: "pd.Series | list[str]") -> pd.DataFrame:
         valid = row_of[:-1] == row_of[1:]
         pair_lp = np.where(valid, pair_lp, 0.0)
         n_pairs = np.maximum(lengths - 1, 0)
-        # per-row segment sums via reduceat: each row's sum depends
-        # ONLY on its own values => identical across any batch
-        # composition (scalar-iter UDF batches vs one oracle batch).
-        # Pad one zero so every row start is a valid boundary; clipped
-        # boundaries of trailing empty rows then only ever drop the pad.
-        total = len(codes)
-        pair_pad = np.concatenate(
-            [pair_lp, np.zeros((len(LANGS), 1))], axis=1)
-        lo = np.clip(starts, 0, total - 1).astype(np.int64)
-        sums = np.add.reduceat(pair_pad, lo, axis=1)
+        # per-row sums via bincount: strictly sequential per-bin
+        # accumulation in array order, so a row's sum depends ONLY on
+        # its own pair values (masked boundary pairs add exactly 0.0)
+        # => bitwise-identical for any batch composition (scalar-iter
+        # UDF batches vs the one-batch oracle).  reduceat/np.sum use
+        # pairwise trees whose shape varies with neighbouring rows.
+        pair_rows = row_of[:-1]
+        sums = np.stack([
+            np.bincount(pair_rows, weights=pair_lp[li], minlength=n)
+            for li in range(len(LANGS))
+        ])
         mean_lp = np.where(n_pairs > 0, sums / np.maximum(n_pairs, 1), -np.inf)
     else:
         mean_lp = np.full((len(LANGS), n), -np.inf)

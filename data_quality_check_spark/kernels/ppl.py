@@ -10,6 +10,10 @@ ppl = PPL_SHORT (treated as un-scorable, does not trip the rule).
 
 from __future__ import annotations
 
+import hashlib
+import os
+import tempfile
+
 import numpy as np
 import pandas as pd
 
@@ -43,7 +47,42 @@ def _train() -> np.ndarray:
     return np.log(backed).astype(np.float32)
 
 
-_LOGP3: np.ndarray = _train()
+def _corpus_key() -> str:
+    blob = repr(sorted(WORD_POOLS.items())) + f"|V={V}|b={PPL_BACKOFF}"
+    return hashlib.sha256(blob.encode()).hexdigest()[:16]
+
+
+def _load_or_train() -> np.ndarray:
+    """Training costs ~0.3s; with dozens of Python workers per
+    executor that dominates worker spin-up, so the dense tensor is
+    cached on local disk keyed by the training-corpus hash.  On a
+    real cluster ship the .npy via spark-submit --files (or let each
+    worker pay the one-time train)."""
+    cache_dir = os.environ.get(
+        "DQC_MODEL_CACHE",
+        os.path.join(os.path.dirname(os.path.dirname(
+            os.path.dirname(os.path.abspath(__file__)))), "data", "models"))
+    path = os.path.join(cache_dir, f"ppl3_{_corpus_key()}.npy")
+    if os.path.exists(path):
+        try:
+            arr = np.load(path)
+            if arr.shape == (V, V, V):
+                return arr
+        except Exception:
+            pass
+    arr = _train()
+    try:
+        os.makedirs(cache_dir, exist_ok=True)
+        fd, tmp = tempfile.mkstemp(dir=cache_dir, suffix=".npy.tmp")
+        with os.fdopen(fd, "wb") as f:
+            np.save(f, arr)
+        os.replace(tmp, path)
+    except OSError:
+        pass  # cache is best-effort
+    return arr
+
+
+_LOGP3: np.ndarray = _load_or_train()
 
 
 def perplexity(texts: "pd.Series | list[str]") -> np.ndarray:
@@ -59,15 +98,10 @@ def perplexity(texts: "pd.Series | list[str]") -> np.ndarray:
     row_of = np.searchsorted(ends, np.arange(len(codes)), side="right")
     valid = row_of[:-2] == row_of[2:]
     tri_lp = np.where(valid, tri_lp, 0.0)
-    starts = ends - lengths
     n_tri = np.maximum(lengths - 2, 0)
-    # per-row segment sums via reduceat (batch-composition-invariant;
-    # see kernels/langid.py for rationale); pad two zeros so row
-    # starts are valid boundaries even with trailing empty rows
-    total = len(codes)
-    tri_pad = np.concatenate([tri_lp, np.zeros(2)])
-    lo = np.clip(starts, 0, total - 1).astype(np.int64)
-    sums = np.add.reduceat(tri_pad, lo)
+    # per-row sums via bincount: sequential per-bin accumulation =>
+    # batch-composition-invariant (see kernels/langid.py rationale)
+    sums = np.bincount(row_of[:-2], weights=tri_lp, minlength=n)
     with np.errstate(over="ignore"):
         ppl = np.exp(-sums / np.maximum(n_tri, 1))
     out = np.where(n_tri > 0, ppl, PPL_SHORT)

@@ -78,6 +78,21 @@ class LocalParquetCatalog(Catalog):
         df.write.mode("append").parquet(self._dir(name))
         self._write_manifest(name, "append")
 
+    def append_rows(self, name: str, rows: list[dict]) -> None:
+        """Driver-side append for tiny metadata tables (ledger): one
+        pyarrow file write, no Spark job.  The Iceberg branch routes
+        through a normal append."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        d = self._dir(name)
+        os.makedirs(d, exist_ok=True)
+        tbl = pa.Table.from_pylist(rows)
+        path = os.path.join(d, f"part-driver-{uuid.uuid4().hex}.parquet")
+        pq.write_table(tbl, path + ".tmp")
+        os.replace(path + ".tmp", path)
+        self._write_manifest(name, "append")
+
     def overwrite_partitions(self, name: str, df: DataFrame, keys: list[str]) -> None:
         """Dynamic partition overwrite: only partitions present in
         `df` are replaced — the idempotent-rerun primitive for
@@ -115,6 +130,9 @@ class IcebergCatalog(Catalog):
 
     def append(self, name: str, df: DataFrame) -> None:
         df.writeTo(self._fq(name)).append()
+
+    def append_rows(self, name: str, rows: list[dict]) -> None:
+        self.append(name, self.spark.createDataFrame(rows))
 
     def overwrite_partitions(self, name: str, df: DataFrame, keys: list[str]) -> None:
         df.writeTo(self._fq(name)).overwritePartitions()

@@ -20,8 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..constants import N_BUCKETS, RULE_ORDER
-from ..operators.keep import flag_col
-from ..operators.salt import detect_hot_buckets, salted_repartition, two_phase_agg
+from ..operators.salt import detect_hot_buckets, salted_repartition
 from .catalog import Catalog
 from .pipeline import RESULT_COLUMNS, quality_frame
 
@@ -95,61 +94,59 @@ def run(spark: SparkSession, catalog: Catalog, images: DataFrame,
         wave_df = verdict.filter(F.col("bucket").isin([int(b) for b in wave]))
         wave_df = salted_repartition(wave_df, nparts,
                                      [b for b in hot if b in set(wave)])
-        wave_df = wave_df.persist()
-        try:
-            # 1. results (idempotent dynamic partition overwrite)
-            catalog.overwrite_partitions(
-                RESULTS_TABLE,
-                wave_df.select(*RESULT_COLUMNS).sortWithinPartitions("image_id"),
-                ["bucket"],
-            )
 
-            # 2. audit: lineage + rule-hit metrics per bucket, salted
-            #    two-phase agg (partial per (bucket, salt))
-            aggs = {"n_rows": "count(*)", "n_keep": "sum(keep_l)"}
-            for r in RULE_ORDER:
-                aggs[f"hits_{r}"] = f"sum({flag_col(r)}_l)"
-            casted = wave_df.select(
-                "bucket", "salt", "image_id",
-                F.col("keep").cast("long").alias("keep_l"),
-                *[F.col(flag_col(r)).cast("long").alias(f"{flag_col(r)}_l")
-                  for r in RULE_ORDER],
-            )
-            per_bucket = two_phase_agg(casted, "bucket", aggs)
-            fingerprints = (
-                casted.groupBy("bucket")
-                .agg(F.xxhash64(F.concat_ws(",", F.sort_array(
-                    F.collect_list("image_id")))).cast("string")
-                    .alias("input_fingerprint"))
-            )
-            wall_ms = int((time.time() - wt0) * 1000)
-            audit = (
-                per_bucket.join(fingerprints, "bucket")
-                .select(
-                    F.lit(run_id).alias("run_id"),
-                    "bucket", "n_rows", "n_keep",
-                    F.map_from_arrays(
-                        F.array(*[F.lit(r) for r in RULE_ORDER]),
-                        F.array(*[F.col(f"hits_{r}") for r in RULE_ORDER]),
-                    ).alias("rule_hits"),
-                    "input_fingerprint",
-                    F.lit(app_id).alias("app_id"),
-                    F.lit(0).alias("attempt"),
-                    F.lit("0.1.0").alias("code_version"),
-                    F.current_timestamp().alias("finished_at"),
-                    F.lit(wall_ms).alias("wall_ms"),
-                )
-            )
-            catalog.append(AUDIT_TABLE, audit)
+        # 1. results (idempotent dynamic partition overwrite) — the
+        #    ONE action that executes the UDF pipeline; nothing is
+        #    persisted (at 10^12 rows a cache would just spill)
+        catalog.overwrite_partitions(
+            RESULTS_TABLE,
+            wave_df.select(*RESULT_COLUMNS).sortWithinPartitions("image_id"),
+            ["bucket"],
+        )
 
-            # 3. ledger LAST = commit point
-            ledger = spark.createDataFrame(
-                [(run_key, int(b), "done") for b in wave],
-                "run_key string, bucket int, status string",
-            ).withColumn("committed_at", F.current_timestamp())
-            catalog.append(LEDGER_TABLE, ledger)
-        finally:
-            wave_df.unpersist()
+        # 2. audit from the *written* results partitions (columnar
+        #    read of 4 small columns; never recomputes the UDFs):
+        #    counts + per-rule hits from drop_reasons + an
+        #    order-insensitive bit_xor(xxhash64) input fingerprint
+        written = catalog.read_table(RESULTS_TABLE).filter(
+            F.col("bucket").isin([int(b) for b in wave]))
+        wall_ms = int((time.time() - wt0) * 1000)
+        audit = (
+            written.select("bucket", "image_id", "keep", "drop_reasons")
+            .groupBy("bucket")
+            .agg(
+                F.count("*").alias("n_rows"),
+                F.sum(F.col("keep").cast("long")).alias("n_keep"),
+                *[F.sum(F.array_contains("drop_reasons", r).cast("long"))
+                  .alias(f"hits_{r}") for r in RULE_ORDER],
+                F.expr("bit_xor(xxhash64(image_id))").cast("string")
+                .alias("input_fingerprint"),
+            )
+            .select(
+                F.lit(run_id).alias("run_id"),
+                "bucket", "n_rows", "n_keep",
+                F.map_from_arrays(
+                    F.array(*[F.lit(r) for r in RULE_ORDER]),
+                    F.array(*[F.col(f"hits_{r}") for r in RULE_ORDER]),
+                ).alias("rule_hits"),
+                "input_fingerprint",
+                F.lit(app_id).alias("app_id"),
+                F.lit(0).alias("attempt"),
+                F.lit("0.1.0").alias("code_version"),
+                F.current_timestamp().alias("finished_at"),
+                F.lit(wall_ms).alias("wall_ms"),
+            )
+        )
+        catalog.append(AUDIT_TABLE, audit)
+
+        # 3. ledger LAST = commit point (driver-side append: tiny
+        #    metadata, no Spark job)
+        now_us = int(time.time() * 1_000_000)
+        catalog.append_rows(LEDGER_TABLE, [
+            {"run_key": run_key, "bucket": int(b), "status": "done",
+             "committed_at": now_us}
+            for b in wave
+        ])
 
         if fail_after_wave is not None and wi + 1 >= fail_after_wave:
             raise RuntimeError(f"injected failure after wave {wi + 1}")

@@ -42,7 +42,7 @@ from ..constants import (
     LANG_UND,
 )
 from ..functions import rules as R
-from ..functions.udfs import decode_udf, text_udf
+from ..functions.udfs import pipeline_udf, text_udf
 from ..operators.dedup import with_dup_rank
 from ..operators.keep import flag_col, with_keep
 from ..operators.salt import with_bucket
@@ -70,10 +70,13 @@ def enrich(images: DataFrame, n_buckets: int = N_BUCKETS,
                            ("image_id", "caption", "bytes", "w", "h")}),
     )
 
-    udf_cols = [text_udf(F.col("caption")).alias("txt")]
     if with_decode:
-        udf_cols.append(
-            decode_udf("bytes", "fmt", "w", "h", "phash").alias("dec"))
+        # one fused ArrowEvalPython stage: text models + decode in a
+        # single Python worker per task
+        udf_cols = [pipeline_udf(
+            F.col("caption"), "bytes", "fmt", "w", "h", "phash").alias("txt")]
+    else:
+        udf_cols = [text_udf(F.col("caption")).alias("txt")]
 
     df = df.select(
         "image_id", "bucket", "phash", "fmt", "w", "h",
@@ -98,11 +101,11 @@ def enrich(images: DataFrame, n_buckets: int = N_BUCKETS,
     ]
     if with_decode:
         flat += [
-            F.col("dec.pixel_ok").alias("pixel_ok"),
-            F.col("dec.psnr_db").alias("psnr_db"),
-            (~F.col("dec.pixel_ok")).alias(flag_col(RULE_PIXEL)),
+            F.col("txt.pixel_ok").alias("pixel_ok"),
+            F.col("txt.psnr_db").alias("psnr_db"),
+            (~F.col("txt.pixel_ok")).alias(flag_col(RULE_PIXEL)),
         ]
-    keep_cols = [c for c in df.columns if c not in ("txt", "dec")]
+    keep_cols = [c for c in df.columns if c != "txt"]
     return df.select(*keep_cols, *flat)
 
 
