@@ -40,5 +40,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     from data_quality_check_spark.queries import REGISTRY
+    from data_quality_check_spark.sources import images as IM
 
+    # several oracles read the generated images parquet by path at
+    # the driver's comparison scale — make sure it exists
+    IM.ensure_images(0.01)
     return {k: sql for k, (_fn, sql) in REGISTRY.items() if sql is not None}

@@ -15,6 +15,7 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 from ..constants import (
+    ALLOWED_CHAR_CLASS,
     MAX_CAPTION_LEN,
     MAX_SYMBOL_DENSITY,
     MIN_CAPTION_LEN,
@@ -86,11 +87,12 @@ def stopword_bad(toks: Column) -> Column:
 
 
 def symbol_density(cap: Column) -> Column:
+    # strip the ALLOWED chars and count what's left: Java regex runs
+    # a negated unicode class ~10x slower than the positive class, so
+    # this formulation is the fast one (verified identical counts)
     nc = F.length(cap)
-    return F.when(
-        nc > 0,
-        F.regexp_count(cap, F.lit(SYMBOL_CHAR_CLASS)).cast("double") / nc,
-    ).otherwise(F.lit(0.0))
+    n_sym = F.length(F.regexp_replace(cap, ALLOWED_CHAR_CLASS, ""))
+    return F.when(nc > 0, n_sym.cast("double") / nc).otherwise(F.lit(0.0))
 
 
 def symbol_bad(cap: Column) -> Column:

@@ -248,27 +248,34 @@ def ahash64(pix: np.ndarray) -> int:
     means, bit = block mean > mean of block means.  Returns a SIGNED
     int64 (Spark LongType / parquet int64 compatible)."""
     h, w = pix.shape[:2]
-    gray = (
-        pix[:, :, 0].astype(np.uint32) * 299
-        + pix[:, :, 1].astype(np.uint32) * 587
-        + pix[:, :, 2].astype(np.uint32) * 114
-    )  # x1000 scale, integer => deterministic
-    ys = (np.arange(9) * h) // 8
-    xs = (np.arange(9) * w) // 8
-    # integral image for O(1) block sums
-    ii = np.zeros((h + 1, w + 1), dtype=np.uint64)
-    ii[1:, 1:] = gray.cumsum(0).cumsum(1)
-    sums = (
-        ii[ys[1:], :][:, xs[1:]]
-        - ii[ys[:-1], :][:, xs[1:]]
-        - ii[ys[1:], :][:, xs[:-1]]
-        + ii[ys[:-1], :][:, xs[:-1]]
-    ).astype(np.float64)
-    areas = np.outer(ys[1:] - ys[:-1], xs[1:] - xs[:-1]).astype(np.float64)
+    pf = pix.astype(np.int64)
+    gray = pf[:, :, 0] * 299          # x1000 scale, integer =>
+    gray += pf[:, :, 1] * 587         # deterministic; in-place adds
+    gray += pf[:, :, 2] * 114         # avoid temporaries
+    ys, xs, areas = _block_grid(h, w)
+    # 8x8 block sums via two integer reduceats (deterministic: exact
+    # integer addition in any grouping)
+    sums = np.add.reduceat(np.add.reduceat(gray, ys, axis=0), xs, axis=1)
     means = sums / areas
-    bits = (means > means.mean()).flatten()
+    bits = (means > means.mean()).reshape(64)
     packed = np.packbits(bits)  # MSB-first per byte, big-endian order
     return int(np.frombuffer(packed.tobytes(), dtype=">i8")[0])
+
+
+_GRID_CACHE: dict = {}
+
+
+def _block_grid(h: int, w: int):
+    key = (h, w)
+    got = _GRID_CACHE.get(key)
+    if got is None:
+        ys2 = (np.arange(9) * h) // 8
+        xs2 = (np.arange(9) * w) // 8
+        areas = np.outer(ys2[1:] - ys2[:-1], xs2[1:] - xs2[:-1]).astype(
+            np.float64)
+        got = (ys2[:-1].copy(), xs2[:-1].copy(), areas)
+        _GRID_CACHE[key] = got
+    return got
 
 
 def psnr_db(a: np.ndarray, b: np.ndarray) -> float:

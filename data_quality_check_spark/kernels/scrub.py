@@ -33,25 +33,31 @@ def scrub_series(captions: pd.Series) -> pd.DataFrame:
     scrub_hits maps pattern name -> count (only names with count > 0,
     keeping the map small on clean data).  Null captions scrub to null.
     """
-    s = captions.astype("object")
-    null_mask = s.isna()
-    work = s.fillna("")
-    counts = {}
-    for name, cre, repl in COMPILED:
-        counts[name] = work.str.count(cre)
-        work = work.str.replace(cre, repl, regex=True)
-    counts["toxic"] = work.str.count(TOXIC_RE)
-    work = work.str.replace(TOXIC_RE, TOXIC_REPLACEMENT, regex=True)
-
-    hits = []
-    cnt_cols = [counts[k].to_numpy() for k in HIT_KEYS]
-    for i in range(len(work)):
-        d = {k: int(col[i]) for k, col in zip(HIT_KEYS, cnt_cols) if col[i] > 0}
-        hits.append(d)
-    toxic = (counts["toxic"] > 0).to_numpy()
-    out = pd.DataFrame({
-        "caption_scrubbed": work.where(~null_mask, None),
+    n = len(captions)
+    vals = captions.to_numpy(dtype=object)
+    scrubbed: list = [None] * n
+    hits: list = [None] * n
+    toxic = [False] * n
+    all_res = [(name, cre.subn, repl) for name, cre, repl in COMPILED]
+    tox_subn = TOXIC_RE.subn
+    for i in range(n):
+        t = vals[i]
+        if not isinstance(t, str):
+            hits[i] = {}
+            continue
+        d = {}
+        for name, subn, repl in all_res:  # one pass per pattern (subn
+            t, c = subn(repl, t)          # replaces AND counts)
+            if c:
+                d[name] = c
+        t, c = tox_subn(TOXIC_REPLACEMENT, t)
+        if c:
+            d["toxic"] = c
+            toxic[i] = True
+        scrubbed[i] = t
+        hits[i] = d
+    return pd.DataFrame({
+        "caption_scrubbed": scrubbed,
         "scrub_hits": hits,
         "toxic": toxic,
     })
-    return out

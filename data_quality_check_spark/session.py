@@ -15,6 +15,17 @@ from pyspark.sql import SparkSession
 REPO_ROOT = os.path.dirname(os.path.abspath(__file__ + "/.."))
 
 
+def _local_dir() -> str:
+    if os.path.isdir("/dev/shm"):
+        d = "/dev/shm/spark-local"
+        try:
+            os.makedirs(d, exist_ok=True)
+            return d
+        except OSError:
+            pass
+    return "/tmp"
+
+
 def get_spark(master: str | None = None,
               shuffle_partitions: int = 32,
               arrow_batch: int = 2048,
@@ -34,10 +45,18 @@ def get_spark(master: str | None = None,
         # 128m default is right — override via extra_conf there.
         .config("spark.sql.files.maxPartitionBytes", "8m")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # post-UDF rows are skinny (~300B): the 64m advisory target
+        # would coalesce the window/agg stages to 1-2 partitions and
+        # serialize them; 4m keeps those stages parallel
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "4m")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
+        # shuffle/spill on the RAM disk: the sandbox's rotational /tmp
+        # throttles the 4N-core level; on a real cluster point this at
+        # executor-local NVMe instead
+        .config("spark.local.dir", _local_dir())
         .config("spark.ui.enabled", "false")
         # ship the package to python workers without a separate zip in
         # local mode; on a real cluster use spark-submit --py-files

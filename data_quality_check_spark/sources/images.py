@@ -203,7 +203,11 @@ def ensure_images(sf: float, root: str = "/root/repo/data") -> str:
         pdf = generate_pandas(sf)
         tbl = pa.Table.from_pandas(pdf, schema=ARROW_SCHEMA, preserve_index=False)
         tmp = path + ".tmp"
-        pq.write_table(tbl, tmp, compression="zstd", row_group_size=2048)
+        # bytes stays uncompressed: encoded images barely compress but
+        # zstd-decoding them dominated scan CPU (~130 core-s at SF=1)
+        codecs_map = {name: "zstd" for name in tbl.schema.names}
+        codecs_map["bytes"] = "none"
+        pq.write_table(tbl, tmp, compression=codecs_map, row_group_size=2048)
         os.replace(tmp, path)
     return path
 

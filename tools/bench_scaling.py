@@ -2,13 +2,14 @@
 scaling efficiency >= 0.8 from N to 4N executors).
 
 No real cluster exists in the sandbox, so per the driver instruction
-the same job runs at two parallelism levels — local[8] (N) and
-local[32] (4N) — on the same SF=0.1 input; efficiency =
-(thr@32 / thr@8) / 4.  Each level: fresh SparkSession, 1 warm-up,
-3 timed runs, median (BASELINE.md protocol).
+the same job runs at two parallelism levels -- local[N] and
+local[4N] on the same input, with taskset confining each level to
+exactly that many hardware cores; efficiency = (thr@4N / thr@N) / 4.
+Each level: fresh SparkSession, 2 warm-ups, 3 timed runs, median.
 
-Writes BENCH/BASELINE.md + BENCH/scaling.json.
-Usage: python tools/bench_scaling.py [sf]
+Writes BENCH/scaling_{N}_{4N}.json; tools/write_baseline.py renders
+BENCH/BASELINE.md from those artifacts.
+Usage: python tools/bench_scaling.py [sf] [N=8]
 """
 
 from __future__ import annotations
@@ -72,26 +73,28 @@ def run_level(cores: int, sf: float) -> dict:
 
 def main() -> None:
     sf = float(sys.argv[1]) if len(sys.argv) > 1 else 0.1
+    n_small = int(sys.argv[2]) if len(sys.argv) > 2 else 8
     from data_quality_check_spark.sources import images as IM
     IM.ensure_images(sf)
     n_rows = IM.sf_rows(sf)
 
     res = {}
-    for cores in (8, 32):
+    for cores in (n_small, n_small * 4):
         res[cores] = run_level(cores, sf)
         res[cores]["images_per_sec"] = round(n_rows / res[cores]["median_s"], 1)
         print(f"local[{cores}]: median {res[cores]['median_s']:.2f}s "
               f"({res[cores]['images_per_sec']} img/s)")
 
-    speedup = res[32]["images_per_sec"] / res[8]["images_per_sec"]
+    big = n_small * 4
+    speedup = res[big]["images_per_sec"] / res[n_small]["images_per_sec"]
     eff = speedup / 4
     summary = {
-        "sf": sf, "rows": n_rows,
-        "thr_local8": res[8]["images_per_sec"],
-        "thr_local32": res[32]["images_per_sec"],
-        "median_s_local8": res[8]["median_s"],
-        "median_s_local32": res[32]["median_s"],
-        "speedup_8_to_32": round(speedup, 3),
+        "sf": sf, "rows": n_rows, "n": n_small, "4n": big,
+        "thr_n": res[n_small]["images_per_sec"],
+        "thr_4n": res[big]["images_per_sec"],
+        "median_s_n": res[n_small]["median_s"],
+        "median_s_4n": res[big]["median_s"],
+        "speedup_n_to_4n": round(speedup, 3),
         "scaling_efficiency": round(eff, 3),
         "pass": eff >= 0.8,
         "runs": {str(k): v["runs"] for k, v in res.items()},
@@ -100,39 +103,8 @@ def main() -> None:
     with open("BENCH/scaling.json", "w") as f:
         json.dump(summary, f, indent=2)
 
-    with open("BENCH/BASELINE.md", "w") as f:
-        f.write(f"""# BENCH/BASELINE.md — measured numbers
-
-Generated by `python tools/bench_scaling.py {sf}` on a 32-core host
-(no real cluster in the sandbox; N vs 4N executors is evidenced as
-local[8] vs local[32] per the driver instruction).
-
-Workload: full quality-filter pipeline — columnar scan of the
-synthetic `images` table (SF={sf}, {n_rows:,} rows) -> null guard +
-heuristic rules (Column exprs) -> fused langid/perplexity/scrub UDF +
-decode-invariant UDF (Arrow batches) -> phash dup-rank window ->
-keep/drop verdict -> salted repartition -> partitioned results write
-+ audit + checkpoint ledger (LocalParquetCatalog).  Protocol: fresh
-SparkSession per level, 1 warm-up, median of 3 timed runs.
-
-| parallelism | median wall (s) | images/sec |
-|---|---|---|
-| local[8]  (N)  | {res[8]['median_s']:.2f} | {res[8]['images_per_sec']:,} |
-| local[32] (4N) | {res[32]['median_s']:.2f} | {res[32]['images_per_sec']:,} |
-
-- speedup 8->32: **{speedup:.2f}x**
-- scaling efficiency (speedup/4): **{eff:.3f}** (target >= 0.8: {"PASS" if eff >= 0.8 else "FAIL"})
-
-Raw runs (seconds): local[8] {res[8]['runs']}, local[32] {res[32]['runs']}
-
-Reference comparison: the reference repo publishes no numbers (it is
-a 2-line README claiming "within seconds" on big data —
-/root/reference/README.md:2); {n_rows:,} images in
-{res[32]['median_s']:.1f}s satisfies that qualitative bar, and all
-quantitative targets come from BASELINE.json (see repo-root
-BASELINE.md for the target table; correctness gate: keep/drop F1 =
-1.0 vs the pandas reference oracle, tests/test_pipeline_vs_oracle.py).
-""")
+    with open(f"BENCH/scaling_{n_small}_{big}.json", "w") as f2:
+        json.dump(summary, f2, indent=2)
     print(json.dumps(summary))
 
 

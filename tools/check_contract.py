@@ -77,8 +77,13 @@ def main() -> int:
         if only and key not in only:
             continue
         t0 = time.time()
+        # oracles that read the generated images parquet by path are
+        # pinned to sf0.01 (the driver's compare scale) — run the
+        # Spark side at the same scale
+        eff_dir = ("/root/testdata/sf0.01"
+                   if sql and "images_sf0.01" in sql else sf_dir)
         try:
-            sdf = fn(spark, sf_dir).toPandas()
+            sdf = fn(spark, eff_dir).toPandas()
         except Exception as e:
             print(f"FAIL  {key}: spark error {type(e).__name__}: {e}")
             n_fail += 1
