@@ -789,6 +789,118 @@ def q_multimodal_features(spark, sf_dir):
     return extract_features(_images(spark, sf_dir))
 
 
+def q_join_outer(spark, sf_dir):
+    """Full outer join: customers x their order totals (nulls on both
+    sides where unmatched)."""
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    o = (_t(spark, sf_dir, "orders")
+         .groupBy("o_custkey")
+         .agg(F.round(F.sum("o_totalprice"), 2).alias("total")))
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "full_outer")
+        .select("c_custkey", "c_mktsegment", "o_custkey", "total")
+    )
+
+
+SQL_JOIN_OUTER = (
+    "SELECT c.c_custkey, c.c_mktsegment, o.o_custkey, o.total FROM customer c "
+    "FULL OUTER JOIN (SELECT o_custkey, round(sum(o_totalprice), 2) AS total "
+    "FROM orders GROUP BY o_custkey) o ON c.c_custkey = o.o_custkey"
+)
+
+
+def q_join_semi(spark, sf_dir):
+    p = _t(spark, sf_dir, "part")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 45)
+    return (
+        p.join(li, p.p_partkey == li.l_partkey, "left_semi")
+        .select("p_partkey", "p_brand")
+    )
+
+
+SQL_JOIN_SEMI = (
+    "SELECT p_partkey, p_brand FROM part p WHERE EXISTS "
+    "(SELECT 1 FROM lineitem l WHERE l.l_partkey = p.p_partkey "
+    "AND l.l_quantity > 45)"
+)
+
+
+def q_win_lag_lead(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    sec = F.unix_micros(F.col("ts").cast("timestamp")) / 1e6
+    gap = sec - F.lag(sec).over(w)
+    return e.select(
+        "event_id",
+        F.lag("event_type").over(w).alias("prev_type"),
+        F.lead("event_type").over(w).alias("next_type"),
+        F.round(gap, 3).alias("gap_s"),
+    )
+
+
+SQL_WIN_LAG_LEAD = (
+    "SELECT event_id, "
+    "lag(event_type) OVER w AS prev_type, "
+    "lead(event_type) OVER w AS next_type, "
+    "round(epoch(ts) - lag(epoch(ts)) OVER w, 3) AS gap_s "
+    "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"
+)
+
+
+def q_fn_map(spark, sf_dir):
+    """Map construction / access over the JSON props column."""
+    e = _t(spark, sf_dir, "events")
+    m = F.from_json("props", "map<string,int>")
+    m2 = F.map_concat(m, F.create_map(F.lit("etype_len"),
+                                      F.length("event_type")))
+    return e.select(
+        "event_id",
+        F.element_at(m, "k").alias("k"),
+        F.map_keys(m2).alias("ks"),
+        F.element_at(m2, "etype_len").alias("etype_len"),
+    )
+
+
+SQL_FN_MAP = (
+    "SELECT event_id, CAST(regexp_extract(props, '\"k\": (-?\\d+)', 1) AS INT) "
+    "AS k, ['k', 'etype_len'] AS ks, CAST(length(event_type) AS INT) "
+    "AS etype_len FROM events"
+)
+
+
+def q_dq_checks(spark, sf_dir):
+    """Declarative check suite (api.Suite) in one aggregation pass."""
+    from .api import Suite, checks as C
+
+    li = _t(spark, sf_dir, "lineitem")
+    suite = Suite([
+        C.not_null("l_returnflag"),
+        C.unique("l_orderkey"),
+        C.in_range("l_discount", 0.0, 0.1),
+        C.accepted_values("l_linestatus", ["O", "F"]),
+        C.expression("qty_positive", "l_quantity > 0"),
+    ])
+    return li.agg(*suite.aggregates())
+
+
+SQL_DQ_CHECKS = """
+SELECT count(*) AS __total,
+  CAST(sum(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+    AS not_null_l_returnflag,
+  CAST(count(l_orderkey) - count(DISTINCT l_orderkey) AS BIGINT)
+    AS unique_l_orderkey,
+  CAST(sum(CASE WHEN l_discount NOT BETWEEN 0.0 AND 0.1
+                  OR l_discount IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+    AS in_range_l_discount,
+  CAST(sum(CASE WHEN l_linestatus NOT IN ('O', 'F')
+                  OR l_linestatus IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+    AS accepted_l_linestatus,
+  CAST(sum(CASE WHEN NOT (l_quantity > 0) OR l_quantity IS NULL
+            THEN 1 ELSE 0 END) AS BIGINT) AS qty_positive
+FROM lineitem
+"""
+
+
 # ---------------------------------------------------------------------------
 # Images-table queries with DuckDB oracles: DuckDB reads the
 # deterministic generated parquet directly by path.  The driver
@@ -941,4 +1053,9 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "dedup_phash_groups": (q_dedup_phash_groups, SQL_DEDUP_PHASH_GROUPS),
     "bucket_assign_images": (q_bucket_assign_images, SQL_BUCKET_ASSIGN_IMAGES),
     "rule_heuristics_images": (q_rule_heuristics_images, SQL_RULE_HEURISTICS_IMAGES),
+    "dq_checks": (q_dq_checks, SQL_DQ_CHECKS),
+    "join_outer": (q_join_outer, SQL_JOIN_OUTER),
+    "join_semi": (q_join_semi, SQL_JOIN_SEMI),
+    "win_lag_lead": (q_win_lag_lead, SQL_WIN_LAG_LEAD),
+    "fn_map": (q_fn_map, SQL_FN_MAP),
 }

@@ -1,0 +1,52 @@
+"""Declarative check-suite API (the reference's namesake capability):
+single-pass evaluation, per-check verdicts, hand-computed counts."""
+
+from __future__ import annotations
+
+from data_quality_check_spark.api import Suite, checks as C
+
+
+def test_suite_counts(spark):
+    df = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 200), (3, None, 5), (3, "c", -1)],
+        "id int, name string, v int")
+    rep = Suite([
+        C.not_null("name"),
+        C.unique("id"),
+        C.in_range("v", 0, 100),
+        C.matches("name", "^[a-c]$"),
+        C.accepted_values("name", ["a", "b"]),
+        C.expression("v_even", "v % 2 = 0"),
+    ]).run(df)
+    by = {r.name: r for r in rep.results}
+    assert rep.total_rows == 4
+    assert by["not_null_name"].violations == 1
+    assert by["unique_id"].violations == 1        # id=3 twice
+    assert by["in_range_v"].violations == 2       # 200, -1
+    assert by["matches_name"].violations == 1     # the null
+    assert by["accepted_name"].violations == 2    # 'c' + null
+    assert by["v_even"].violations == 2           # 5, -1
+    assert not rep.passed
+
+
+def test_suite_single_job(spark):
+    """All checks compile into one aggregate — a second scan would
+    show up as a second Exchange/Aggregate pair in the plan."""
+    df = spark.range(100).selectExpr("id", "cast(id as string) AS s")
+    suite = Suite([C.not_null("s"), C.unique("id"), C.in_range("id", 0, 99)])
+    agg = df.agg(*suite.aggregates())
+    plan = agg._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("FileScan") <= 1  # range scan, single source
+
+
+def test_suite_passes_clean_images(spark):
+    from data_quality_check_spark.sources import images as IM
+
+    df = IM.read_images(spark, 0.001)
+    rep = Suite([
+        C.unique("image_id"),
+        C.matches("image_id", r"img_\d{12}"),
+        C.accepted_values("fmt", ["raw", "ppm", "png"]),
+        C.in_range("w", 1, 10_000),
+    ]).run(df)
+    assert rep.passed, rep.to_rows()
