@@ -39,14 +39,18 @@ def _shingles(text_col: str, k: int = 5):
 
 def minhash_signatures(df: DataFrame, text_col: str, id_col: str,
                        num_hashes: int = 16, shingle_k: int = 5) -> DataFrame:
-    """MinHash over char-shingles, all JVM-side: shingle -> xxhash64
-    with per-function seed -> min.  Returns (id, sig array<bigint>)."""
-    sh = _shingles(text_col, shingle_k)
+    """MinHash over char-shingles, all JVM-side.  The string shingles
+    are hashed ONCE (xxhash64); the num_hashes families then re-mix
+    the resulting int64s with xxhash64(h, seed) — int hashing is ~10x
+    cheaper than re-hashing the strings per family.  Returns
+    (id, sig array<bigint>)."""
+    th = F.transform(_shingles(text_col, shingle_k), lambda s: F.xxhash64(s))
+    base = df.select(F.col(id_col), th.alias("__th"))
     sig = F.array(*[
-        F.array_min(F.transform(sh, lambda s, i=i: F.xxhash64(s, F.lit(i))))
+        F.array_min(F.transform("__th", lambda h, i=i: F.xxhash64(h, F.lit(i))))
         for i in range(num_hashes)
     ])
-    return df.select(F.col(id_col), sig.alias("sig"))
+    return base.select(F.col(id_col), sig.alias("sig"))
 
 
 def minhash_lsh_dups(df: DataFrame, text_col: str, id_col: str,

@@ -31,10 +31,16 @@ def with_bucket(df: DataFrame, phash_col: str = "phash",
 def detect_hot_buckets(df: DataFrame, alpha: float = HOT_BUCKET_ALPHA) -> list[int]:
     """Buckets with count > alpha * mean.  Reads only the phash column
     (column pruning keeps `bytes` out of this scan)."""
-    counts = (
-        with_bucket(df.select("phash"))
-        .groupBy("bucket").count().collect()
-    )
+    scan = df.select("phash")
+    try:
+        # cheap column-pruned scan, but hundreds of tiny splits would
+        # pay per-task overhead — coalesce to the core count
+        target = df.sparkSession.sparkContext.defaultParallelism * 2
+        if scan.rdd.getNumPartitions() > target:
+            scan = scan.coalesce(target)
+    except Exception:
+        pass
+    counts = with_bucket(scan).groupBy("bucket").count().collect()
     if not counts:
         return []
     mean = sum(r["count"] for r in counts) / len(counts)

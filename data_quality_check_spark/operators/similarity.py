@@ -78,6 +78,28 @@ def _lsh_signature(vec_col, dim: int, bits: int):
     return sig
 
 
+def embedding_near_dups(df: DataFrame, threshold: float = 0.25,
+                        bits: int = 0, dim: int = 64,
+                        id_col: str = "vec_id",
+                        vec_col: str = "embedding") -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: all (a, b) with
+    cos(a, b) >= threshold and a < b.  bits=0 compares all pairs
+    (exact, small corpora); bits>0 restricts candidates to matching
+    random-hyperplane LSH buckets (the 10^12-scale path — candidates
+    shrink ~2^bits per bucket at some recall cost)."""
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    if bits > 0:
+        a = a.withColumn("sig", _lsh_signature(F.col("va"), dim, bits))
+        b = b.withColumn("sig", _lsh_signature(F.col("vb"), dim, bits))
+        joined = a.join(b, "sig").filter(F.col("id_a") < F.col("id_b"))
+    else:
+        joined = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+    scored = with_cosine(joined, "va", "vb")
+    return (scored.filter(F.col("cos") >= threshold)
+            .select("id_a", "id_b", "cos"))
+
+
 def lsh_cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
                     bits: int = 4, dim: int = 64,
                     id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:

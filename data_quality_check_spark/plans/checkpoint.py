@@ -49,9 +49,9 @@ def pending_buckets(spark: SparkSession, catalog: Catalog, run_key: str,
                     n_buckets: int = N_BUCKETS) -> list[int]:
     """O-21 resume anti-join, expressed as a DataFrame op so the same
     plan scales to catalogs where the ledger is a big table."""
-    all_b = spark.range(n_buckets).select(F.col("id").cast("int").alias("bucket"))
     if not catalog.table_exists(LEDGER_TABLE):
-        return [r["bucket"] for r in all_b.collect()]
+        return list(range(n_buckets))  # fresh run: no Spark job needed
+    all_b = spark.range(n_buckets).select(F.col("id").cast("int").alias("bucket"))
     done = (
         catalog.read_table(LEDGER_TABLE)
         .filter((F.col("run_key") == run_key) & (F.col("status") == "done"))

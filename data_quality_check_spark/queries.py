@@ -622,7 +622,11 @@ def q_fn_datetime(spark, sf_dir):
         F.month("ts").alias("m"),
         F.dayofmonth("ts").alias("d"),
         F.hour("ts").alias("hh"),
-        F.unix_timestamp("ts").alias("epoch_s"),
+        # wall-clock seconds since epoch: session-timezone-independent
+        # for the fixture's TIMESTAMP_NTZ values (unix_timestamp would
+        # shift with the driver session's timezone)
+        F.expr("timestampdiff(SECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', ts)")
+        .alias("epoch_s"),
     )
 
 
@@ -736,6 +740,28 @@ def q_sim_lsh_topk(spark, sf_dir):
     return lsh_cosine_topk(em, em.filter(F.col("vec_id") < 5), k=5)
 
 
+def q_dedup_embedding(spark, sf_dir):
+    from .operators.similarity import embedding_near_dups
+    em = _t(spark, sf_dir, "embeddings")
+    return embedding_near_dups(em, threshold=0.25)
+
+
+SQL_DEDUP_EMBEDDING = """
+WITH scored AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+    round(
+      list_sum(list_transform(list_zip(a.embedding, b.embedding),
+               t -> CAST(t[1] AS DOUBLE) * CAST(t[2] AS DOUBLE)))
+      / (sqrt(list_sum(list_transform(a.embedding,
+               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+       * sqrt(list_sum(list_transform(b.embedding,
+               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6) AS cos
+  FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, cos FROM scored WHERE cos >= 0.25
+"""
+
+
 def q_text_tokens(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     toks = _doc_tokens()
@@ -828,7 +854,12 @@ SQL_JOIN_SEMI = (
 def q_win_lag_lead(spark, sf_dir):
     e = _t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    sec = F.unix_micros(F.col("ts").cast("timestamp")) / 1e6
+    # micros since epoch via wall-clock diff (session-tz-independent
+    # on the NTZ fixture column); gap is a difference so any fixed
+    # offset would cancel anyway — belt and braces
+    sec = F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', ts)"
+    ) / 1e6
     gap = sec - F.lag(sec).over(w)
     return e.select(
         "event_id",
@@ -1043,6 +1074,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, None),
     "sim_topk_cosine": (q_sim_topk_cosine, SQL_SIM_TOPK_COSINE),
     "sim_lsh_topk": (q_sim_lsh_topk, None),
+    "dedup_embedding": (q_dedup_embedding, SQL_DEDUP_EMBEDDING),
     "text_tokens": (q_text_tokens, SQL_TEXT_TOKENS),
     "text_quality_score": (q_text_quality_score, SQL_TEXT_QUALITY_SCORE),
     "text_fingerprint": (q_text_fingerprint, SQL_TEXT_FINGERPRINT),
