@@ -899,6 +899,110 @@ SQL_FN_MAP = (
 )
 
 
+def q_agg_stats(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_quantity"), 4).alias("sd_qty"),
+        F.round(F.var_samp("l_discount"), 8).alias("var_disc"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qp"),
+        F.round(F.min("l_extendedprice"), 2).alias("min_price"),
+        F.round(F.max("l_extendedprice"), 2).alias("max_price"),
+    )
+
+
+SQL_AGG_STATS = (
+    "SELECT l_returnflag, round(stddev_samp(l_quantity), 4) AS sd_qty, "
+    "round(var_samp(l_discount), 8) AS var_disc, "
+    "round(corr(l_quantity, l_extendedprice), 6) AS corr_qp, "
+    "round(min(l_extendedprice), 2) AS min_price, "
+    "round(max(l_extendedprice), 2) AS max_price "
+    "FROM lineitem GROUP BY l_returnflag"
+)
+
+
+def q_agg_percentile(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(l_extendedprice, 0.95)"), 4).alias("p95"),
+        F.round(F.median("l_quantity"), 4).alias("med_qty"),
+    )
+
+
+SQL_AGG_PERCENTILE = (
+    "SELECT round(quantile_cont(l_extendedprice, 0.5), 4) AS p50, "
+    "round(quantile_cont(l_extendedprice, 0.95), 4) AS p95, "
+    "round(median(l_quantity), 4) AS med_qty FROM lineitem"
+)
+
+
+def q_agg_grouping_sets(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return spark.sql(
+        "SELECT lang, source, count(*) AS n FROM {d} "
+        "GROUP BY GROUPING SETS ((lang), (source), ())", d=d)
+
+
+SQL_AGG_GROUPING_SETS = (
+    "SELECT lang, source, count(*) AS n FROM documents "
+    "GROUP BY GROUPING SETS ((lang), (source), ())"
+)
+
+
+def q_agg_pivot(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, ["F", "O", "P"])
+    )
+
+
+SQL_AGG_PIVOT = (
+    "SELECT o_orderpriority, "
+    "CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS F, "
+    "CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS O, "
+    "CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS P "
+    "FROM orders GROUP BY o_orderpriority"
+)
+
+
+def q_fn_explode(spark, sf_dir):
+    em = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 20)
+    return em.select(
+        "vec_id", F.posexplode("embedding").alias("pos", "val")
+    ).select("vec_id", "pos", F.round(F.col("val").cast("double"), 6).alias("val"))
+
+
+SQL_FN_EXPLODE = (
+    # embeddings are fixed 64-dim; range join stands in for the
+    # lateral ordinality DuckDB 1.0 lacks
+    "SELECT vec_id, CAST(i - 1 AS INT) AS pos, "
+    "round(CAST(embedding[CAST(i AS INT)] AS DOUBLE), 6) AS val "
+    "FROM embeddings, range(1, 65) AS r(i) WHERE vec_id < 20"
+)
+
+
+def q_fn_bitwise(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").limit(0).union(
+        _t(spark, sf_dir, "lineitem"))  # no-op union: exercise planner
+    return li.select(
+        "l_orderkey", "l_linenumber",
+        F.shiftright("l_orderkey", 3).alias("sr3"),
+        F.shiftleft("l_linenumber", 2).alias("sl2"),
+        (F.col("l_orderkey").bitwiseAND(F.lit(255))).alias("and255"),
+        (F.col("l_orderkey").bitwiseXOR(F.col("l_linenumber"))).alias("xorln"),
+    )
+
+
+SQL_FN_BITWISE = (
+    "SELECT l_orderkey, l_linenumber, l_orderkey // 8 AS sr3, "
+    "CAST(l_linenumber * 4 AS INT) AS sl2, l_orderkey & 255 AS and255, "
+    "xor(l_orderkey, CAST(l_linenumber AS BIGINT)) AS xorln FROM lineitem"
+)
+
+
 def q_dq_checks(spark, sf_dir):
     """Declarative check suite (api.Suite) in one aggregation pass."""
     from .api import Suite, checks as C
@@ -1090,4 +1194,10 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "join_semi": (q_join_semi, SQL_JOIN_SEMI),
     "win_lag_lead": (q_win_lag_lead, SQL_WIN_LAG_LEAD),
     "fn_map": (q_fn_map, SQL_FN_MAP),
+    "agg_stats": (q_agg_stats, SQL_AGG_STATS),
+    "agg_percentile": (q_agg_percentile, SQL_AGG_PERCENTILE),
+    "agg_grouping_sets": (q_agg_grouping_sets, SQL_AGG_GROUPING_SETS),
+    "agg_pivot": (q_agg_pivot, SQL_AGG_PIVOT),
+    "fn_explode": (q_fn_explode, SQL_FN_EXPLODE),
+    "fn_bitwise": (q_fn_bitwise, SQL_FN_BITWISE),
 }
