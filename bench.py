@@ -72,8 +72,9 @@ def main() -> None:
         return d
 
     try:
-        # warm-up at the TARGET sf: spawns the full Python-worker pool
-        # width + JIT/codegen (BASELINE.md bench protocol)
+        # warm-ups at the TARGET sf: the Python-worker pool fills over
+        # the first runs (+ JIT/codegen) — BASELINE.md bench protocol
+        run_pipeline(spark, sf, _tmp())
         run_pipeline(spark, sf, _tmp())
         runs = sorted(run_pipeline(spark, sf, _tmp()) for _ in range(3))
         timings["pipeline"] = round(runs[1], 3)  # median of 3

@@ -46,12 +46,16 @@ def n_chars(cap: Column) -> Column:
 
 
 def null_fields_bad(df_cols: dict[str, Column]) -> Column:
+    # w/h/phash nullness checked explicitly: (NULL <= 0) is NULL in
+    # SQL (and NaN <= 0 is False in pandas), so without isNull() the
+    # Spark flag and the oracle would diverge on null dimensions
     return (
         df_cols["image_id"].isNull()
         | df_cols["caption"].isNull()
         | df_cols["bytes"].isNull()
-        | (df_cols["w"] <= 0)
-        | (df_cols["h"] <= 0)
+        | df_cols["w"].isNull() | (df_cols["w"] <= 0)
+        | df_cols["h"].isNull() | (df_cols["h"] <= 0)
+        | df_cols["phash"].isNull()
     )
 
 

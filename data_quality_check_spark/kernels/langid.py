@@ -96,6 +96,7 @@ def classify(texts: "pd.Series | list[str]") -> pd.DataFrame:
     ok = (informative >= MIN_ALPHA_CHARS) & (best_conf >= MIN_LANG_CONF) & (lengths > 1)
     lang_arr = np.array(LANGS, dtype=object)[best]
     langs = np.where(ok, lang_arr, LANG_UND)
-    confs = np.where(ok, best_conf, best_conf)
-    confs = np.nan_to_num(confs, nan=0.0)
+    # `und` rows keep the (low) softmax confidence — informative for
+    # downstream audits; the rule gate is lang == 'und', not the conf
+    confs = np.nan_to_num(best_conf, nan=0.0)
     return pd.DataFrame({"lang": langs, "lang_conf": confs.astype(np.float64)})

@@ -23,9 +23,14 @@ from ..constants import HOT_BUCKET_ALPHA, N_BUCKETS, SALT_FACTOR
 
 def with_bucket(df: DataFrame, phash_col: str = "phash",
                 n_buckets: int = N_BUCKETS) -> DataFrame:
-    """O-29: stable checkpoint/audit unit, bucket = pmod(phash, B)."""
+    """O-29: stable checkpoint/audit unit, bucket = pmod(phash, B).
+    Null phash maps to bucket 0 (pmod(null) would otherwise yield a
+    null bucket that falls outside every checkpoint wave => silent row
+    loss); such rows are also flagged by the null_fields rule."""
     return df.withColumn(
-        "bucket", F.pmod(F.col(phash_col), F.lit(n_buckets)).cast("int"))
+        "bucket",
+        F.pmod(F.coalesce(F.col(phash_col), F.lit(0)), F.lit(n_buckets))
+        .cast("int"))
 
 
 def detect_hot_buckets(df: DataFrame, alpha: float = HOT_BUCKET_ALPHA) -> list[int]:

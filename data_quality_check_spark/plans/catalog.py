@@ -89,8 +89,11 @@ class LocalParquetCatalog(Catalog):
         os.makedirs(d, exist_ok=True)
         tbl = pa.Table.from_pylist(rows)
         path = os.path.join(d, f"part-driver-{uuid.uuid4().hex}.parquet")
-        pq.write_table(tbl, path + ".tmp")
-        os.replace(path + ".tmp", path)
+        # hidden-prefixed temp: a crash mid-write must leave a file
+        # Spark's directory listing ignores, or resume breaks
+        tmp = os.path.join(d, f".{uuid.uuid4().hex}.tmp")
+        pq.write_table(tbl, tmp)
+        os.replace(tmp, path)
         self._write_manifest(name, "append")
 
     def overwrite_partitions(self, name: str, df: DataFrame, keys: list[str]) -> None:
@@ -99,6 +102,10 @@ class LocalParquetCatalog(Catalog):
         per-bucket results (spark.sql.sources.partitionOverwriteMode
         = dynamic, set in session.py)."""
         (df.write.mode("overwrite")
+         # writer-level option, NOT the session conf: with the static
+         # default a vanilla session would truncate every existing
+         # partition and silently break crash-resume
+         .option("partitionOverwriteMode", "dynamic")
          .partitionBy(*keys)
          .parquet(self._dir(name)))
         self._write_manifest(name, "overwrite_partitions")

@@ -67,7 +67,7 @@ def enrich(images: DataFrame, n_buckets: int = N_BUCKETS,
     df = df.withColumn(
         flag_col(RULE_NULL),
         R.null_fields_bad({c: F.col(c) for c in
-                           ("image_id", "caption", "bytes", "w", "h")}),
+                           ("image_id", "caption", "bytes", "w", "h", "phash")}),
     )
 
     if with_decode:
@@ -110,7 +110,17 @@ def enrich(images: DataFrame, n_buckets: int = N_BUCKETS,
 
 
 def decide(enriched: DataFrame) -> DataFrame:
-    """Stages 5-6: dup rank (shuffle on phash) + keep decision."""
+    """Stages 5-6: dup rank (shuffle on phash) + keep decision.
+
+    Tolerates a text-only frame (enrich(with_decode=False)): the
+    pixel columns default to pass-through values so the keep verdict
+    is still computable."""
+    if flag_col(RULE_PIXEL) not in enriched.columns:
+        enriched = (
+            enriched.withColumn(flag_col(RULE_PIXEL), F.lit(False))
+            .withColumn("pixel_ok", F.lit(True))
+            .withColumn("psnr_db", F.lit(None).cast("double"))
+        )
     ranked = with_dup_rank(enriched)
     ranked = ranked.withColumn(flag_col(RULE_DUP), F.col("dup_rank") > 1)
     return with_keep(ranked)

@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 
 from .constants import (
     MAX_CAPTION_LEN,
+    MAX_SYMBOL_DENSITY,
     MIN_CAPTION_LEN,
     MIN_DISTINCT_TOKEN_RATIO,
     MIN_STOPWORD_RATIO,
@@ -104,7 +105,10 @@ def q_scan_images(spark, sf_dir):
 
 def q_project_prune(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
-    return (li.filter(F.col("l_shipdate") >= F.lit("1998-01-01").cast("timestamp"))
+    # NTZ literal: a string->TIMESTAMP cast would shift with the
+    # driver session's timezone against the NTZ fixture column
+    return (li.filter(F.col("l_shipdate")
+                      >= F.expr("TIMESTAMP_NTZ'1998-01-01 00:00:00'"))
             .select("l_orderkey", "l_extendedprice"))
 
 
@@ -182,7 +186,7 @@ def q_keep_decision(spark, sf_dir):
         F.length("text").between(MIN_CAPTION_LEN, MAX_CAPTION_LEN)
         & (_distinct_ratio() >= MIN_DISTINCT_TOKEN_RATIO)
         & (_stop_ratio() >= MIN_STOPWORD_RATIO)
-        & (_symbol_density() <= 0.30)
+        & (_symbol_density() <= MAX_SYMBOL_DENSITY)
     )
     return d.select("doc_id", keep.alias("keep"))
 
@@ -191,7 +195,7 @@ SQL_KEEP_DECISION = (
     f"SELECT doc_id, (length(text) BETWEEN {MIN_CAPTION_LEN} AND {MAX_CAPTION_LEN}) "
     f"AND ({_DOC_DR_SQL} >= {MIN_DISTINCT_TOKEN_RATIO}) "
     f"AND ({_DOC_SR_SQL} >= {MIN_STOPWORD_RATIO}) "
-    f"AND ({_DOC_SD_SQL} <= 0.30) AS keep FROM documents"
+    f"AND ({_DOC_SD_SQL} <= {MAX_SYMBOL_DENSITY}) AS keep FROM documents"
 )
 
 
@@ -1103,7 +1107,7 @@ def q_rule_heuristics_images(spark, sf_dir):
         F.length(cap).alias("cap_len"),
         F.length(cap).between(MIN_CAPTION_LEN, MAX_CAPTION_LEN).alias("len_ok"),
         (F.when(F.length(cap) > 0, sym.cast("double") / F.length(cap))
-         .otherwise(F.lit(0.0)) <= 0.30).alias("symbol_ok"),
+         .otherwise(F.lit(0.0)) <= MAX_SYMBOL_DENSITY).alias("symbol_ok"),
     )
 
 
@@ -1115,7 +1119,7 @@ SELECT image_id,
   (CASE WHEN length(coalesce(caption, '')) > 0
         THEN length(regexp_replace(coalesce(caption, ''), '[0-9A-Za-z\\s]', '', 'g'))
              / CAST(length(coalesce(caption, '')) AS DOUBLE)
-        ELSE 0.0 END) <= 0.30 AS symbol_ok
+        ELSE 0.0 END) <= {MAX_SYMBOL_DENSITY} AS symbol_ok
 FROM {IMAGES_SF001}
 """
 

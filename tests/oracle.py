@@ -49,8 +49,9 @@ def evaluate(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf["image_id"].isna()
         | cap.isna()
         | pdf["bytes"].isna()
-        | (pdf["w"] <= 0)
-        | (pdf["h"] <= 0)
+        | pdf["w"].isna() | (pdf["w"] <= 0)
+        | pdf["h"].isna() | (pdf["h"] <= 0)
+        | pdf["phash"].isna()
     ).to_numpy()
 
     stats = heuristic_stats(cap)

@@ -64,3 +64,16 @@ def test_keep_rate_sane(oracle_labels):
     # plausible band, not degenerate
     rate = oracle_labels.keep.mean()
     assert 0.4 < rate < 0.85, rate
+
+
+def test_text_only_path_has_verdict(spark):
+    """enrich(with_decode=False) must still reach a keep decision
+    (pixel flags default to pass) — code-review regression."""
+    from data_quality_check_spark.plans import pipeline as P
+    from data_quality_check_spark.sources import images as IM
+
+    df = IM.read_images(spark, 0.001)
+    out = P.results_select(P.decide(P.enrich(df, with_decode=False)))
+    pdf = out.limit(50).toPandas()
+    assert len(pdf) == 50
+    assert pdf.pixel_ok.all()
