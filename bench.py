@@ -81,9 +81,9 @@ def main() -> None:
 
         for key in HEADLINE_KEYS:
             fn, _sql = REGISTRY[key]
+            fn(spark, sf_dir).count()  # warm: codegen/JIT compile
             t0 = time.time()
-            df = fn(spark, sf_dir)
-            n = df.count()
+            n = fn(spark, sf_dir).count()
             timings[key] = round(time.time() - t0, 3)
             assert n >= 0
     finally:
