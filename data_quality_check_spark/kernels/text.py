@@ -46,6 +46,12 @@ for _c, _i in VOCAB.items():
     _LUT[ord(_c)] = _i
 
 
+MAX_MODEL_CHARS = 10_000  # model-scoring clamp: langid/ppl scores
+# converge long before this, and an adversarial multi-MB caption must
+# not blow up worker memory (the scrub/rule paths stay exact on the
+# full text).  Shared by the oracle => no parity impact.
+
+
 def encode_chars(texts: "pd.Series | list[str]") -> tuple[np.ndarray, np.ndarray]:
     """Lowercase, map chars to vocab ids; returns (codes, row_lengths).
 
@@ -55,7 +61,10 @@ def encode_chars(texts: "pd.Series | list[str]") -> tuple[np.ndarray, np.ndarray
     """
     if isinstance(texts, pd.Series):
         texts = texts.tolist()
-    cleaned = [(t.lower() if isinstance(t, str) else "") for t in texts]
+    cleaned = [
+        (t[:MAX_MODEL_CHARS].lower() if isinstance(t, str) else "")
+        for t in texts
+    ]
     lengths = np.fromiter((len(t) for t in cleaned), dtype=np.int64, count=len(cleaned))
     blob = "".join(cleaned)
     cp = np.frombuffer(blob.encode("utf-32-le"), dtype=np.uint32)
