@@ -78,6 +78,91 @@ def _lsh_signature(vec_col, dim: int, bits: int):
     return sig
 
 
+def ivf_centroids(df: DataFrame, n_centroids: int = 16, iters: int = 5,
+                  sample: int = 2048, seed: int = 7,
+                  vec_col: str = "embedding"):
+    """Deterministic IVF coarse quantizer: k-means on a driver-side
+    sample (at 10^12 rows: `df.sample(fraction).limit(sample)` keeps
+    the collect bounded), returned as a plain numpy array that the
+    caller broadcasts.  numpy-only, fixed seed => reproducible."""
+    import numpy as np
+
+    rows = (df.select(vec_col).limit(sample).collect())
+    X = np.array([r[0] for r in rows], dtype=np.float64)
+    X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    rng = np.random.default_rng(seed)
+    C = X[rng.choice(len(X), n_centroids, replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(X @ C.T, axis=1)
+        for c in range(n_centroids):
+            members = X[assign == c]
+            if len(members):
+                v = members.sum(axis=0)
+                C[c] = v / np.maximum(np.linalg.norm(v), 1e-12)
+    return C
+
+
+def _with_centroid_cell(df: DataFrame, vec_col: str, C) -> DataFrame:
+    """argmax_c <v, C_c> JVM-side.  Dots are materialized as columns
+    in a first projection, then argmax compares column REFERENCES — a
+    nested when-chain over the raw dot expressions would duplicate
+    them exponentially and explode codegen."""
+    k = len(C)
+    dots = [
+        F.aggregate(
+            F.zip_with(_dvec(F.col(vec_col)),
+                       F.array(*[F.lit(float(x)) for x in C[c]]),
+                       lambda a, b: a * b),
+            F.lit(0.0), lambda acc, v: acc + v).alias(f"__d{c}")
+        for c in range(k)
+    ]
+    with_dots = df.select("*", *dots)
+    best_dot = F.greatest(*[F.col(f"__d{c}") for c in range(k)])
+    cell = F.lit(k - 1)
+    for c in range(k - 2, -1, -1):  # first matching centroid wins ties
+        cell = F.when(F.col(f"__d{c}") == best_dot, F.lit(c)).otherwise(cell)
+    return with_dots.withColumn("cell", cell.cast("int")).drop(
+        *[f"__d{c}" for c in range(k)])
+
+
+def ivf_cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
+                    n_centroids: int = 16, nprobe: int = 4,
+                    id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """IVF approximate top-k: corpus rows are assigned to their
+    nearest coarse centroid (one JVM pass); each query probes its
+    `nprobe` nearest centroid lists only.  Scale path: the corpus is
+    partitioned once by centroid id (a small int key) and each query
+    touches ~nprobe/n_centroids of the data."""
+    C = ivf_centroids(corpus, n_centroids, vec_col=vec_col)
+    c_assigned = _with_centroid_cell(
+        corpus.select(F.col(id_col).alias("neighbor_id"),
+                      F.col(vec_col).alias("cvec")),
+        "cvec", C)
+
+    import numpy as np
+    qrows = queries.select(id_col, vec_col).collect()
+    probe = []
+    for r in qrows:
+        v = np.array(r[vec_col], dtype=np.float64)
+        v /= max(np.linalg.norm(v), 1e-12)
+        cells = np.argsort(-(C @ v))[:nprobe]
+        for cell in cells:
+            probe.append((r[id_col], int(cell), list(map(float, r[vec_col]))))
+    spark = corpus.sparkSession
+    q = spark.createDataFrame(
+        probe, f"query_id long, cell int, qvec array<double>")
+
+    joined = c_assigned.join(F.broadcast(q), "cell").filter(
+        F.col("neighbor_id") != F.col("query_id"))
+    scored = with_cosine(joined, "qvec", "cvec")
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "cos", "rk")
+    )
+
+
 def embedding_near_dups(df: DataFrame, threshold: float = 0.25,
                         bits: int = 0, dim: int = 64,
                         id_col: str = "vec_id",

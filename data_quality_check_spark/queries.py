@@ -744,6 +744,12 @@ def q_sim_lsh_topk(spark, sf_dir):
     return lsh_cosine_topk(em, em.filter(F.col("vec_id") < 5), k=5)
 
 
+def q_sim_ivf_topk(spark, sf_dir):
+    from .operators.similarity import ivf_cosine_topk
+    em = _t(spark, sf_dir, "embeddings")
+    return ivf_cosine_topk(em, em.filter(F.col("vec_id") < 5), k=5)
+
+
 def q_dedup_embedding(spark, sf_dir):
     from .operators.similarity import embedding_near_dups
     em = _t(spark, sf_dir, "embeddings")
@@ -1182,6 +1188,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, None),
     "sim_topk_cosine": (q_sim_topk_cosine, SQL_SIM_TOPK_COSINE),
     "sim_lsh_topk": (q_sim_lsh_topk, None),
+    "sim_ivf_topk": (q_sim_ivf_topk, None),
     "dedup_embedding": (q_dedup_embedding, SQL_DEDUP_EMBEDDING),
     "text_tokens": (q_text_tokens, SQL_TEXT_TOKENS),
     "text_quality_score": (q_text_quality_score, SQL_TEXT_QUALITY_SCORE),
