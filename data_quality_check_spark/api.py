@@ -136,3 +136,18 @@ class Suite:
             ],
             total_rows=total,
         )
+
+    def run_and_log(self, df: DataFrame, catalog, run_id: str,
+                    table: str = "dq_reports") -> Report:
+        """Run the suite and append the per-check report to a catalog
+        table (the genre's rule-hit reporting, persisted like the
+        pipeline's audit rows)."""
+        import time
+
+        report = self.run(df)
+        now_us = int(time.time() * 1_000_000)
+        catalog.append_rows(table, [
+            {"run_id": run_id, **r, "logged_at": now_us}
+            for r in report.to_rows()
+        ])
+        return report

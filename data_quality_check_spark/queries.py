@@ -995,8 +995,7 @@ SQL_FN_EXPLODE = (
 
 
 def q_fn_bitwise(spark, sf_dir):
-    li = _t(spark, sf_dir, "lineitem").limit(0).union(
-        _t(spark, sf_dir, "lineitem"))  # no-op union: exercise planner
+    li = _t(spark, sf_dir, "lineitem")
     return li.select(
         "l_orderkey", "l_linenumber",
         F.shiftright("l_orderkey", 3).alias("sr3"),

@@ -50,3 +50,17 @@ def test_suite_passes_clean_images(spark):
         C.in_range("w", 1, 10_000),
     ]).run(df)
     assert rep.passed, rep.to_rows()
+
+
+def test_run_and_log(spark, tmp_path):
+    from data_quality_check_spark.plans.catalog import LocalParquetCatalog
+
+    cat = LocalParquetCatalog(spark, str(tmp_path))
+    df = spark.range(10).selectExpr("id", "cast(id as string) AS s")
+    rep = Suite([C.not_null("s"), C.in_range("id", 0, 5)]).run_and_log(
+        df, cat, run_id="r1")
+    assert not rep.passed  # ids 6..9 out of range
+    logged = cat.read_table("dq_reports").toPandas()
+    assert len(logged) == 2
+    assert set(logged["check"]) == {"not_null_s", "in_range_id"}
+    assert logged.set_index("check").loc["in_range_id", "violations"] == 4

@@ -1,0 +1,52 @@
+"""Multimodal plumbing: mapInPandas decode/feature extraction over
+the binary column — real image decode, deterministic fake embedding,
+stubbed audio/video raise cleanly."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from data_quality_check_spark.kernels import codecs
+from data_quality_check_spark.operators import multimodal as MM
+from data_quality_check_spark.sources import images as IM
+
+
+def test_extract_features_matches_direct(spark, images_pdf):
+    df = IM.read_images(spark, 0.001)
+    out = MM.extract_features(df).toPandas().set_index("image_id")
+    assert len(out) == len(images_pdf)
+
+    checked = 0
+    for _, row in images_pdf.head(50).iterrows():
+        got = out.loc[row.image_id]
+        try:
+            pix = codecs.decode(row["bytes"], row.fmt, int(row.w), int(row.h))
+        except Exception:
+            assert not got.decoded
+            continue
+        assert got.decoded
+        means = pix.astype(np.float64).mean(axis=(0, 1))
+        assert abs(got.mean_r - means[0]) < 1e-9
+        emb = np.array(got.embedding, dtype=np.float32)
+        assert emb.shape == (MM.EMB_DIM,)
+        assert np.allclose(emb, MM._fake_embedding(pix))
+        checked += 1
+    assert checked > 30
+
+
+def test_undecodable_rows_flagged(spark):
+    df = spark.createDataFrame(
+        [("x1", bytearray(b"notanimage"), 8, 8, "png"),
+         ("x2", None, 8, 8, "raw")],
+        "image_id string, bytes binary, w int, h int, fmt string")
+    out = MM.extract_features(df).toPandas()
+    assert not out.decoded.any()
+    assert out.n_bytes.tolist() == [10, 0]
+
+
+def test_stubs_raise():
+    with pytest.raises(NotImplementedError):
+        MM.decode_audio_stub(b"")
+    with pytest.raises(NotImplementedError):
+        MM.sample_video_frames_stub(b"")
