@@ -133,6 +133,7 @@ def run(spark: SparkSession, catalog: Catalog, images: DataFrame,
                 F.lit(app_id).alias("app_id"),
                 F.lit(0).alias("attempt"),
                 F.lit("0.1.0").alias("code_version"),
+                F.lit(int(wt0 * 1000)).cast("long").alias("started_at_ms"),
                 F.current_timestamp().alias("finished_at"),
                 F.lit(wall_ms).alias("wall_ms"),
             )
@@ -140,10 +141,17 @@ def run(spark: SparkSession, catalog: Catalog, images: DataFrame,
         catalog.append(AUDIT_TABLE, audit)
 
         # 3. ledger LAST = commit point (driver-side append: tiny
-        #    metadata, no Spark job)
+        #    metadata, no Spark job).  Carries the per-bucket output
+        #    fingerprint (bit_xor of written image_ids) so a resume
+        #    can audit integrity without re-reading results.
+        fp_rows = {
+            r["bucket"]: r["input_fingerprint"]
+            for r in audit.select("bucket", "input_fingerprint").collect()
+        }
         now_us = int(time.time() * 1_000_000)
         catalog.append_rows(LEDGER_TABLE, [
             {"run_key": run_key, "bucket": int(b), "status": "done",
+             "output_fingerprint": fp_rows.get(int(b)),
              "committed_at": now_us}
             for b in wave
         ])

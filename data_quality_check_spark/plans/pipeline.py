@@ -49,8 +49,8 @@ from ..operators.salt import with_bucket
 
 RESULT_COLUMNS = [
     "image_id", "bucket", "lang", "lang_conf", "ppl",
-    "keep", "drop_reasons", "caption_scrubbed", "scrub_hits",
-    "pixel_ok", "psnr_db",
+    "keep", "drop_reasons", "rule_flags", "caption_scrubbed",
+    "scrub_hits", "pixel_ok", "psnr_db",
 ]
 
 
