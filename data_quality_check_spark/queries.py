@@ -509,6 +509,77 @@ SQL_SETOP_UNION = (
 )
 
 
+def q_setop_intersect(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    big = o.filter(F.col("o_totalprice") > 200000).select("o_custkey")
+    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    return big.intersect(urgent)
+
+
+SQL_SETOP_INTERSECT = (
+    "SELECT o_custkey FROM orders WHERE o_totalprice > 200000 "
+    "INTERSECT SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'"
+)
+
+
+def q_win_sessionize(spark, sf_dir):
+    """Gap-based sessionization: a new session starts after a >30 min
+    silence per user; pure window functions (the batch analog of
+    F.session_window)."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.expr(
+        "timestampdiff(MICROSECOND, lag(ts) OVER "
+        "(PARTITION BY user_id ORDER BY ts, event_id), ts)")
+    new_sess = F.when(gap_us.isNull() | (gap_us > 30 * 60 * 1_000_000),
+                      F.lit(1)).otherwise(F.lit(0))
+    sess_id = F.sum(new_sess).over(
+        w.rowsBetween(Window.unboundedPreceding, 0))
+    return (
+        e.select("user_id", "event_id", sess_id.alias("session_id"))
+        .groupBy("user_id", "session_id")
+        .agg(F.count("*").alias("n_events"),
+             F.min("event_id").alias("first_event"))
+    )
+
+
+SQL_WIN_SESSIONIZE = """
+WITH g AS (
+  SELECT user_id, event_id, ts,
+    CASE WHEN lag(ts) OVER w IS NULL
+           OR date_diff('microsecond', lag(ts) OVER w, ts) > 1800000000
+         THEN 1 ELSE 0 END AS new_sess
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT user_id, event_id,
+    CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+  FROM g
+)
+SELECT user_id, session_id, count(*) AS n_events,
+       min(event_id) AS first_event
+FROM s GROUP BY user_id, session_id
+"""
+
+
+def q_win_tumbling(spark, sf_dir):
+    """Tumbling 1-hour time buckets (batch F.window)."""
+    e = _t(spark, sf_dir, "events")
+    win = F.window("ts", "1 hour")
+    return (
+        e.groupBy(win.start.alias("bucket_start"))
+        .agg(F.count("*").alias("n"),
+             F.round(F.sum("value"), 4).alias("total"))
+    )
+
+
+SQL_WIN_TUMBLING = (
+    "SELECT time_bucket(INTERVAL '1 hour', ts) AS bucket_start, "
+    "count(*) AS n, round(sum(value), 4) AS total "
+    "FROM events GROUP BY 1"
+)
+
+
 def q_agg_cube(spark, sf_dir):
     o = _t(spark, sf_dir, "orders")
     return (
@@ -1168,6 +1239,9 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "sort_limit": (q_sort_limit, SQL_SORT_LIMIT),
     "setop_except": (q_setop_except, SQL_SETOP_EXCEPT),
     "setop_union": (q_setop_union, SQL_SETOP_UNION),
+    "setop_intersect": (q_setop_intersect, SQL_SETOP_INTERSECT),
+    "win_sessionize": (q_win_sessionize, SQL_WIN_SESSIONIZE),
+    "win_tumbling": (q_win_tumbling, SQL_WIN_TUMBLING),
     "agg_cube": (q_agg_cube, SQL_AGG_CUBE),
     "agg_approx_distinct": (q_agg_approx_distinct, None),
     "fn_levenshtein": (q_fn_levenshtein, SQL_FN_LEVENSHTEIN),
