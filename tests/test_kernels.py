@@ -106,3 +106,27 @@ def test_heuristic_stats():
     assert df.symbol_bad.tolist() == [False, False, True, False, False]
     # row 0 stopwords: the, on, the => 3/6
     assert abs(df.stopword_ratio[0] - 3 / 6) < 1e-12
+
+
+def test_astral_and_space_edge_cases():
+    """Non-BMP chars (emoji) must flow through every kernel without
+    error and map to <unk> in the models; all-space texts tokenize to
+    nothing."""
+    import pandas as pd
+
+    texts = pd.Series([
+        "🙂🙂🙂 nice 🙂 photo of the beach",
+        "𝔘𝔫𝔦𝔠𝔬𝔡𝔢 𝔪𝔞𝔱𝔥 𝔰𝔱𝔶𝔩𝔢",
+        "     ",
+        "的 🙂 是",
+    ])
+    lid = classify(texts)
+    assert list(lid["lang"].index) == [0, 1, 2, 3]
+    p = perplexity(texts)
+    assert len(p) == 4 and all(x > 0 for x in p)
+    s = scrub_series(texts)
+    assert s["caption_scrubbed"][0].count("🙂") == 4  # scrub keeps emoji
+    stats = heuristic_stats(texts)
+    assert stats.n_tokens[2] == 0
+    # emoji count as symbols
+    assert stats.symbol_density[0] > 0
