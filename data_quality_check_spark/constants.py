@@ -54,12 +54,18 @@ MIN_STOPWORD_RATIO = 0.05     # stopword tokens / tokens; below => drop
 STOPWORD_MIN_TOKENS = 5       # rule only applies when >= this many tokens
 MAX_SYMBOL_DENSITY = 0.30     # symbol chars / chars; above => drop
 
-# Symbol = anything that is not an ASCII alnum, whitespace, Latin-1/ext
-# letter, or CJK ideograph.  Both classes parse identically in Python
-# `re` and Java regex; the Spark rule uses the positive (allowed)
-# class because Java evaluates negated unicode classes ~10x slower.
-SYMBOL_CHAR_CLASS = r"[^0-9A-Za-z\sÀ-ɏ぀-ヿ一-鿿]"
-ALLOWED_CHAR_CLASS = r"[0-9A-Za-z\sÀ-ɏ぀-ヿ一-鿿]"
+# Symbol = anything that is not an ASCII alnum, ASCII whitespace,
+# Latin-1/ext letter, or CJK ideograph.  Whitespace is the EXPLICIT
+# ASCII set, never `\s`: Python `re` reads \s as Unicode whitespace
+# (U+00A0, U+3000, ...), Java regex as ASCII-only, and RE2 (DuckDB)
+# as ASCII-without-\x0b — three different symbol counts on the same
+# caption.  With the explicit set all engines agree (and U+00A0 /
+# U+3000 deliberately count as symbols).  The Spark rule uses the
+# positive (allowed) class because Java evaluates negated unicode
+# classes ~10x slower.
+ASCII_WS = r" \t\n\r\f\x0b"
+SYMBOL_CHAR_CLASS = rf"[^0-9A-Za-z{ASCII_WS}À-ɏ぀-ヿ一-鿿]"
+ALLOWED_CHAR_CLASS = rf"[0-9A-Za-z{ASCII_WS}À-ɏ぀-ヿ一-鿿]"
 
 # ---------------------------------------------------------------------------
 # Language ID (BASELINE.json:6 "fastText language identification")

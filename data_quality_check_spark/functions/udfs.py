@@ -152,9 +152,12 @@ def _decode_batch(blob: pd.Series, fmt: pd.Series, w: pd.Series,
             continue
         h_real[i], w_real[i] = pix.shape[0], pix.shape[1]
         ph_real[i] = codecs.ahash64(pix)
+        # null phash (NaN after to_numpy) must flag the row, not blow
+        # up the whole Arrow task with int(NaN)
         ok[i] = (
             h_real[i] == int(hs[i])
             and w_real[i] == int(ws[i])
+            and not pd.isna(phs[i])
             and ph_real[i] == int(phs[i])
         )
         if ok[i]:

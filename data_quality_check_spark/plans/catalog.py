@@ -88,6 +88,15 @@ class LocalParquetCatalog(Catalog):
         d = self._dir(name)
         os.makedirs(d, exist_ok=True)
         tbl = pa.Table.from_pylist(rows)
+        # an all-None column (e.g. output_fingerprint of an empty
+        # bucket wave) infers as pyarrow null type, which Spark reads
+        # back as void and cannot union with later string appends —
+        # pin such columns to string
+        for i, fld in enumerate(tbl.schema):
+            if pa.types.is_null(fld.type):
+                tbl = tbl.set_column(
+                    i, pa.field(fld.name, pa.string()),
+                    tbl.column(i).cast(pa.string()))
         path = os.path.join(d, f"part-driver-{uuid.uuid4().hex}.parquet")
         # hidden-prefixed temp: a crash mid-write must leave a file
         # Spark's directory listing ignores, or resume breaks
@@ -136,13 +145,32 @@ class IcebergCatalog(Catalog):
         return self.spark.read.table(self._fq(name))
 
     def append(self, name: str, df: DataFrame) -> None:
-        df.writeTo(self._fq(name)).append()
+        # first write must CREATE the table: writeTo().append() raises
+        # TABLE_OR_VIEW_NOT_FOUND on a fresh catalog
+        if not self.table_exists(name):
+            df.writeTo(self._fq(name)).using("iceberg").create()
+        else:
+            df.writeTo(self._fq(name)).append()
 
     def append_rows(self, name: str, rows: list[dict]) -> None:
-        self.append(name, self.spark.createDataFrame(rows))
+        df = self.spark.createDataFrame(rows)
+        # mirror LocalParquetCatalog: all-None fingerprints must not
+        # pin the table schema to void
+        for fld in df.schema.fields:
+            if fld.dataType.typeName() in ("null", "void"):
+                df = df.withColumn(
+                    fld.name, df[fld.name].cast("string"))
+        self.append(name, df)
 
     def overwrite_partitions(self, name: str, df: DataFrame, keys: list[str]) -> None:
-        df.writeTo(self._fq(name)).overwritePartitions()
+        if not self.table_exists(name):
+            from pyspark.sql import functions as F
+            w = df.writeTo(self._fq(name)).using("iceberg")
+            if keys:
+                w = w.partitionedBy(*[F.col(k) for k in keys])
+            w.create()
+        else:
+            df.writeTo(self._fq(name)).overwritePartitions()
 
     def snapshot_id(self, name: str) -> str | None:
         rows = self.spark.sql(

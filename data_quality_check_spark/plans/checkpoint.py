@@ -138,16 +138,20 @@ def run(spark: SparkSession, catalog: Catalog, images: DataFrame,
                 F.lit(wall_ms).alias("wall_ms"),
             )
         )
-        catalog.append(AUDIT_TABLE, audit)
+        # materialize the audit aggregation ONCE (<= wave_size rows);
+        # the appended table and the ledger fingerprints are both built
+        # from this single collect — `audit` is lazy, so appending the
+        # DataFrame and then collecting it again would scan the written
+        # results partitions twice
+        audit_rows = audit.collect()
+        catalog.append(
+            AUDIT_TABLE, spark.createDataFrame(audit_rows, audit.schema))
 
         # 3. ledger LAST = commit point (driver-side append: tiny
         #    metadata, no Spark job).  Carries the per-bucket output
         #    fingerprint (bit_xor of written image_ids) so a resume
         #    can audit integrity without re-reading results.
-        fp_rows = {
-            r["bucket"]: r["input_fingerprint"]
-            for r in audit.select("bucket", "input_fingerprint").collect()
-        }
+        fp_rows = {r["bucket"]: r["input_fingerprint"] for r in audit_rows}
         now_us = int(time.time() * 1_000_000)
         catalog.append_rows(LEDGER_TABLE, [
             {"run_key": run_key, "bucket": int(b), "status": "done",

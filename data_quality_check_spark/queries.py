@@ -69,9 +69,14 @@ def _stop_ratio():
             .cast("double") / F.size(toks))
 
 
+# explicit ASCII-whitespace class: \s means different things to Java
+# regex (ASCII), RE2/DuckDB (ASCII minus \x0b) and Python re (Unicode)
+_ALNUM_WS = r"[0-9A-Za-z \t\n\r\f\x0b]"
+
+
 def _symbol_density():
     # symbols = chars left after stripping alnum + whitespace
-    return (F.length(F.regexp_replace("text", r"[0-9A-Za-z\s]", ""))
+    return (F.length(F.regexp_replace("text", _ALNUM_WS, ""))
             .cast("double") / F.length("text"))
 
 
@@ -79,7 +84,7 @@ _DOC_DR_SQL = ("len(list_distinct(list_filter(string_split(text, ' '), t -> t !=
                " / CAST(len(list_filter(string_split(text, ' '), t -> t != '')) AS DOUBLE)")
 _DOC_SR_SQL = (f"len(list_filter(string_split(text, ' '), t -> list_contains({_EN_STOPS_SQL}, t)))"
                " / CAST(len(list_filter(string_split(text, ' '), t -> t != '')) AS DOUBLE)")
-_DOC_SD_SQL = ("length(regexp_replace(text, '[0-9A-Za-z\\s]', '', 'g'))"
+_DOC_SD_SQL = (f"length(regexp_replace(text, '{_ALNUM_WS}', '', 'g'))"
                " / CAST(length(text) AS DOUBLE)")
 
 
@@ -1176,7 +1181,7 @@ def q_rule_heuristics_images(spark, sf_dir):
     column, SQL-checked (the model rules stay rows-only)."""
     im = _images(spark, sf_dir)
     cap = F.coalesce("caption", F.lit(""))
-    sym = F.length(F.regexp_replace(cap, r"[0-9A-Za-z\s]", ""))
+    sym = F.length(F.regexp_replace(cap, _ALNUM_WS, ""))
     return im.select(
         "image_id",
         F.col("caption").isNull().alias("cap_null"),
@@ -1193,7 +1198,7 @@ SELECT image_id,
   length(coalesce(caption, '')) AS cap_len,
   length(coalesce(caption, '')) BETWEEN {MIN_CAPTION_LEN} AND {MAX_CAPTION_LEN} AS len_ok,
   (CASE WHEN length(coalesce(caption, '')) > 0
-        THEN length(regexp_replace(coalesce(caption, ''), '[0-9A-Za-z\\s]', '', 'g'))
+        THEN length(regexp_replace(coalesce(caption, ''), '{_ALNUM_WS}', '', 'g'))
              / CAST(length(coalesce(caption, '')) AS DOUBLE)
         ELSE 0.0 END) <= {MAX_SYMBOL_DENSITY} AS symbol_ok
 FROM {IMAGES_SF001}

@@ -75,24 +75,29 @@ def evaluate(pdf: pd.DataFrame) -> pd.DataFrame:
     psnr = np.full(n, np.nan)
     for i in range(n):
         b, fmt = pdf["bytes"].iloc[i], pdf["fmt"].iloc[i]
-        w, h = int(pdf["w"].iloc[i]), int(pdf["h"].iloc[i])
-        if b is None:
+        wv, hv = pdf["w"].iloc[i], pdf["h"].iloc[i]
+        if b is None or pd.isna(wv) or pd.isna(hv):
             continue
+        w, h = int(wv), int(hv)
         try:
             pix = codecs.decode(b, fmt, w, h)
         except Exception:
             continue
+        phv = pdf["phash"].iloc[i]
         ok = (
             pix.shape[0] == h
             and pix.shape[1] == w
-            and codecs.ahash64(pix) == int(pdf["phash"].iloc[i])
+            and not pd.isna(phv)
+            and codecs.ahash64(pix) == int(phv)
         )
         pixel_ok[i] = ok
         if ok:
             psnr[i] = np.inf
 
-    # duplicate rank: first image_id per phash wins
-    rank = pdf.groupby("phash")["image_id"].rank(method="first").to_numpy()
+    # duplicate rank: first image_id per phash wins.  dropna=False
+    # mirrors Spark's window semantics, which group null phashes
+    # together (second+ null-phash rows are duplicates)
+    rank = pdf.groupby("phash", dropna=False)["image_id"].rank(method="first").to_numpy()
     dup = rank > 1
 
     flags = {

@@ -130,3 +130,47 @@ def test_astral_and_space_edge_cases():
     assert stats.n_tokens[2] == 0
     # emoji count as symbols
     assert stats.symbol_density[0] > 0
+
+def test_unicode_whitespace_symbol_parity():
+    """U+00A0 / U+3000 / \\x0b captions: the symbol class uses an
+    explicit ASCII whitespace set so Python re, Java regex and RE2
+    all count the same symbols (ADVICE r1: `\\s` differs per engine).
+    Unicode spaces deliberately count as symbols everywhere."""
+    texts = pd.Series([
+        "the cat\u00a0sat on the mat",  # NBSP => 1 symbol
+        "the cat\u3000sat on the mat",  # ideographic space => 1 symbol
+        "the cat\x0bsat on the mat",     # VT: ASCII ws => 0 symbols
+        "the cat\tsat on the mat",       # tab => 0 symbols
+    ])
+    stats = heuristic_stats(texts)
+    assert stats.symbol_density.tolist() == [
+        1 / len(texts[0]), 1 / len(texts[1]), 0.0, 0.0]
+
+
+def test_unicode_whitespace_three_engine_parity(spark):
+    """Same captions through the Spark Column rule and DuckDB regex —
+    all three engines must agree with the Python kernel."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from data_quality_check_spark.constants import ALLOWED_CHAR_CLASS
+    from data_quality_check_spark.functions import rules as R
+
+    texts = ["a b c", "a\u00a0b c", "a\u3000b c", "a\x0bb c", "a\tb c", "a ! c"]
+    expected = heuristic_stats(pd.Series(texts)).symbol_density.tolist()
+
+    sdf = spark.createDataFrame([(t,) for t in texts], "caption string")
+    got_spark = [
+        r[0] for r in sdf.select(
+            R.symbol_density(F.col("caption"))).collect()
+    ]
+    assert got_spark == expected
+
+    con = duckdb.connect()
+    got_duck = [
+        con.execute(
+            "SELECT length(regexp_replace(?, '" + ALLOWED_CHAR_CLASS + "', '', 'g'))"
+            " / CAST(length(?) AS DOUBLE)", [t, t]).fetchone()[0]
+        for t in texts
+    ]
+    assert got_duck == expected

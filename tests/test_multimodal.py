@@ -50,3 +50,38 @@ def test_stubs_raise():
         MM.decode_audio_stub(b"")
     with pytest.raises(NotImplementedError):
         MM.sample_video_frames_stub(b"")
+
+
+def test_null_phash_flags_row_not_task(spark):
+    """ADVICE r1: a row with decodable bytes but NULL phash (or null
+    dims) must come back pixel_ok=False — not abort the whole Arrow
+    task with int(NaN).  Exercised through decode_udf AND the oracle."""
+    import pandas as pd
+
+    from data_quality_check_spark.functions.udfs import decode_udf
+    from pyspark.sql import functions as F
+    from tests.oracle import evaluate
+
+    pix = np.full((8, 8, 3), 200, dtype=np.uint8)
+    blob = codecs.encode(pix, "raw")
+    good_ph = codecs.ahash64(pix)
+    rows = [
+        ("ok", blob, 8, 8, "raw", "the a of photo", good_ph),
+        ("null_ph", blob, 8, 8, "raw", "the a of photo", None),
+        ("null_dims", blob, None, None, "raw", "the a of photo", good_ph),
+    ]
+    sdf = spark.createDataFrame(rows, IM.IMAGES_DDL)
+    out = (sdf.select("image_id",
+                      decode_udf("bytes", "fmt", "w", "h", "phash").alias("d"))
+           .select("image_id", "d.pixel_ok").toPandas()
+           .set_index("image_id")["pixel_ok"])
+    assert bool(out["ok"]) is True
+    assert bool(out["null_ph"]) is False
+    assert bool(out["null_dims"]) is False
+
+    pdf = pd.DataFrame(rows, columns=[
+        "image_id", "bytes", "w", "h", "fmt", "caption", "phash"])
+    lab = evaluate(pdf).set_index("image_id")
+    assert bool(lab.loc["ok", "pixel_ok"]) is True
+    assert bool(lab.loc["null_ph", "pixel_ok"]) is False
+    assert bool(lab.loc["null_dims", "pixel_ok"]) is False
