@@ -30,26 +30,78 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
 
 def _shingles(text_col: str, k: int = 5):
-    """Character k-shingles of the lowercased text as an array column."""
+    """Character k-shingles of the lowercased text as an array column.
+
+    IMPORTANT: pass a bare column NAME of an ALREADY-LOWERED column
+    when building hot paths — an inline `lower(text)` here would be
+    re-evaluated on every lambda invocation (once per shingle), an
+    O(len^2) rescan that measured ~10x slower than hoisting lower()
+    into its own projection first."""
     lowered = F.lower(F.col(text_col))
     n = F.greatest(F.length(lowered) - F.lit(k - 1), F.lit(1))
     return F.transform(
         F.sequence(F.lit(1), n), lambda i: F.substring(lowered, i, k))
 
 
+def _shingles_of(lowered_col: str, k: int = 5):
+    """k-shingles over a pre-lowered column REFERENCE: the lambda body
+    touches only a row attribute, so each shingle is O(k)."""
+    n = F.greatest(F.length(lowered_col) - F.lit(k - 1), F.lit(1))
+    return F.transform(
+        F.sequence(F.lit(1), n),
+        lambda i: F.substring(F.col(lowered_col), i, k))
+
+
+def _widen(df: DataFrame) -> DataFrame:
+    """Repartition an under-partitioned input up to the cluster's
+    default parallelism: a small single-file scan arrives as ONE task,
+    which would serialize the (interpreted, HOF-heavy) signature
+    computation on one core.  No-op on well-partitioned inputs, so at
+    production scale this never adds a shuffle."""
+    try:
+        target = df.sparkSession.sparkContext.defaultParallelism
+        if df.rdd.getNumPartitions() < target:
+            return df.repartition(target)
+    except Exception:
+        pass
+    return df
+
+
 def minhash_signatures(df: DataFrame, text_col: str, id_col: str,
                        num_hashes: int = 16, shingle_k: int = 5) -> DataFrame:
-    """MinHash over char-shingles, all JVM-side.  The string shingles
-    are hashed ONCE (xxhash64); the num_hashes families then re-mix
-    the resulting int64s with xxhash64(h, seed) — int hashing is ~10x
-    cheaper than re-hashing the strings per family.  Returns
-    (id, sig array<bigint>)."""
-    th = F.transform(_shingles(text_col, shingle_k), lambda s: F.xxhash64(s))
-    base = df.select(F.col(id_col), th.alias("__th"))
-    sig = F.array(*[
-        F.array_min(F.transform("__th", lambda h, i=i: F.xxhash64(h, F.lit(i))))
-        for i in range(num_hashes)
-    ])
+    """One-permutation-hashing MinHash over char-shingles, all
+    JVM-side.  Each shingle is hashed ONCE (xxhash64); the hash's low
+    bits assign it to one of `num_hashes` bins and sig[i] is the
+    minimum hash landing in bin i — a single aggregate pass instead of
+    num_hashes re-hash passes over the shingle array (the r1 plan did
+    16 separate transform+array_min materializations per row).  Empty
+    bins are densified deterministically with xxhash64(global_min, i).
+    Returns (id, sig array<bigint>)."""
+    sentinel = F.lit((1 << 63) - 1).cast("bigint")
+    idxs = F.sequence(F.lit(0), F.lit(num_hashes - 1))
+    # three explicit projections, each consumed by the next: lower()
+    # is evaluated once per ROW (not once per shingle), the shingle
+    # hashes once per row (not once per bin), and densification reads
+    # the 16-wide raw sig (not the shingle array)
+    low = df.select(F.col(id_col), F.lower(F.col(text_col)).alias("__lt"))
+    th = F.transform(_shingles_of("__lt", shingle_k), lambda s: F.xxhash64(s))
+    hashed = low.select(F.col(id_col), th.alias("__th"))
+    raw = F.aggregate(
+        F.col("__th"),
+        F.array_repeat(sentinel, num_hashes),
+        lambda acc, h: F.zip_with(
+            acc, idxs,
+            lambda a, i: F.when(F.pmod(h, F.lit(num_hashes)) == i,
+                                F.least(a, h)).otherwise(a)),
+    )
+    base = hashed.select(F.col(id_col), raw.alias("__raw"))
+    # global min for densification = min over the non-empty bins (the
+    # bins partition all shingle hashes), an O(num_hashes) expression
+    gmin = F.array_min(F.filter(F.col("__raw"), lambda x: x != sentinel))
+    sig = F.zip_with(
+        F.col("__raw"), idxs,
+        lambda x, i: F.when(x == sentinel,
+                            F.xxhash64(gmin, i)).otherwise(x))
     return base.select(F.col(id_col), sig.alias("sig"))
 
 
@@ -58,11 +110,15 @@ def minhash_lsh_dups(df: DataFrame, text_col: str, id_col: str,
                      shingle_k: int = 5) -> DataFrame:
     """LSH banding: split the signature into `bands` bands, hash each
     band, group by (band_idx, band_hash); groups with >1 member are
-    near-dup candidate clusters.  Returns one row per candidate
-    cluster with its members.  Scale path: the only shuffle is the
-    groupBy on the 64-bit band hash."""
+    near-dup candidate clusters.  Returns one scalar row per candidate
+    cluster: (band, band_hash, n, keeper_id) — first-wins keeper.
+    Scale path: the only shuffle is the groupBy on the 64-bit band
+    hash, and the aggregation state is two fixed-width values (min +
+    count), so a viral duplicate cluster costs O(1) reducer memory
+    (the r1 collect_set(members) was unbounded)."""
     rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k)
+    sigs = minhash_signatures(_widen(df), text_col, id_col,
+                              num_hashes, shingle_k)
     banded = sigs.select(
         id_col,
         F.explode(F.array(*[
@@ -78,7 +134,7 @@ def minhash_lsh_dups(df: DataFrame, text_col: str, id_col: str,
     )
     return (
         banded.groupBy("bb.band", "bb.band_hash")
-        .agg(F.sort_array(F.collect_set(id_col)).alias("members"),
+        .agg(F.min(id_col).alias("keeper_id"),
              F.count("*").alias("n"))
         .filter(F.col("n") > 1)
     )
@@ -89,6 +145,7 @@ def simhash64(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     majority vote per bit — expressed with higher-order array
     functions, zero Python.  Near-dups share a hash up to a few bits.
     """
+    df = _widen(df)
     toks = F.filter(F.split(F.lower(F.col(text_col)), " "), lambda t: t != F.lit(""))
     th = F.transform(toks, lambda t: F.xxhash64(t))
     # one pass over tokens: acc is the 64-wide vote vector (shift
@@ -124,7 +181,13 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
     pairs come from shared min-hash buckets (cheap, distributed), then
     exact Jaccard over token n-gram sets is computed only within
     candidates via array_intersect/array_union — never all-pairs."""
-    toks = F.filter(F.split(F.lower(F.col(text_col)), " "), lambda t: t != F.lit(""))
+    # tokens hoisted to their own projection: an inline split(lower())
+    # would be re-evaluated per n-gram element (O(len^2) rescans)
+    tokd = _widen(df).select(
+        F.col(id_col),
+        F.filter(F.split(F.lower(F.col(text_col)), " "),
+                 lambda t: t != F.lit("")).alias("__toks"))
+    toks = F.col("__toks")
     grams = F.when(
         F.size(toks) >= n,
         F.transform(
@@ -132,7 +195,7 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
             lambda i: F.concat_ws("_", *[F.element_at(toks, i + j + 1) for j in range(n)]),
         ),
     ).otherwise(F.array(F.concat_ws("_", toks)))
-    base = df.select(F.col(id_col), F.array_distinct(grams).alias("grams"))
+    base = tokd.select(F.col(id_col), F.array_distinct(grams).alias("grams"))
     bucketed = base.select(
         id_col, "grams",
         F.explode(F.array(*[

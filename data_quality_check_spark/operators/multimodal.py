@@ -56,17 +56,25 @@ def extract_features(images: DataFrame, batch_limit: int = 512) -> DataFrame:
         for pdf in batches:
             for start in range(0, len(pdf), batch_limit):
                 chunk = pdf.iloc[start:start + batch_limit]
+                # column-wise numpy access + zip: iterrows() builds a
+                # Series per row and was the slowest path in the UDF
+                # hot loop (same idiom as udfs._decode_batch)
+                ids = chunk["image_id"].to_numpy()
+                blobs = chunk["bytes"].to_numpy()
+                fmts = chunk["fmt"].to_numpy()
+                ws = chunk["w"].to_numpy()
+                hs = chunk["h"].to_numpy()
                 rows = []
-                for _, r in chunk.iterrows():
+                for iid, blob, fmt, w, h in zip(ids, blobs, fmts, ws, hs):
                     rec = {
-                        "image_id": r.image_id,
-                        "n_bytes": len(r["bytes"]) if r["bytes"] is not None else 0,
+                        "image_id": iid,
+                        "n_bytes": len(blob) if blob is not None else 0,
                         "decoded": False,
                         "mean_r": None, "mean_g": None, "mean_b": None,
                         "embedding": None,
                     }
                     try:
-                        pix = codecs.decode(r["bytes"], r.fmt, int(r.w), int(r.h))
+                        pix = codecs.decode(blob, fmt, int(w), int(h))
                         means = pix.astype(np.float64).mean(axis=(0, 1))
                         rec.update(
                             decoded=True,

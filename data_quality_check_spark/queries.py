@@ -238,9 +238,24 @@ def q_udf_decode(spark, sf_dir):
 
 
 def q_keep_decision_images(spark, sf_dir):
-    """Full pipeline verdict over the synthetic images table."""
-    return pipeline.results_select(
+    """Full pipeline verdict over the synthetic images table.
+
+    Array/map verdict columns are projected to stable strings: the
+    driver's canonicalizer sorts+hashes the result with pandas, which
+    cannot hash list/dict cells (r1 driver FAIL); every registry
+    output column must be scalar."""
+    out = pipeline.results_select(
         pipeline.quality_frame(_images(spark, sf_dir))).drop("psnr_db")
+    hits_str = F.concat_ws(",", F.transform(
+        F.array_sort(F.map_keys("scrub_hits")),
+        lambda k: F.concat_ws(
+            ":", k, F.element_at(F.col("scrub_hits"), k).cast("string"))))
+    return (
+        out.withColumn("drop_reasons", F.concat_ws("|", "drop_reasons"))
+        .withColumn("scrub_hits", hits_str)
+        .withColumn("lang_conf", F.round("lang_conf", 6))
+        .withColumn("ppl", F.round("ppl", 6))
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -772,9 +787,11 @@ SQL_DEDUP_EXACT = (
 
 
 def q_dedup_minhash_lsh(spark, sf_dir):
+    # scalar columns only (band_hash/keeper_id instead of a members
+    # array): the driver canonicalizer cannot hash list cells
     d = _t(spark, sf_dir, "documents")
     return dedup.minhash_lsh_dups(d, "text", "doc_id").select(
-        "band", "members", "n")
+        "band", "band_hash", "n", "keeper_id")
 
 
 def q_dedup_simhash(spark, sf_dir):
@@ -898,7 +915,18 @@ SQL_TEXT_FINGERPRINT = (
 
 def q_multimodal_features(spark, sf_dir):
     from .operators.multimodal import extract_features
-    return extract_features(_images(spark, sf_dir))
+    out = extract_features(_images(spark, sf_dir))
+    # embedding array -> rounded csv string (driver canonicalizer
+    # needs scalar cells); means rounded for cross-run stability
+    emb_str = F.concat_ws(",", F.transform(
+        "embedding", lambda x: F.round(x.cast("double"), 6).cast("string")))
+    return out.select(
+        "image_id", "n_bytes", "decoded",
+        F.round("mean_r", 6).alias("mean_r"),
+        F.round("mean_g", 6).alias("mean_g"),
+        F.round("mean_b", 6).alias("mean_b"),
+        emb_str.alias("embedding_csv"),
+    )
 
 
 def q_join_outer(spark, sf_dir):
@@ -973,14 +1001,16 @@ def q_fn_map(spark, sf_dir):
     return e.select(
         "event_id",
         F.element_at(m, "k").alias("k"),
-        F.map_keys(m2).alias("ks"),
+        # sorted + joined to a scalar string: stable across map
+        # orderings AND hashable by the driver canonicalizer
+        F.concat_ws(",", F.array_sort(F.map_keys(m2))).alias("ks"),
         F.element_at(m2, "etype_len").alias("etype_len"),
     )
 
 
 SQL_FN_MAP = (
     "SELECT event_id, CAST(regexp_extract(props, '\"k\": (-?\\d+)', 1) AS INT) "
-    "AS k, ['k', 'etype_len'] AS ks, CAST(length(event_type) AS INT) "
+    "AS k, 'etype_len,k' AS ks, CAST(length(event_type) AS INT) "
     "AS etype_len FROM events"
 )
 

@@ -1,0 +1,93 @@
+"""Dedup-operator unit tests (SURVEY.md §2 O-23 + dedup family):
+hand-constructed duplicate populations through the JVM-side MinHash /
+SimHash / Jaccard kernels."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_quality_check_spark.operators import dedup
+
+BASE = ("a photo of the old stone bridge over the quiet river at "
+        "sunset with a small boat passing underneath the arches")
+
+
+def _docs(spark):
+    rows = [
+        (1, BASE),
+        (7, BASE),                       # exact dup of 1
+        (3, BASE.replace("quiet", "calm")),  # near dup of 1
+        (4, "completely different caption about a red market stall "
+            "with coffee and winter flowers in the city street"),
+        (5, "der alte mann und die junge frau mit dem hund auf der "
+            "brücke im sommer bei schönem licht am abend"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dups_cluster_with_min_keeper(spark):
+    d = _docs(spark)
+    clusters = dedup.minhash_lsh_dups(d, "text", "doc_id").collect()
+    assert clusters, "exact duplicates must share every band"
+    # every cluster containing doc 7 must have keeper 1 (first wins)
+    for c in clusters:
+        assert c["n"] >= 2
+        assert c["keeper_id"] != 7, "min-id keeper, never the dup"
+
+
+def test_exact_dups_share_all_bands(spark):
+    d = _docs(spark).filter(F.col("doc_id").isin(1, 7))
+    clusters = dedup.minhash_lsh_dups(d, "text", "doc_id").collect()
+    # identical text => identical signature => all 4 bands collide
+    assert len(clusters) == 4
+    assert all(c["n"] == 2 and c["keeper_id"] == 1 for c in clusters)
+
+
+def test_near_dup_shares_some_band(spark):
+    d = _docs(spark).filter(F.col("doc_id").isin(1, 3))
+    clusters = dedup.minhash_lsh_dups(d, "text", "doc_id").collect()
+    assert len(clusters) >= 1, "one-word edit should collide in >=1 band"
+
+
+def test_distinct_docs_do_not_cluster(spark):
+    d = _docs(spark).filter(F.col("doc_id").isin(1, 4, 5))
+    clusters = dedup.minhash_lsh_dups(d, "text", "doc_id").collect()
+    assert clusters == []
+
+
+def test_signatures_partitioning_invariant(spark):
+    """OPH signatures are per-row expressions: repartitioning must not
+    change them (guards the _widen repartition in the LSH path)."""
+    d = _docs(spark)
+    a = {r["doc_id"]: r["sig"] for r in
+         dedup.minhash_signatures(d, "text", "doc_id").collect()}
+    b = {r["doc_id"]: r["sig"] for r in
+         dedup.minhash_signatures(d.repartition(7), "text", "doc_id").collect()}
+    assert a == b
+    assert a[1] == a[7]          # identical text, identical signature
+    assert a[1] != a[4]
+
+
+def test_simhash_hamming_separation(spark):
+    """Near-dups land within a few bits; unrelated texts far apart."""
+    d = _docs(spark)
+    sh = {r["doc_id"]: r["simhash"] for r in
+          dedup.simhash64(d, "text", "doc_id").collect()}
+
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    assert ham(sh[1], sh[7]) == 0
+    assert ham(sh[1], sh[3]) <= 8
+    assert ham(sh[1], sh[4]) >= 16
+    assert ham(sh[1], sh[5]) >= 16
+
+
+def test_ngram_jaccard_pair_detection(spark):
+    d = _docs(spark)
+    pairs = dedup.ngram_jaccard_pairs(
+        d, "text", "doc_id", threshold=0.5).collect()
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in pairs}
+    assert got[(1, 7)] == 1.0                 # exact dup
+    assert (1, 3) in got and got[(1, 3)] > 0.5  # near dup
+    assert (1, 4) not in got and (1, 5) not in got

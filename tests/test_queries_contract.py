@@ -60,3 +60,18 @@ def test_entry_contract(spark):
     qs, sqls = E.queries(), E.oracle_sql()
     assert set(sqls) <= set(qs)
     assert len(qs) == len(REGISTRY)
+
+
+@pytest.mark.parametrize("key", list(REGISTRY))
+def test_no_complex_output_columns(spark, key):
+    """The driver canonicalizer (pandas sort+hash over all columns)
+    cannot hash list/dict cells — r1 failed keep_decision_images and
+    dedup_minhash_lsh on exactly this.  Every registry output column
+    must therefore be scalar; schema inspection only, no job runs."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    fn, _sql = REGISTRY[key]
+    df = fn(spark, SF_DIR)
+    bad = [f.name for f in df.schema.fields
+           if isinstance(f.dataType, (ArrayType, MapType, StructType))]
+    assert not bad, f"{key} outputs non-scalar columns {bad}"
