@@ -174,6 +174,48 @@ def simhash64(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     return df.select(F.col(id_col), sim.alias("simhash"))
 
 
+def _gram_expr(toks, n: int):
+    """Distinct token n-grams of a token-array column reference."""
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.concat_ws("_", *[F.element_at(toks, i + j + 1)
+                                         for j in range(n)]),
+        ),
+    ).otherwise(F.array(F.concat_ws("_", toks)))
+    return F.array_distinct(grams)
+
+
+def jaccard_pairs_exact(df: DataFrame, text_col: str, id_col: str,
+                        n: int = 3, threshold: float = 0.8) -> DataFrame:
+    """Exact all-pairs token-n-gram Jaccard — the verification twin of
+    ngram_jaccard_pairs (which LSH-prefilters candidates and can miss
+    borderline pairs).  Quadratic by construction: ONLY for bounded
+    subsets (contract checks, recall measurement), never the 100 TB
+    path."""
+    tokd = df.select(
+        F.col(id_col),
+        F.filter(F.split(F.lower(F.col(text_col)), " "),
+                 lambda t: t != F.lit("")).alias("__toks"))
+    base = tokd.select(F.col(id_col),
+                       _gram_expr(F.col("__toks"), n).alias("grams"))
+    pairs = (
+        base.alias("a")
+        .join(base.alias("b"), F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(F.col(f"a.{id_col}").alias("id_a"),
+                F.col(f"b.{id_col}").alias("id_b"),
+                F.col("a.grams").alias("ga"), F.col("b.grams").alias("gb"))
+    )
+    inter = F.size(F.array_intersect("ga", "gb")).cast("double")
+    union = F.size(F.array_union("ga", "gb")).cast("double")
+    return (
+        pairs.withColumn("jaccard", F.round(inter / union, 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
 def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
                         n: int = 3, threshold: float = 0.8,
                         band_hashes: int = 8) -> DataFrame:
@@ -187,15 +229,8 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
         F.col(id_col),
         F.filter(F.split(F.lower(F.col(text_col)), " "),
                  lambda t: t != F.lit("")).alias("__toks"))
-    toks = F.col("__toks")
-    grams = F.when(
-        F.size(toks) >= n,
-        F.transform(
-            F.sequence(F.lit(0), F.size(toks) - n),
-            lambda i: F.concat_ws("_", *[F.element_at(toks, i + j + 1) for j in range(n)]),
-        ),
-    ).otherwise(F.array(F.concat_ws("_", toks)))
-    base = tokd.select(F.col(id_col), F.array_distinct(grams).alias("grams"))
+    base = tokd.select(F.col(id_col),
+                       _gram_expr(F.col("__toks"), n).alias("grams"))
     bucketed = base.select(
         id_col, "grams",
         F.explode(F.array(*[

@@ -20,12 +20,14 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .constants import (
+    ALLOWED_CHAR_CLASS,
     MAX_CAPTION_LEN,
     MAX_SYMBOL_DENSITY,
     MIN_CAPTION_LEN,
     MIN_DISTINCT_TOKEN_RATIO,
     MIN_STOPWORD_RATIO,
     N_BUCKETS,
+    STOPWORD_MIN_TOKENS,
     STOPWORDS,
 )
 from .operators import dedup, metrics, salt
@@ -678,11 +680,18 @@ SQL_SKEW_SALTED_AGG = (
 
 
 def q_resume_pending(spark, sf_dir):
-    # rows-only: ledger anti-join resume over the images pipeline unit
+    # O-33 resume primitive: pending = all buckets anti-join 'done'
+    # ledger rows (evens committed); fully relational => SQL-checked
     all_b = spark.range(N_BUCKETS).select(F.col("id").cast("int").alias("bucket"))
     done = spark.createDataFrame(
         [(b,) for b in range(0, N_BUCKETS, 2)], "bucket int")
     return all_b.join(done, "bucket", "left_anti")
+
+
+SQL_RESUME_PENDING = (
+    f"SELECT CAST(x.range AS INT) AS bucket FROM range({N_BUCKETS}) x "
+    f"WHERE x.range NOT IN (SELECT y.range FROM range(0, {N_BUCKETS}, 2) y)"
+)
 
 
 # ---------------------------------------------------------------------------
@@ -802,6 +811,35 @@ def q_dedup_simhash(spark, sf_dir):
 def q_dedup_ngram_jaccard(spark, sf_dir):
     d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
     return dedup.ngram_jaccard_pairs(d, "text", "doc_id", threshold=0.3)
+
+
+def q_dedup_jaccard_exact(spark, sf_dir):
+    """Exact all-pairs n-gram Jaccard on a bounded doc subset: the
+    SQL-checkable twin of the LSH-prefiltered dedup_ngram_jaccard."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return dedup.jaccard_pairs_exact(d, "text", "doc_id", threshold=0.3)
+
+
+SQL_DEDUP_JACCARD_EXACT = """
+WITH t AS (
+  SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x != '') AS toks
+  FROM documents WHERE doc_id < 200
+), g AS (
+  SELECT doc_id,
+    CASE WHEN len(toks) >= 3
+         THEN list_distinct(list_transform(range(1, len(toks) - 1),
+              i -> toks[i] || '_' || toks[i+1] || '_' || toks[i+2]))
+         ELSE [array_to_string(toks, '_')] END AS grams
+  FROM t
+), p AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+    round(len(list_intersect(a.grams, b.grams))
+          / CAST(len(list_distinct(list_concat(a.grams, b.grams))) AS DOUBLE),
+          6) AS jaccard
+  FROM g a JOIN g b ON a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, jaccard FROM p WHERE jaccard >= 0.3
+"""
 
 
 def q_sim_topk_cosine(spark, sf_dir):
@@ -1160,6 +1198,84 @@ FROM lineitem
 
 IMAGES_SF001 = "'/root/repo/data/images_sf0.01.parquet'"
 
+# O-1 scan parity: DuckDB reads the same deterministic parquet the
+# Spark scan reads (upgrades scan_images from rows-only)
+SQL_SCAN_IMAGES = f"SELECT image_id, w, h, fmt, phash FROM {IMAGES_SF001}"
+
+
+def q_agg_bucket_rule_hits(spark, sf_dir):
+    """O-15 SQL-checked: per-bucket row counts + hit counts for every
+    SQL-expressible rule (null guard, length, repetition, stopword,
+    symbol, duplicate).  The model rules (langid/ppl/toxic/pixel) stay
+    in the rows-only agg_bucket_metrics."""
+    from .functions import rules as R
+    from .operators.salt import with_bucket
+
+    im = with_bucket(_images(spark, sf_dir).select(
+        "image_id", "caption", "bytes", "w", "h", "phash"))
+    cap = R.caption_norm(F.col("caption"))
+    toks = R.tokens(cap)
+    w = Window.partitionBy("phash").orderBy("image_id")
+    flagged = im.select(
+        "bucket",
+        R.null_fields_bad({c: F.col(c) for c in
+                           ("image_id", "caption", "bytes", "w", "h", "phash")}
+                          ).alias("f_null"),
+        R.too_short_bad(cap).alias("f_short"),
+        R.too_long_bad(cap).alias("f_long"),
+        R.repetition_bad(toks).alias("f_rep"),
+        R.stopword_bad(toks).alias("f_stop"),
+        R.symbol_bad(cap).alias("f_sym"),
+        (F.row_number().over(w) > 1).alias("f_dup"),
+    )
+    return flagged.groupBy("bucket").agg(
+        F.count("*").alias("n_rows"),
+        *[F.sum(F.col(f"f_{r}").cast("long")).alias(f"hits_{r}")
+          for r in ("null", "short", "long", "rep", "stop", "sym", "dup")],
+    )
+
+
+_STOPS_ALL_SQL = "[" + ", ".join(f"'{w}'" for w in sorted(
+    {w for ws in STOPWORDS.values() for w in ws})) + "]"
+
+SQL_AGG_BUCKET_RULE_HITS = f"""
+WITH base AS (
+  SELECT
+    CAST(((coalesce(phash, 0) % {N_BUCKETS}) + {N_BUCKETS}) % {N_BUCKETS} AS INT)
+      AS bucket,
+    (image_id IS NULL OR caption IS NULL OR bytes IS NULL
+     OR w IS NULL OR w <= 0 OR h IS NULL OR h <= 0 OR phash IS NULL)
+      AS f_null,
+    coalesce(caption, '') AS cap,
+    list_filter(string_split(coalesce(caption, ''), ' '), t -> t != '') AS toks,
+    (row_number() OVER (PARTITION BY phash ORDER BY image_id) > 1) AS f_dup
+  FROM {IMAGES_SF001}
+), flags AS (
+  SELECT bucket, f_null, f_dup,
+    length(cap) < {MIN_CAPTION_LEN} AS f_short,
+    length(cap) > {MAX_CAPTION_LEN} AS f_long,
+    (len(toks) > 0 AND len(list_distinct(toks)) / CAST(len(toks) AS DOUBLE)
+       < {MIN_DISTINCT_TOKEN_RATIO}) AS f_rep,
+    (len(toks) >= {STOPWORD_MIN_TOKENS} AND
+       len(list_filter(toks, t -> list_contains({_STOPS_ALL_SQL}, t)))
+       / CAST(len(toks) AS DOUBLE) < {MIN_STOPWORD_RATIO}) AS f_stop,
+    (CASE WHEN length(cap) > 0
+          THEN length(regexp_replace(cap, '{ALLOWED_CHAR_CLASS}', '', 'g'))
+               / CAST(length(cap) AS DOUBLE)
+          ELSE 0.0 END) > {MAX_SYMBOL_DENSITY} AS f_sym
+  FROM base
+)
+SELECT bucket, count(*) AS n_rows,
+  CAST(sum(CASE WHEN f_null  THEN 1 ELSE 0 END) AS BIGINT) AS hits_null,
+  CAST(sum(CASE WHEN f_short THEN 1 ELSE 0 END) AS BIGINT) AS hits_short,
+  CAST(sum(CASE WHEN f_long  THEN 1 ELSE 0 END) AS BIGINT) AS hits_long,
+  CAST(sum(CASE WHEN f_rep   THEN 1 ELSE 0 END) AS BIGINT) AS hits_rep,
+  CAST(sum(CASE WHEN f_stop  THEN 1 ELSE 0 END) AS BIGINT) AS hits_stop,
+  CAST(sum(CASE WHEN f_sym   THEN 1 ELSE 0 END) AS BIGINT) AS hits_sym,
+  CAST(sum(CASE WHEN f_dup   THEN 1 ELSE 0 END) AS BIGINT) AS hits_dup
+FROM flags GROUP BY bucket
+"""
+
 
 def q_win_dup_rank_images(spark, sf_dir):
     """O-23 proper: first-wins duplicate ranking on phash."""
@@ -1242,7 +1358,7 @@ FROM {IMAGES_SF001}
 REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     # scans / projection / rules
     "scan_lineitem": (q_scan_lineitem, SQL_SCAN_LINEITEM),
-    "scan_images": (q_scan_images, None),
+    "scan_images": (q_scan_images, SQL_SCAN_IMAGES),
     "project_prune": (q_project_prune, SQL_PROJECT_PRUNE),
     "filter_nulls": (q_filter_nulls, SQL_FILTER_NULLS),
     "rule_length": (q_rule_length, SQL_RULE_LENGTH),
@@ -1283,7 +1399,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     # partitioning
     "bucket_assign": (q_bucket_assign, SQL_BUCKET_ASSIGN),
     "skew_salted_agg": (q_skew_salted_agg, SQL_SKEW_SALTED_AGG),
-    "resume_pending": (q_resume_pending, None),
+    "resume_pending": (q_resume_pending, SQL_RESUME_PENDING),
     # scalar fn surface
     "fn_string": (q_fn_string, SQL_FN_STRING),
     "fn_datetime": (q_fn_datetime, SQL_FN_DATETIME),
@@ -1294,6 +1410,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "dedup_minhash_lsh": (q_dedup_minhash_lsh, None),
     "dedup_simhash": (q_dedup_simhash, None),
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, None),
+    "dedup_jaccard_exact": (q_dedup_jaccard_exact, SQL_DEDUP_JACCARD_EXACT),
     "sim_topk_cosine": (q_sim_topk_cosine, SQL_SIM_TOPK_COSINE),
     "sim_lsh_topk": (q_sim_lsh_topk, None),
     "sim_ivf_topk": (q_sim_ivf_topk, None),
@@ -1308,6 +1425,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "dedup_phash_groups": (q_dedup_phash_groups, SQL_DEDUP_PHASH_GROUPS),
     "bucket_assign_images": (q_bucket_assign_images, SQL_BUCKET_ASSIGN_IMAGES),
     "rule_heuristics_images": (q_rule_heuristics_images, SQL_RULE_HEURISTICS_IMAGES),
+    "agg_bucket_rule_hits": (q_agg_bucket_rule_hits, SQL_AGG_BUCKET_RULE_HITS),
     "dq_checks": (q_dq_checks, SQL_DQ_CHECKS),
     "join_outer": (q_join_outer, SQL_JOIN_OUTER),
     "join_semi": (q_join_semi, SQL_JOIN_SEMI),
