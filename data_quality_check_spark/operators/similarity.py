@@ -59,18 +59,26 @@ def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     )
 
 
-def _lsh_signature(vec_col, dim: int, bits: int):
-    """Sign of <v, r_b> for pseudo-random hyperplanes r_b; r_b[i] is a
-    deterministic hash-derived value in [-1, 1) — reproducible across
-    engines and runs with zero stored model."""
+def _hyperplanes(dim: int, bits: int, seed: int = 0):
+    """Deterministic Gaussian hyperplanes as a (bits, dim) numpy
+    array.  Generated driver-side from a fixed seed and embedded as
+    plan LITERALS: the r1 version derived each plane component from
+    xxhash64 per ROW, recomputing dim*bits hashes for every vector —
+    literals cost nothing per row and stay fully reproducible."""
+    import numpy as np
+
+    rng = np.random.default_rng([11, seed])
+    return rng.standard_normal((bits, dim))
+
+
+def _lsh_signature(vec_col, planes):
+    """Sign-of-projection signature: bit b = <v, planes[b]> > 0."""
     sig = F.lit(0)
-    for b in range(bits):
+    for b in range(len(planes)):
         proj = F.aggregate(
             F.zip_with(
                 _dvec(vec_col),
-                F.transform(F.sequence(F.lit(0), F.lit(dim - 1)),
-                            lambda i, b=b: (F.pmod(F.xxhash64(i, F.lit(b)), F.lit(20001))
-                                            - 10000).cast("double") / 10000.0),
+                F.array(*[F.lit(float(x)) for x in planes[b]]),
                 lambda x, r: x * r,
             ),
             F.lit(0.0), lambda acc, v: acc + v)
@@ -163,46 +171,85 @@ def ivf_cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     )
 
 
+def _banded_sigs(df: DataFrame, id_alias: str, vec_alias: str,
+                 dim: int, bits: int, bands: int,
+                 id_col: str, vec_col: str) -> DataFrame:
+    """(id, vec, band, sig): one row per band, signature from that
+    band's own hyperplane family.  OR-construction: two vectors are
+    candidates if ANY band matches — recall 1-(1-p^bits)^bands for
+    per-bit agreement p, while a random pair only collides in
+    ~bands/2^bits of the table."""
+    return df.select(
+        F.col(id_col).alias(id_alias),
+        F.col(vec_col).alias(vec_alias),
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(t).alias("band"),
+                _lsh_signature(F.col(vec_col),
+                               _hyperplanes(dim, bits, seed=t)).alias("sig"),
+            )
+            for t in range(bands)
+        ])).alias("bs"),
+    ).select(id_alias, vec_alias,
+             F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
+
+
 def embedding_near_dups(df: DataFrame, threshold: float = 0.25,
-                        bits: int = 0, dim: int = 64,
+                        bits: int = 0, bands: int = 16, dim: int = 64,
                         id_col: str = "vec_id",
                         vec_col: str = "embedding") -> DataFrame:
     """Embedding-cosine near-duplicate pairs: all (a, b) with
     cos(a, b) >= threshold and a < b.  bits=0 compares all pairs
-    (exact, small corpora); bits>0 restricts candidates to matching
-    random-hyperplane LSH buckets (the 10^12-scale path — candidates
-    shrink ~2^bits per bucket at some recall cost)."""
+    (exact — ONLY for bounded corpora / recall measurement); bits>0 is
+    the 10^12-scale path: banded random-hyperplane LSH generates
+    candidates from matching (band, signature) buckets, pairs are
+    scored once, near-threshold recall is tuned via (bits, bands).
+    For a true near-dup threshold (>= 0.9) use the default
+    bits=8/bands=16 (measured: recall ~1.0 while pruning ~94% of
+    random pairs); for loose thresholds LSH fundamentally cannot
+    prune much — see tests/test_similarity.py."""
+    if bits > 0:
+        a = _banded_sigs(df, "id_a", "va", dim, bits, bands, id_col, vec_col)
+        b = _banded_sigs(df, "id_b", "vb", dim, bits, bands, id_col, vec_col)
+        joined = a.join(b, ["band", "sig"]).filter(
+            F.col("id_a") < F.col("id_b"))
+        scored = with_cosine(joined, "va", "vb")
+        return (
+            scored.filter(F.col("cos") >= threshold)
+            # a pair may collide in several bands: dedup AFTER the
+            # threshold filter so only surviving pairs shuffle
+            .groupBy("id_a", "id_b").agg(F.first("cos").alias("cos"))
+        )
     a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
     b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
-    if bits > 0:
-        a = a.withColumn("sig", _lsh_signature(F.col("va"), dim, bits))
-        b = b.withColumn("sig", _lsh_signature(F.col("vb"), dim, bits))
-        joined = a.join(b, "sig").filter(F.col("id_a") < F.col("id_b"))
-    else:
-        joined = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+    joined = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
     scored = with_cosine(joined, "va", "vb")
     return (scored.filter(F.col("cos") >= threshold)
             .select("id_a", "id_b", "cos"))
 
 
 def lsh_cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
-                    bits: int = 4, dim: int = 64,
+                    bits: int = 3, tables: int = 8, dim: int = 64,
                     id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
-    """Approximate top-k: candidates restricted to the query's LSH
-    bucket (hamming-0).  Recall is traded for a |corpus|/2^bits
-    candidate set; increase `bits` with corpus size."""
-    c = corpus.select(F.col(id_col).alias("neighbor_id"),
-                      F.col(vec_col).alias("cvec"),
-                      _lsh_signature(F.col(vec_col), dim, bits).alias("sig"))
-    q = queries.select(F.col(id_col).alias("query_id"),
-                       F.col(vec_col).alias("qvec"),
-                       _lsh_signature(F.col(vec_col), dim, bits).alias("sig"))
-    joined = c.join(F.broadcast(q), "sig").filter(
+    """Approximate top-k with multi-table LSH: candidates are corpus
+    rows sharing the query's signature in ANY of `tables` independent
+    hyperplane families (the r1 single-table variant had recall ~0.3
+    on the random fixture).  Each candidate pair is scored once
+    (groupBy dedup on the scalar cos, not the vectors).  Scale knobs:
+    candidates/query ~ |corpus| * tables / 2^bits; raise bits with
+    corpus size, raise tables for recall."""
+    c = _banded_sigs(corpus, "neighbor_id", "cvec", dim, bits, tables,
+                     id_col, vec_col)
+    q = _banded_sigs(queries, "query_id", "qvec", dim, bits, tables,
+                     id_col, vec_col)
+    joined = c.join(F.broadcast(q), ["band", "sig"]).filter(
         F.col("neighbor_id") != F.col("query_id"))
     scored = with_cosine(joined, "qvec", "cvec")
+    dedup = scored.groupBy("query_id", "neighbor_id").agg(
+        F.first("cos").alias("cos"))
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return (
-        scored.withColumn("rk", F.row_number().over(w))
+        dedup.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= k)
         .select("query_id", "neighbor_id", "cos", "rk")
     )

@@ -903,6 +903,15 @@ SELECT id_a, id_b, cos FROM scored WHERE cos >= 0.25
 """
 
 
+def q_dedup_embedding_lsh(spark, sf_dir):
+    """Banded-LSH scale path of dedup_embedding (rows-only: bucket
+    membership is hyperplane-seeded; the recall-vs-exact contract is
+    pytest test_embedding_near_dup_lsh_recall_fixture >= 0.9)."""
+    from .operators.similarity import embedding_near_dups
+    em = _t(spark, sf_dir, "embeddings")
+    return embedding_near_dups(em, threshold=0.25, bits=2, bands=16)
+
+
 def q_text_tokens(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     toks = _doc_tokens()
@@ -1415,6 +1424,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "sim_lsh_topk": (q_sim_lsh_topk, None),
     "sim_ivf_topk": (q_sim_ivf_topk, None),
     "dedup_embedding": (q_dedup_embedding, SQL_DEDUP_EMBEDDING),
+    "dedup_embedding_lsh": (q_dedup_embedding_lsh, None),
     "text_tokens": (q_text_tokens, SQL_TEXT_TOKENS),
     "text_quality_score": (q_text_quality_score, SQL_TEXT_QUALITY_SCORE),
     "text_fingerprint": (q_text_fingerprint, SQL_TEXT_FINGERPRINT),
