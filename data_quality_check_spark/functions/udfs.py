@@ -161,7 +161,14 @@ def _decode_batch(blob: pd.Series, fmt: pd.Series, w: pd.Series,
             and ph_real[i] == int(phs[i])
         )
         if ok[i]:
-            psnr[i] = np.inf
+            # decoder-fidelity PSNR: inf for lossless formats, finite
+            # for lossy ones (production vs reference dequantization);
+            # the keep rule thresholds it at MIN_PSNR_DB
+            try:
+                ref = codecs.decode_ref(b, fmts[i], w_real[i], h_real[i])
+                psnr[i] = np.inf if ref is None else codecs.psnr_db(pix, ref)
+            except Exception:
+                pass  # stays NaN; pixel rule drops via the threshold
     return pd.DataFrame({
         "pixel_ok": ok,
         "psnr_db": psnr,

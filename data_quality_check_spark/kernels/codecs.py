@@ -1,7 +1,14 @@
 """Image codecs + perceptual hash, pure numpy / stdlib (no PIL in the
 sandbox).  Supports the three lossless sandbox formats of the `images`
 table (BASELINE.json:15 fmt column): ``raw`` (packed RGB), ``ppm``
-(P6), ``png`` (zlib + filters 0-4, 8-bit RGB).
+(P6), ``png`` (zlib + filters 0-4, 8-bit RGB) — plus ``rawq``, a
+LOSSY quantized-raw format that exercises the PSNR >= 40 dB branch of
+the pixel invariant (BASELINE.json:15) with finite values: the
+production decoder (mid-rise dequantization) and the independent
+reference decoder (linear-scale dequantization) legitimately disagree,
+modeling decoder drift on real lossy formats.  rawq version 1 (6-bit)
+stays above the threshold (~47 dB); version 2 (2-bit) falls far below
+(~19 dB) and is dropped as pixel_invalid.
 
 Used by BOTH the synthetic generator (encode side) and the pipeline's
 decode-invariant UDF (decode side) — SURVEY.md §2 O-3 / O-13.
@@ -70,6 +77,53 @@ def decode_ppm(data: bytes) -> np.ndarray:
     if len(body) != w * h * 3:
         raise ValueError("truncated ppm body")
     return np.frombuffer(body, dtype=np.uint8).reshape(h, w, 3)
+
+
+# ---------------------------------------------------------------------------
+# rawq (lossy): b"RQ" + version byte + one quantized sample per byte.
+# version 1: 6-bit (q = p >> 2), version 2: 2-bit (q = p >> 6).
+# ---------------------------------------------------------------------------
+
+RAWQ_MAGIC = b"RQ"
+_RAWQ_SHIFT = {1: 2, 2: 6}
+
+
+def encode_rawq(pix: np.ndarray, version: int = 1) -> bytes:
+    shift = _RAWQ_SHIFT[version]
+    q = (pix.astype(np.uint8, copy=False) >> shift)
+    return RAWQ_MAGIC + bytes([version]) + q.tobytes()
+
+
+def _rawq_payload(data: bytes, w: int, h: int) -> tuple[int, np.ndarray]:
+    if len(data) < 3 or data[:2] != RAWQ_MAGIC:
+        raise ValueError("bad rawq magic")
+    version = data[2]
+    if version not in _RAWQ_SHIFT:
+        raise ValueError(f"unsupported rawq version {version}")
+    body = data[3:]
+    expect = w * h * 3
+    if len(body) != expect:
+        raise ValueError(f"rawq payload {len(body)}B != {expect}B for {w}x{h}")
+    return version, np.frombuffer(body, dtype=np.uint8).reshape(h, w, 3)
+
+
+def decode_rawq(data: bytes, w: int, h: int) -> np.ndarray:
+    """Production dequantization: mid-rise (q * step + step/2, capped
+    at 255)."""
+    version, q = _rawq_payload(data, w, h)
+    shift = _RAWQ_SHIFT[version]
+    step = 1 << shift
+    return np.minimum(q.astype(np.int32) * step + step // 2, 255).astype(np.uint8)
+
+
+def decode_rawq_ref(data: bytes, w: int, h: int) -> np.ndarray:
+    """Independent reference dequantization: linear scale to [0, 255]
+    (round(q * 255 / qmax)).  Deliberately a different convention from
+    decode_rawq — their PSNR is the decoder-fidelity measure the
+    pixel invariant thresholds at MIN_PSNR_DB."""
+    version, q = _rawq_payload(data, w, h)
+    qmax = (1 << (8 - _RAWQ_SHIFT[version])) - 1
+    return np.rint(q.astype(np.float64) * (255.0 / qmax)).astype(np.uint8)
 
 
 # ---------------------------------------------------------------------------
@@ -222,11 +276,13 @@ def encode(pix: np.ndarray, fmt: str) -> bytes:
         return encode_ppm(pix)
     if fmt == "png":
         return encode_png(pix, filter_mode=2)
+    if fmt == "rawq":
+        return encode_rawq(pix, version=1)
     raise ValueError(f"unknown fmt {fmt!r}")
 
 
 def decode(data: bytes, fmt: str, w: int, h: int) -> np.ndarray:
-    """Decode; `w`/`h` are only *required* for raw (self-describing
+    """Decode; `w`/`h` are required for raw/rawq (self-describing
     formats ignore them and the caller compares claimed vs real dims)."""
     if data is None:
         raise ValueError("null bytes")
@@ -236,7 +292,17 @@ def decode(data: bytes, fmt: str, w: int, h: int) -> np.ndarray:
         return decode_ppm(data)
     if fmt == "png":
         return decode_png(data)
+    if fmt == "rawq":
+        return decode_rawq(data, w, h)
     raise ValueError(f"unknown fmt {fmt!r}")
+
+
+def decode_ref(data: bytes, fmt: str, w: int, h: int) -> np.ndarray | None:
+    """Reference decode for the PSNR fidelity check; None means the
+    format is lossless (reference == production decode, PSNR = inf)."""
+    if fmt == "rawq":
+        return decode_rawq_ref(data, w, h)
+    return None
 
 
 # ---------------------------------------------------------------------------

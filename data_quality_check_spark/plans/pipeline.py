@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 
 from ..constants import (
     MAX_PPL,
+    MIN_PSNR_DB,
     N_BUCKETS,
     RULE_DUP,
     RULE_LANG,
@@ -103,7 +104,14 @@ def enrich(images: DataFrame, n_buckets: int = N_BUCKETS,
         flat += [
             F.col("txt.pixel_ok").alias("pixel_ok"),
             F.col("txt.psnr_db").alias("psnr_db"),
-            (~F.col("txt.pixel_ok")).alias(flag_col(RULE_PIXEL)),
+            # pixel invariant = dims+phash AND decoder-fidelity PSNR
+            # over threshold (inf for lossless formats; finite for
+            # lossy rawq — BASELINE.json:15).  NaN psnr only occurs
+            # with pixel_ok=false, and Spark's NaN>=x quirk (true) is
+            # masked by the conjunction.
+            (~(F.col("txt.pixel_ok")
+               & (F.col("txt.psnr_db") >= MIN_PSNR_DB))
+             ).alias(flag_col(RULE_PIXEL)),
         ]
     keep_cols = [c for c in df.columns if c != "txt"]
     return df.select(*keep_cols, *flat)

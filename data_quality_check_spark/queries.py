@@ -236,7 +236,9 @@ def q_udf_decode(spark, sf_dir):
     from .functions.udfs import decode_udf
     im = _images(spark, sf_dir)
     out = im.select("image_id", decode_udf("bytes", "fmt", "w", "h", "phash").alias("d"))
-    return out.select("image_id", "d.pixel_ok", "d.w_real", "d.h_real", "d.phash_real")
+    return out.select("image_id", "d.pixel_ok", "d.w_real", "d.h_real",
+                      "d.phash_real",
+                      F.round("d.psnr_db", 2).alias("psnr_db"))
 
 
 def q_keep_decision_images(spark, sf_dir):

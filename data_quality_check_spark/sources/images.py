@@ -54,6 +54,9 @@ N_DUP_CLUSTERS = 50
 P_NULL_CAPTION = 0.01
 P_DIM_MISMATCH = 0.005
 P_TRUNCATED = 0.005
+P_RAWQ_V2 = 0.10   # share of rawq rows using the coarse 2-bit profile
+                   # whose decoder-pair PSNR (~20 dB) fails the 40 dB
+                   # pixel invariant (BASELINE.json:15 lossy branch)
 
 _ASCII = np.array(list("abcdefghijklmnopqrstuvwxyz0123456789"), dtype=object)
 _SYMS = np.array(list("!@#$%^&*(){}[]<>|~`=+;:"), dtype=object)
@@ -143,14 +146,18 @@ def generate_pandas(sf: float, seed: int = GEN_SEED) -> pd.DataFrame:
             captions[i] += " you frakk"
 
     # -- images -------------------------------------------------------------
-    fmts = np.array(["raw", "ppm", "png"], dtype=object)[
-        np.searchsorted([0.60, 0.85], rng.random(n))]
+    fmts = np.array(["raw", "ppm", "png", "rawq"], dtype=object)[
+        np.searchsorted([0.55, 0.80, 0.94], rng.random(n))]
     ws = rng.integers(8, 65, n).astype(np.int32)
     hs = rng.integers(8, 65, n).astype(np.int32)
+    rawq_v2 = rng.random(n) < P_RAWQ_V2
 
     # duplicate clusters: 10% of rows share one of 50 cluster images
     dup_mask = rng.random(n) < P_DUP
     cluster_of = rng.integers(0, N_DUP_CLUSTERS, n)
+    # lossy-encoded duplicates would hash the QUANTIZED pixels and
+    # escape phash-equality dup ranking — keep dup rows lossless
+    fmts = np.where(dup_mask & (fmts == "rawq"), "raw", fmts)
     crng = np.random.default_rng([seed, 777])
     cluster_pix = []
     for c in range(N_DUP_CLUSTERS):
@@ -165,8 +172,17 @@ def generate_pandas(sf: float, seed: int = GEN_SEED) -> pd.DataFrame:
             hs[i], ws[i] = pix.shape[0], pix.shape[1]
         else:
             pix = _pixels(rng, int(ws[i]), int(hs[i]))
-        blobs.append(codecs.encode(pix, fmts[i]))
-        phashes[i] = codecs.ahash64(pix)
+        if fmts[i] == "rawq":
+            blob = codecs.encode_rawq(pix, 2 if rawq_v2[i] else 1)
+            # lossy: the invariant phash is defined on the production
+            # decode, so v1 rows pass dims+phash and are then judged
+            # purely by the PSNR threshold
+            phashes[i] = codecs.ahash64(
+                codecs.decode(blob, "rawq", pix.shape[1], pix.shape[0]))
+        else:
+            blob = codecs.encode(pix, fmts[i])
+            phashes[i] = codecs.ahash64(pix)
+        blobs.append(blob)
 
     # -- corruption ---------------------------------------------------------
     cr = rng.random(n)

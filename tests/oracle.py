@@ -19,6 +19,7 @@ from data_quality_check_spark.constants import (
     MAX_CAPTION_LEN,
     MAX_PPL,
     MIN_CAPTION_LEN,
+    MIN_PSNR_DB,
     RULE_DUP,
     RULE_LANG,
     RULE_NULL,
@@ -92,7 +93,14 @@ def evaluate(pdf: pd.DataFrame) -> pd.DataFrame:
         )
         pixel_ok[i] = ok
         if ok:
-            psnr[i] = np.inf
+            try:
+                ref = codecs.decode_ref(b, fmt, pix.shape[1], pix.shape[0])
+                psnr[i] = np.inf if ref is None else codecs.psnr_db(pix, ref)
+            except Exception:
+                pass  # stays NaN; thresholded below
+
+    with np.errstate(invalid="ignore"):
+        psnr_ok = psnr >= MIN_PSNR_DB
 
     # duplicate rank: first image_id per phash wins.  dropna=False
     # mirrors Spark's window semantics, which group null phashes
@@ -110,7 +118,10 @@ def evaluate(pdf: pd.DataFrame) -> pd.DataFrame:
         RULE_LANG: lang_bad,
         RULE_PPL: ppl_bad,
         RULE_TOXIC: toxic,
-        RULE_PIXEL: ~pixel_ok,
+        # pixel invariant incl. the lossy-format PSNR threshold
+        # (BASELINE.json:15); NaN psnr rows already have pixel_ok
+        # False, so the NaN comparison (False) cannot flip a verdict
+        RULE_PIXEL: ~(pixel_ok & psnr_ok),
         RULE_DUP: dup,
     }
     any_bad = np.zeros(n, dtype=bool)

@@ -46,7 +46,7 @@ def test_suite_passes_clean_images(spark):
     rep = Suite([
         C.unique("image_id"),
         C.matches("image_id", r"img_\d{12}"),
-        C.accepted_values("fmt", ["raw", "ppm", "png"]),
+        C.accepted_values("fmt", ["raw", "ppm", "png", "rawq"]),
         C.in_range("w", 1, 10_000),
     ]).run(df)
     assert rep.passed, rep.to_rows()

@@ -60,3 +60,47 @@ def test_psnr():
     b = a.copy()
     b[0, 0, 0] = (int(b[0, 0, 0]) + 128) % 256
     assert 0 < C.psnr_db(a, b) < 100
+
+
+@pytest.mark.parametrize("version,max_err", [(1, 3), (2, 63)])
+def test_rawq_quantization_bounds(version, max_err):
+    """Lossy round-trip: production decode is within the quantization
+    step of the original and deterministic."""
+    pix = _img(13, 17)
+    blob = C.encode_rawq(pix, version)
+    dec = C.decode_rawq(blob, 17, 13)
+    assert dec.shape == pix.shape and dec.dtype == np.uint8
+    assert np.abs(dec.astype(int) - pix.astype(int)).max() <= max_err
+    assert (C.decode(blob, "rawq", 17, 13) == dec).all()
+
+
+def test_rawq_psnr_threshold_branch():
+    """The PSNR fidelity measure: v1 (6-bit) decoder pair agrees above
+    the 40 dB keep threshold, v2 (2-bit) falls far below — the branch
+    BASELINE.json:15 specifies for lossy formats, finite on both
+    sides."""
+    from data_quality_check_spark.constants import MIN_PSNR_DB
+
+    pix = _img(32, 32)
+    b1, b2 = C.encode_rawq(pix, 1), C.encode_rawq(pix, 2)
+    p1 = C.psnr_db(C.decode_rawq(b1, 32, 32), C.decode_rawq_ref(b1, 32, 32))
+    p2 = C.psnr_db(C.decode_rawq(b2, 32, 32), C.decode_rawq_ref(b2, 32, 32))
+    assert np.isfinite(p1) and np.isfinite(p2)
+    assert p1 >= MIN_PSNR_DB > p2
+
+
+def test_rawq_corruption_raises():
+    pix = _img(8, 8)
+    blob = C.encode_rawq(pix, 1)
+    with pytest.raises(ValueError):
+        C.decode_rawq(blob[: len(blob) // 2], 8, 8)   # truncated
+    with pytest.raises(ValueError):
+        C.decode_rawq(b"XX" + blob[2:], 8, 8)         # bad magic
+    with pytest.raises(ValueError):
+        C.decode_rawq(blob[:2] + b"\x07" + blob[3:], 8, 8)  # bad version
+
+
+def test_decode_ref_none_for_lossless():
+    pix = _img(8, 8)
+    for fmt in ("raw", "ppm", "png"):
+        assert C.decode_ref(C.encode(pix, fmt), fmt, 8, 8) is None

@@ -50,13 +50,18 @@ def test_scrub_hits_exact(pipeline_results, oracle_labels):
         assert dict(a or {}) == dict(b or {})
 
 
-def test_pixel_invariant(pipeline_results, oracle_labels):
+def test_pixel_invariant(pipeline_results, oracle_labels, images_pdf):
     assert (pipeline_results.pixel_ok.to_numpy()
             == oracle_labels.pixel_ok.to_numpy()).all()
-    # lossless sandbox formats: every valid row decodes exactly => inf
+    # lossless formats decode exactly => inf; lossy rawq rows carry a
+    # finite decoder-fidelity PSNR
     ok = pipeline_results.pixel_ok.to_numpy()
     psnr = pipeline_results.psnr_db.to_numpy()
-    assert np.isinf(psnr[ok]).all()
+    fmts = (images_pdf.sort_values("image_id").reset_index(drop=True)
+            ["fmt"].to_numpy())
+    lossless = fmts != "rawq"
+    assert np.isinf(psnr[ok & lossless]).all()
+    assert np.isfinite(psnr[ok & ~lossless]).all()
 
 
 def test_keep_rate_sane(oracle_labels):
@@ -77,3 +82,29 @@ def test_text_only_path_has_verdict(spark):
     pdf = out.limit(50).toPandas()
     assert len(pdf) == 50
     assert pdf.pixel_ok.all()
+
+
+def test_lossy_psnr_branch_live(oracle_labels, pipeline_results, images_pdf):
+    """The regenerated fixture carries rawq rows: finite psnr must
+    appear, v1 rows pass the 40 dB gate, v2 rows are dropped as
+    pixel_invalid — in BOTH the oracle and the pipeline."""
+    import numpy as np
+
+    fmts = images_pdf.sort_values("image_id").reset_index(drop=True)["fmt"]
+    assert (fmts == "rawq").sum() > 0, "fixture must contain rawq rows"
+    psnr = pipeline_results["psnr_db"].to_numpy()
+    finite = np.isfinite(psnr)
+    assert finite.any(), "finite PSNR rows must exist (lossy decode)"
+    # pipeline and oracle agree on every finite PSNR to 6 decimals
+    opsnr = oracle_labels["psnr_db"].to_numpy()
+    assert (np.isfinite(opsnr) == finite).all()
+    assert np.allclose(psnr[finite], opsnr[finite], atol=1e-6)
+    # both regimes observed: some finite rows above the gate (kept
+    # unless another rule fires) and some below (always dropped)
+    from data_quality_check_spark.constants import MIN_PSNR_DB, RULE_PIXEL
+    below = finite & (psnr < MIN_PSNR_DB)
+    above = finite & (psnr >= MIN_PSNR_DB)
+    assert below.any() and above.any()
+    reasons = pipeline_results["drop_reasons"]
+    assert all(RULE_PIXEL in reasons.iloc[i] for i in np.nonzero(below)[0])
+    assert not any(RULE_PIXEL in reasons.iloc[i] for i in np.nonzero(above)[0])
