@@ -949,6 +949,55 @@ SQL_TEXT_QUALITY_SCORE = (
 )
 
 
+def q_text_langid_heuristic(spark, sf_dir):
+    """Stopword-vote language ID: argmax over per-language stopword
+    hit counts (ties broken in LANGS order, zero votes => 'und').
+    The SQL-checkable heuristic twin of the model-based udf_langid."""
+    from .constants import LANGS
+
+    d = _t(spark, sf_dir, "documents")
+    tokd = d.select("doc_id", _doc_tokens().alias("__toks"))
+
+    def _vote(words):
+        # NB: a two-arg lambda would be read as (element, index) by
+        # F.filter — bind the stopword list via closure instead
+        arr = F.array(*[F.lit(w) for w in words])
+        return F.size(F.filter(F.col("__toks"),
+                               lambda t: F.array_contains(arr, t)))
+
+    votes = {lang: _vote(STOPWORDS[lang]) for lang in LANGS}
+    scored = tokd.select(
+        "doc_id", *[votes[lang].alias(f"v_{lang}") for lang in LANGS])
+    best = F.greatest(*[F.col(f"v_{lang}") for lang in LANGS])
+    pred = F.lit("und")
+    for lang in reversed(LANGS):  # first-in-LANGS wins ties
+        pred = F.when(F.col(f"v_{lang}") == best, F.lit(lang)).otherwise(pred)
+    pred = F.when(best == 0, F.lit("und")).otherwise(pred)
+    return scored.select("doc_id", pred.alias("lang_pred"),
+                         best.alias("n_votes"))
+
+
+def _langid_sql() -> str:
+    from .constants import LANGS
+
+    vote = {
+        lang: ("len(list_filter(list_filter(string_split(text, ' '), "
+               "t -> t != ''), t -> list_contains(["
+               + ", ".join(f"'{w}'" for w in STOPWORDS[lang]) + "], t)))")
+        for lang in LANGS
+    }
+    v_cols = ", ".join(f"{vote[lang]} AS v_{lang}" for lang in LANGS)
+    best = "greatest(" + ", ".join(f"v_{lang}" for lang in LANGS) + ")"
+    case = "CASE WHEN " + best + " = 0 THEN 'und' " + " ".join(
+        f"WHEN v_{lang} = {best} THEN '{lang}'" for lang in LANGS) + " END"
+    return (f"WITH v AS (SELECT doc_id, {v_cols} FROM documents) "
+            f"SELECT doc_id, {case} AS lang_pred, "
+            f"CAST({best} AS INT) AS n_votes FROM v")
+
+
+SQL_TEXT_LANGID_HEURISTIC = _langid_sql()
+
+
 def q_text_fingerprint(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     return d.select(
@@ -1430,6 +1479,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "text_tokens": (q_text_tokens, SQL_TEXT_TOKENS),
     "text_quality_score": (q_text_quality_score, SQL_TEXT_QUALITY_SCORE),
     "text_fingerprint": (q_text_fingerprint, SQL_TEXT_FINGERPRINT),
+    "text_langid_heuristic": (q_text_langid_heuristic, SQL_TEXT_LANGID_HEURISTIC),
     "multimodal_features": (q_multimodal_features, None),
     # images-table SQL-checked keys (DuckDB reads the generated
     # parquet by path at the driver's sf=0.01)

@@ -93,8 +93,19 @@ fully scored, scrubbed, decoded, deduped and committed in ~{bench['value']:.0f} 
 (and 1M in ~{m['8']:.0f} s at 8 cores) meets that bar; all
 quantitative targets come from BASELINE.json (correctness gate:
 keep/drop F1 = 1.0 vs the pandas reference oracle —
-tests/test_pipeline_vs_oracle.py; 38 operators value-exact vs DuckDB
-— tools/check_contract.py).""")
+tests/test_pipeline_vs_oracle.py; 58 query keys value-exact vs DuckDB
+— tools/check_contract.py).
+
+## ANN / near-dup recall (measured, asserted in tests/test_similarity.py)
+
+| operator | config | corpus | recall | notes |
+|---|---|---|---|---|
+| lsh_cosine_topk | 3 bits x 8 tables | uniform-random fixture (LSH worst case) | 0.92 @5 | floor 0.8 |
+| lsh_cosine_topk | 3 bits x 16 tables | same | 1.00 @5 | |
+| ivf_cosine_topk | 16 centroids, nprobe=4 | clustered synthetic | 1.00 @5 | floor 0.95 |
+| ivf_cosine_topk | same | uniform-random fixture | 0.80 @5 (nprobe=8) | ~nprobe/n_centroids by construction |
+| embedding_near_dups | 2 bits x 16 bands, t=0.25 | fixture | 0.999 pairs | floor 0.9 (dedup_embedding_lsh) |
+| embedding_near_dups | 8 bits x 16 bands, t=0.9 | clustered synthetic | 1.00 pairs | scores only 7.4% of all pairs |""")
 
     lines.append("""
 ## Shuffle audit
