@@ -82,10 +82,15 @@ def main() -> None:
         for key in HEADLINE_KEYS:
             fn, _sql = REGISTRY[key]
             fn(spark, sf_dir).count()  # warm: codegen/JIT compile
-            t0 = time.time()
-            n = fn(spark, sf_dir).count()
-            timings[key] = round(time.time() - t0, 3)
-            assert n >= 0
+            # min of 3: the host has noisy-neighbor CPU steal and a
+            # single timed run regularly reads 1.5-2x high
+            best = float("inf")
+            for _ in range(3):
+                t0 = time.time()
+                n = fn(spark, sf_dir).count()
+                best = min(best, time.time() - t0)
+                assert n >= 0
+            timings[key] = round(best, 3)
     finally:
         for d in tmp_dirs:
             shutil.rmtree(d, ignore_errors=True)

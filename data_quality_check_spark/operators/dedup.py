@@ -255,3 +255,50 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+
+
+def connected_components(pairs: DataFrame, src: str = "id_a",
+                         dst: str = "id_b", max_iter: int = 30) -> DataFrame:
+    """Resolve near-dup PAIRS into duplicate CLUSTERS: connected
+    components by iterative min-label propagation, the step that turns
+    pairwise similarity output into "keep one canonical doc per
+    group".  Returns (node, component) with component = min node id
+    reachable from `node`.
+
+    Execution model: a driver-side loop of join + groupBy rounds —
+    the standard Pregel-style iteration expressed as DataFrames.  Each
+    round is localCheckpoint()ed to cut the lineage (otherwise plan
+    depth grows linearly and re-executes prior rounds); the loop exits
+    when a round changes no label, after at most graph-diameter
+    rounds.  At 10^12 edges the same loop runs with edges/labels
+    co-partitioned on the join key; large-star/small-star alternation
+    (Kiveris et al.) would cut round count to O(log d) if diameter
+    ever becomes the bottleneck.
+    """
+    e = pairs.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    edges = e.union(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    # materialize the edge list ONCE: `pairs` is typically an
+    # expensive similarity join, and the loop below would otherwise
+    # recompute it on every round
+    edges = edges.localCheckpoint()
+    labels = (edges.select(F.col("src").alias("node")).distinct()
+              .withColumn("label", F.col("node")))
+    for _ in range(max_iter):
+        nbr_min = (edges.join(labels, edges["dst"] == labels["node"])
+                   .groupBy("src").agg(F.min("label").alias("nbr_min")))
+        new_labels = (
+            labels.join(nbr_min, labels["node"] == nbr_min["src"], "left")
+            .select(labels["node"],
+                    F.least(labels["label"],
+                            F.coalesce(nbr_min["nbr_min"], labels["label"])
+                            ).alias("label"))
+            .localCheckpoint()
+        )
+        changed = (new_labels.alias("n")
+                   .join(labels.alias("o"), "node")
+                   .filter(F.col("n.label") != F.col("o.label")).count())
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("node", F.col("label").alias("component"))

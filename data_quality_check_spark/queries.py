@@ -905,6 +905,44 @@ SELECT id_a, id_b, cos FROM scored WHERE cos >= 0.25
 """
 
 
+def q_dedup_components(spark, sf_dir):
+    """Near-dup pair resolution: connected components over the
+    embedding near-dup graph (iterative min-label propagation) —
+    SQL-checked against a DuckDB recursive CTE computing min
+    reachable id."""
+    from .operators.similarity import embedding_near_dups
+    em = _t(spark, sf_dir, "embeddings")
+    pairs = embedding_near_dups(em, threshold=0.25)
+    return dedup.connected_components(pairs)
+
+
+SQL_DEDUP_COMPONENTS = """
+WITH RECURSIVE scored AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+    round(
+      list_sum(list_transform(list_zip(a.embedding, b.embedding),
+               t -> CAST(t[1] AS DOUBLE) * CAST(t[2] AS DOUBLE)))
+      / (sqrt(list_sum(list_transform(a.embedding,
+               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+       * sqrt(list_sum(list_transform(b.embedding,
+               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6) AS cos
+  FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id
+), p AS (
+  SELECT id_a, id_b FROM scored WHERE cos >= 0.25
+), e AS (
+  SELECT id_a AS src, id_b AS dst FROM p
+  UNION SELECT id_b, id_a FROM p
+), n AS (
+  SELECT DISTINCT src AS node FROM e
+), reach(node, r) AS (
+  SELECT node, node FROM n
+  UNION
+  SELECT reach.node, e.dst FROM reach JOIN e ON reach.r = e.src
+)
+SELECT node, min(r) AS component FROM reach GROUP BY node
+"""
+
+
 def q_dedup_embedding_lsh(spark, sf_dir):
     """Banded-LSH scale path of dedup_embedding (rows-only: bucket
     membership is hyperplane-seeded; the recall-vs-exact contract is
@@ -1476,6 +1514,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "sim_ivf_topk": (q_sim_ivf_topk, None),
     "dedup_embedding": (q_dedup_embedding, SQL_DEDUP_EMBEDDING),
     "dedup_embedding_lsh": (q_dedup_embedding_lsh, None),
+    "dedup_components": (q_dedup_components, SQL_DEDUP_COMPONENTS),
     "text_tokens": (q_text_tokens, SQL_TEXT_TOKENS),
     "text_quality_score": (q_text_quality_score, SQL_TEXT_QUALITY_SCORE),
     "text_fingerprint": (q_text_fingerprint, SQL_TEXT_FINGERPRINT),

@@ -91,3 +91,27 @@ def test_ngram_jaccard_pair_detection(spark):
     assert got[(1, 7)] == 1.0                 # exact dup
     assert (1, 3) in got and got[(1, 3)] > 0.5  # near dup
     assert (1, 4) not in got and (1, 5) not in got
+
+
+def test_connected_components_basic(spark):
+    """Two components + a long chain (forces multiple propagation
+    rounds: label 1 travels diameter-many hops)."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11),
+         (20, 21), (21, 22), (22, 23), (23, 24), (24, 25)],
+        "id_a long, id_b long")
+    got = {r["node"]: r["component"]
+           for r in dedup.connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10,
+                   20: 20, 21: 20, 22: 20, 23: 20, 24: 20, 25: 20}
+
+
+def test_connected_components_on_near_dup_pairs(spark):
+    """End-to-end: minhash candidate pairs -> clusters; the exact dup
+    and near dup land in doc 1's component, others stay apart."""
+    d = _docs(spark)
+    pairs = dedup.jaccard_pairs_exact(d, "text", "doc_id", threshold=0.3)
+    got = {r["node"]: r["component"]
+           for r in dedup.connected_components(pairs).collect()}
+    assert got[1] == got[7] == got[3] == 1
+    assert 4 not in got and 5 not in got  # no qualifying pair
