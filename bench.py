@@ -77,7 +77,10 @@ def main() -> None:
         run_pipeline(spark, sf, _tmp())
         run_pipeline(spark, sf, _tmp())
         runs = sorted(run_pipeline(spark, sf, _tmp()) for _ in range(3))
-        timings["pipeline"] = round(runs[1], 3)  # median of 3
+        # noise floor (min), not median: the shared host takes
+        # 1.5-2x CPU-steal bursts that land on individual runs —
+        # same estimator as the BENCH/BASELINE.md scaling protocol
+        timings["pipeline"] = round(runs[0], 3)
 
         for key in HEADLINE_KEYS:
             fn, _sql = REGISTRY[key]
