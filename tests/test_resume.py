@@ -72,3 +72,48 @@ def test_rerun_overwrite_is_byte_identical(spark, catroot):
     a = spark.createDataFrame(first_pdf)
     assert a.exceptAll(second).count() == 0
     assert second.exceptAll(a).count() == 0
+
+
+def test_arbitrary_parquet_with_nulls_flows_through(spark, tmp_path):
+    """ADVICE r1 end-to-end: a user-supplied images parquet with null
+    phash / null dims / null bytes but decodable siblings must flow
+    through the WHOLE checkpoint run (fused UDF included) and come
+    out flagged, never abort an Arrow task."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from data_quality_check_spark.kernels import codecs
+
+    pix = np.full((8, 8, 3), 120, dtype=np.uint8)
+    blob = codecs.encode(pix, "raw")
+    ph = codecs.ahash64(pix)
+    cap = "a photo of the beach with a dog"
+    pdf = pd.DataFrame({
+        "image_id": ["a_ok", "b_null_ph", "c_null_dims", "d_null_bytes"],
+        "bytes": [blob, blob, blob, None],
+        "w": pd.array([8, 8, None, 8], dtype="Int32"),
+        "h": pd.array([8, 8, None, 8], dtype="Int32"),
+        "fmt": ["raw"] * 4,
+        "caption": [cap] * 4,
+        "phash": pd.array([ph, None, ph, ph], dtype="Int64"),
+    })
+    path = str(tmp_path / "user_images.parquet")
+    pq.write_table(pa.Table.from_pandas(pdf, schema=IM.ARROW_SCHEMA,
+                                        preserve_index=False), path)
+
+    df = spark.read.schema(IM.IMAGES_DDL).parquet(path)
+    out_root = str(tmp_path / "out")
+    stats = CP.run(spark, LocalParquetCatalog(spark, out_root), df,
+                   run_key="nulls-e2e")
+    assert stats["buckets"] == 64
+
+    res = (LocalParquetCatalog(spark, out_root).read_table("results")
+           .select("image_id", "keep", "pixel_ok").toPandas()
+           .set_index("image_id"))
+    assert len(res) == 4
+    assert bool(res.loc["a_ok", "pixel_ok"]) is True
+    for bad in ("b_null_ph", "c_null_dims", "d_null_bytes"):
+        assert bool(res.loc[bad, "pixel_ok"]) is False
+        assert bool(res.loc[bad, "keep"]) is False
