@@ -16,7 +16,7 @@ from __future__ import annotations
 
 import time
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from ..constants import N_BUCKETS, RULE_ORDER
@@ -85,6 +85,7 @@ def run(spark: SparkSession, catalog: Catalog, images: DataFrame,
     waves = [pending[i:i + wave_size] for i in range(0, len(pending), wave_size)]
     app_id = spark.sparkContext.applicationId
     run_id = f"{run_key}-{int(t0)}"
+    total_rows = total_keep = 0
 
     for wi, wave in enumerate(waves):
         wt0 = time.time()
@@ -97,12 +98,20 @@ def run(spark: SparkSession, catalog: Catalog, images: DataFrame,
 
         # 1. results (idempotent dynamic partition overwrite) — the
         #    ONE action that executes the UDF pipeline; nothing is
-        #    persisted (at 10^12 rows a cache would just spill)
-        catalog.overwrite_partitions(
-            RESULTS_TABLE,
-            wave_df.select(*RESULT_COLUMNS).sortWithinPartitions("image_id"),
-            ["bucket"],
+        #    persisted (at 10^12 rows a cache would just spill).
+        #    Observation metrics ride the write action for free (no
+        #    extra scan, works at any scale) and record what the JOB
+        #    computed, to cross-check against what landed on DISK.
+        obs = Observation(f"wave-{wi}")
+        to_write = (
+            wave_df.select(*RESULT_COLUMNS)
+            .sortWithinPartitions("image_id")
+            .observe(obs,
+                     F.count(F.lit(1)).alias("n_rows"),
+                     F.sum(F.col("keep").cast("long")).alias("n_keep"))
         )
+        catalog.overwrite_partitions(RESULTS_TABLE, to_write, ["bucket"])
+        observed = obs.get  # blocks until the write action finishes
 
         # 2. audit from the *written* results partitions (columnar
         #    read of 4 small columns; never recomputes the UDFs):
@@ -144,6 +153,22 @@ def run(spark: SparkSession, catalog: Catalog, images: DataFrame,
         # DataFrame and then collecting it again would scan the written
         # results partitions twice
         audit_rows = audit.collect()
+        # integrity gate BEFORE the ledger commit point: the audit is
+        # computed from the files on disk — if it disagrees with what
+        # the write action observed, something between executor and
+        # storage dropped or duplicated rows; committing the ledger
+        # would silently bless it
+        disk_rows = sum(r["n_rows"] for r in audit_rows)
+        disk_keep = sum(r["n_keep"] for r in audit_rows)
+        if (disk_rows, disk_keep) != (observed["n_rows"],
+                                      observed["n_keep"] or 0):
+            raise RuntimeError(
+                f"wave {wi}: results on disk ({disk_rows} rows / "
+                f"{disk_keep} keep) != write-action observation "
+                f"({observed['n_rows']} / {observed['n_keep']}); "
+                "refusing to commit ledger")
+        total_rows += disk_rows
+        total_keep += disk_keep
         catalog.append(
             AUDIT_TABLE, spark.createDataFrame(audit_rows, audit.schema))
 
@@ -169,5 +194,7 @@ def run(spark: SparkSession, catalog: Catalog, images: DataFrame,
         "buckets": len(pending),
         "skipped": n_buckets - len(pending),
         "hot_buckets": hot,
+        "rows_written": total_rows,
+        "rows_kept": total_keep,
         "wall_s": time.time() - t0,
     }

@@ -117,3 +117,15 @@ def test_arbitrary_parquet_with_nulls_flows_through(spark, tmp_path):
     for bad in ("b_null_ph", "c_null_dims", "d_null_bytes"):
         assert bool(res.loc[bad, "pixel_ok"]) is False
         assert bool(res.loc[bad, "keep"]) is False
+
+
+def test_run_stats_carry_observed_counts(spark, tmp_path):
+    """Observation metrics ride the results write: run() reports the
+    rows the write action actually processed, and the pre-ledger
+    integrity gate has verified they equal what landed on disk."""
+    df = IM.read_images(spark, 0.001)
+    stats = CP.run(spark, LocalParquetCatalog(spark, str(tmp_path)), df,
+                   run_key="obs")
+    assert stats["rows_written"] == IM.sf_rows(0.001)
+    assert 0 < stats["rows_kept"] < stats["rows_written"]
+
