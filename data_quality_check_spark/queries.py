@@ -488,6 +488,34 @@ SQL_WIN_TOPK = (
 )
 
 
+def q_win_rank_misc(spark, sf_dir):
+    """Ranking-family window surface: ntile / percent_rank /
+    cume_dist / rank / dense_rank / first_value over one total order
+    (unique tie-break keeps every engine agreeing)."""
+    d = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    return d.select(
+        "doc_id", "lang",
+        F.ntile(4).over(w).alias("q4"),
+        F.round(F.percent_rank().over(w), 6).alias("pr"),
+        F.round(F.cume_dist().over(w), 6).alias("cd"),
+        F.rank().over(w).alias("rk"),
+        F.dense_rank().over(w).alias("drk"),
+        F.first("doc_id").over(w).alias("top_doc"),
+    )
+
+
+SQL_WIN_RANK_MISC = (
+    "SELECT doc_id, lang, ntile(4) OVER w AS q4, "
+    "round(percent_rank() OVER w, 6) AS pr, "
+    "round(cume_dist() OVER w, 6) AS cd, "
+    "rank() OVER w AS rk, dense_rank() OVER w AS drk, "
+    "first_value(doc_id) OVER w AS top_doc "
+    "FROM documents WINDOW w AS "
+    "(PARTITION BY lang ORDER BY n_chars DESC, doc_id ASC)"
+)
+
+
 # ---------------------------------------------------------------------------
 # H/I. sorts / set ops
 # ---------------------------------------------------------------------------
@@ -1484,6 +1512,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "win_dup_rank": (q_win_dup_rank, SQL_WIN_DUP_RANK),
     "win_moving": (q_win_moving, SQL_WIN_MOVING),
     "win_topk": (q_win_topk, SQL_WIN_TOPK),
+    "win_rank_misc": (q_win_rank_misc, SQL_WIN_RANK_MISC),
     # sorts / set ops
     "sort_limit": (q_sort_limit, SQL_SORT_LIMIT),
     "setop_except": (q_setop_except, SQL_SETOP_EXCEPT),

@@ -75,3 +75,30 @@ def test_salting_invariance(spark):
     a = {r["bucket"]: (r["n"], r["s"]) for r in salted.collect()}
     b = {r["bucket"]: (r["n"], r["s"]) for r in plain.collect()}
     assert a == b
+
+
+@given(st.integers(0, 2**32 - 1), st.sampled_from([1, 2]))
+@settings(max_examples=25, deadline=None)
+def test_rawq_roundtrip_properties(seed, version):
+    """Lossy round-trip invariants for arbitrary images: shape/dtype
+    preserved, reconstruction error bounded by the quantization step,
+    deterministic re-encode, and the v1 decoder pair always agrees
+    more closely (higher PSNR) than v2's."""
+    import numpy as np
+
+    from data_quality_check_spark.kernels import codecs
+
+    rng = np.random.default_rng(seed)
+    h, w = int(rng.integers(1, 24)), int(rng.integers(1, 24))
+    pix = rng.integers(0, 256, (h, w, 3)).astype(np.uint8)
+    blob = codecs.encode_rawq(pix, version)
+    dec = codecs.decode_rawq(blob, w, h)
+    step = 4 if version == 1 else 64
+    assert dec.shape == pix.shape and dec.dtype == np.uint8
+    assert np.abs(dec.astype(int) - pix.astype(int)).max() <= step - 1
+    assert codecs.encode_rawq(pix, version) == blob
+    p1 = codecs.psnr_db(codecs.decode_rawq(b1 := codecs.encode_rawq(pix, 1), w, h),
+                        codecs.decode_rawq_ref(b1, w, h))
+    p2 = codecs.psnr_db(codecs.decode_rawq(b2 := codecs.encode_rawq(pix, 2), w, h),
+                        codecs.decode_rawq_ref(b2, w, h))
+    assert p1 > p2

@@ -75,3 +75,21 @@ def test_no_complex_output_columns(spark, key):
     bad = [f.name for f in df.schema.fields
            if isinstance(f.dataType, (ArrayType, MapType, StructType))]
     assert not bad, f"{key} outputs non-scalar columns {bad}"
+
+
+def test_approx_distinct_error_bound(spark):
+    """HLL sketch values are engine-specific (rows-only key), but the
+    relative error vs exact must stay inside 3x the default 5% rsd
+    (a ~3-sigma envelope) — a silent sketch regression would pass a
+    bare row count."""
+    from pyspark.sql import functions as F
+
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    row = li.agg(
+        F.approx_count_distinct("l_partkey").alias("ap"),
+        F.countDistinct("l_partkey").alias("ep"),
+        F.approx_count_distinct("l_orderkey").alias("ao"),
+        F.countDistinct("l_orderkey").alias("eo"),
+    ).collect()[0]
+    assert abs(row["ap"] - row["ep"]) / row["ep"] < 0.15
+    assert abs(row["ao"] - row["eo"]) / row["eo"] < 0.15

@@ -93,7 +93,7 @@ fully scored, scrubbed, decoded, deduped and committed in ~{bench['value']:.0f} 
 (and 1M in ~{m['8']:.0f} s at 8 cores) meets that bar; all
 quantitative targets come from BASELINE.json (correctness gate:
 keep/drop F1 = 1.0 vs the pandas reference oracle —
-tests/test_pipeline_vs_oracle.py; 59 query keys value-exact vs DuckDB
+tests/test_pipeline_vs_oracle.py; 60 query keys value-exact vs DuckDB
 — tools/check_contract.py).
 
 ## ANN / near-dup recall (measured, asserted in tests/test_similarity.py)
