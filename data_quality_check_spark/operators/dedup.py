@@ -302,3 +302,81 @@ def connected_components(pairs: DataFrame, src: str = "id_a",
         if changed == 0:
             break
     return labels.select("node", F.col("label").alias("component"))
+
+
+def minhash_candidate_pairs(df: DataFrame, text_col: str, id_col: str,
+                            num_hashes: int = 16, bands: int = 4,
+                            shingle_k: int = 5) -> DataFrame:
+    """Distinct candidate PAIRS from shared MinHash LSH bands
+    (id_a < id_b).  Only ids travel through the band self-join —
+    never text, shingles or grams (the r1 Jaccard path replicated
+    gram arrays ~8x through the band explosion)."""
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(_widen(df), text_col, id_col,
+                              num_hashes, shingle_k)
+    banded = sigs.select(
+        F.col(id_col).alias("__id"),
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(*[F.col("sig")[b * rows_per_band + r]
+                             for r in range(rows_per_band)]).alias("bh"),
+            )
+            for b in range(bands)
+        ])).alias("bb"),
+    ).select("__id", "bb.band", "bb.bh")
+    return (
+        banded.alias("a").join(
+            banded.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.__id") < F.col("b.__id")))
+        .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
+        .distinct()
+    )
+
+
+def text_near_dup_keepers(df: DataFrame, text_col: str, id_col: str,
+                          threshold: float = 0.5, num_hashes: int = 16,
+                          bands: int = 4, shingle_k: int = 5,
+                          ngram: int = 3) -> DataFrame:
+    """The canonical text-dedup pipeline, end to end:
+
+      MinHash-LSH candidates  ->  exact n-gram Jaccard verification
+      (only on candidates, grams fetched by id join — no gram carry
+      through the band join)  ->  connected components  ->
+      first-wins keeper per duplicate group.
+
+    Returns one row per input id: (id, keeper_id, is_dup); singletons
+    keep themselves.  Every stage shuffles only ids/hashes or
+    verified pairs."""
+    cand = minhash_candidate_pairs(df, text_col, id_col,
+                                   num_hashes, bands, shingle_k)
+    tokd = df.select(
+        F.col(id_col),
+        F.filter(F.split(F.lower(F.col(text_col)), " "),
+                 lambda t: t != F.lit("")).alias("__toks"))
+    grams = tokd.select(F.col(id_col).alias("gid"),
+                        _gram_expr(F.col("__toks"), ngram).alias("grams"))
+    pairs = (
+        cand.join(grams.select(F.col("gid").alias("id_a"),
+                               F.col("grams").alias("ga")), "id_a")
+        .join(grams.select(F.col("gid").alias("id_b"),
+                           F.col("grams").alias("gb")), "id_b")
+    )
+    inter = F.size(F.array_intersect("ga", "gb")).cast("double")
+    union = F.size(F.array_union("ga", "gb")).cast("double")
+    verified = (pairs.withColumn("jaccard", inter / union)
+                .filter(F.col("jaccard") >= threshold)
+                .select("id_a", "id_b"))
+    comp = connected_components(verified)
+    return (
+        df.select(F.col(id_col).alias("id"))
+        .join(comp, F.col("id") == F.col("node"), "left")
+        .select(
+            "id",
+            F.coalesce(F.col("component"), F.col("id")).alias("keeper_id"),
+            (F.coalesce(F.col("component"), F.col("id")) != F.col("id"))
+            .alias("is_dup"),
+        )
+    )

@@ -933,6 +933,15 @@ SELECT id_a, id_b, cos FROM scored WHERE cos >= 0.25
 """
 
 
+def q_dedup_text_pipeline(spark, sf_dir):
+    """End-to-end text dedup: MinHash candidates -> exact Jaccard
+    verification -> components -> first-wins keepers (rows-only:
+    candidate generation is xxhash64-seeded; the exactness contract
+    is tests/test_dedup.py::test_text_pipeline_matches_exact)."""
+    d = _t(spark, sf_dir, "documents")
+    return dedup.text_near_dup_keepers(d, "text", "doc_id", threshold=0.5)
+
+
 def q_dedup_components(spark, sf_dir):
     """Near-dup pair resolution: connected components over the
     embedding near-dup graph (iterative min-label propagation) —
@@ -1544,6 +1553,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "dedup_embedding": (q_dedup_embedding, SQL_DEDUP_EMBEDDING),
     "dedup_embedding_lsh": (q_dedup_embedding_lsh, None),
     "dedup_components": (q_dedup_components, SQL_DEDUP_COMPONENTS),
+    "dedup_text_pipeline": (q_dedup_text_pipeline, None),
     "text_tokens": (q_text_tokens, SQL_TEXT_TOKENS),
     "text_quality_score": (q_text_quality_score, SQL_TEXT_QUALITY_SCORE),
     "text_fingerprint": (q_text_fingerprint, SQL_TEXT_FINGERPRINT),

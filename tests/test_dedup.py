@@ -115,3 +115,34 @@ def test_connected_components_on_near_dup_pairs(spark):
            for r in dedup.connected_components(pairs).collect()}
     assert got[1] == got[7] == got[3] == 1
     assert 4 not in got and 5 not in got  # no qualifying pair
+
+
+def test_text_pipeline_matches_exact(spark):
+    """The composed MinHash->Jaccard->components pipeline must agree
+    with the brute-force ground truth (exact all-pairs Jaccard ->
+    components) on the fixture docs — LSH candidates may only ADD
+    misses, and here there are none."""
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    got = {r["id"]: (r["keeper_id"], r["is_dup"])
+           for r in dedup.text_near_dup_keepers(
+               d, "text", "doc_id", threshold=0.5).collect()}
+
+    exact_pairs = dedup.jaccard_pairs_exact(d, "text", "doc_id",
+                                            threshold=0.5)
+    comp = {r["node"]: r["component"]
+            for r in dedup.connected_components(exact_pairs).collect()}
+    ids = [r["doc_id"] for r in d.select("doc_id").collect()]
+    want = {i: (comp.get(i, i), comp.get(i, i) != i) for i in ids}
+    assert got == want
+    assert any(v[1] for v in got.values()), "fixture should contain dups"
+
+
+def test_text_pipeline_keeper_semantics(spark):
+    d = _docs(spark)
+    got = {r["id"]: (r["keeper_id"], r["is_dup"])
+           for r in dedup.text_near_dup_keepers(
+               d, "text", "doc_id", threshold=0.5).collect()}
+    assert got[1] == (1, False)
+    assert got[7] == (1, True)      # exact dup of 1
+    assert got[3] == (1, True)      # near dup of 1
+    assert got[4] == (4, False) and got[5] == (5, False)
