@@ -19,6 +19,9 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+from .dedup import _widen
+
+
 def _dvec(col):
     return F.transform(col, lambda x: x.cast("double"))
 
@@ -46,8 +49,8 @@ def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     """Brute-force exact top-k neighbors per query (baseline)."""
     q = queries.select(F.col(id_col).alias("query_id"),
                        F.col(vec_col).alias("qvec"))
-    c = corpus.select(F.col(id_col).alias("neighbor_id"),
-                      F.col(vec_col).alias("cvec"))
+    c = _widen(corpus).select(F.col(id_col).alias("neighbor_id"),
+                              F.col(vec_col).alias("cvec"))
     joined = c.crossJoin(F.broadcast(q)).filter(
         F.col("neighbor_id") != F.col("query_id"))
     scored = with_cosine(joined, "qvec", "cvec")
@@ -208,18 +211,32 @@ def embedding_near_dups(df: DataFrame, threshold: float = 0.25,
     bits=8/bands=16 (measured: recall ~1.0 while pruning ~94% of
     random pairs); for loose thresholds LSH fundamentally cannot
     prune much — see tests/test_similarity.py."""
+    df = _widen(df)  # a small single-file corpus scans as ONE task
     if bits > 0:
-        a = _banded_sigs(df, "id_a", "va", dim, bits, bands, id_col, vec_col)
-        b = _banded_sigs(df, "id_b", "vb", dim, bits, bands, id_col, vec_col)
-        joined = a.join(b, ["band", "sig"]).filter(
-            F.col("id_a") < F.col("id_b"))
-        scored = with_cosine(joined, "va", "vb")
-        return (
-            scored.filter(F.col("cos") >= threshold)
-            # a pair may collide in several bands: dedup AFTER the
-            # threshold filter so only surviving pairs shuffle
-            .groupBy("id_a", "id_b").agg(F.first("cos").alias("cos"))
+        # candidates first, vectors later: only (id_a, id_b, band,
+        # sig) travels through the band self-join, and a pair
+        # colliding in many bands is scored ONCE — at a loose
+        # threshold collision multiplicity approaches `bands`, which
+        # made score-before-dedup ~bands x more expensive.  The
+        # vector fetch is two id-keyed joins proportional to the
+        # DISTINCT candidate set.
+        a = _banded_sigs(df, "id_a", "va", dim, bits, bands,
+                         id_col, vec_col).drop("va")
+        b = _banded_sigs(df, "id_b", "vb", dim, bits, bands,
+                         id_col, vec_col).drop("vb")
+        cand = (a.join(b, ["band", "sig"])
+                .filter(F.col("id_a") < F.col("id_b"))
+                .select("id_a", "id_b").distinct())
+        vecs = df.select(F.col(id_col), F.col(vec_col))
+        joined = (
+            cand.join(vecs.select(F.col(id_col).alias("id_a"),
+                                  F.col(vec_col).alias("va")), "id_a")
+            .join(vecs.select(F.col(id_col).alias("id_b"),
+                              F.col(vec_col).alias("vb")), "id_b")
         )
+        scored = with_cosine(joined, "va", "vb")
+        return (scored.filter(F.col("cos") >= threshold)
+                .select("id_a", "id_b", "cos"))
     a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
     b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
     joined = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
@@ -238,7 +255,7 @@ def lsh_cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     (groupBy dedup on the scalar cos, not the vectors).  Scale knobs:
     candidates/query ~ |corpus| * tables / 2^bits; raise bits with
     corpus size, raise tables for recall."""
-    c = _banded_sigs(corpus, "neighbor_id", "cvec", dim, bits, tables,
+    c = _banded_sigs(_widen(corpus), "neighbor_id", "cvec", dim, bits, tables,
                      id_col, vec_col)
     q = _banded_sigs(queries, "query_id", "qvec", dim, bits, tables,
                      id_col, vec_col)
