@@ -32,6 +32,8 @@ HEADLINE_KEYS = [
     "dedup_minhash_lsh",
     "sim_topk_cosine",
     "text_quality_score",
+    "multimodal_features",
+    "dedup_text_pipeline",
 ]
 
 
