@@ -1102,6 +1102,28 @@ def q_multimodal_features(spark, sf_dir):
     )
 
 
+def q_multimodal_near_dups(spark, sf_dir):
+    """Image near-dup via decoded-CONTENT embeddings: multimodal
+    feature extraction (mapInPandas decode -> 16-dim block-mean
+    embedding) -> banded-LSH near-dup pairs.  Complements phash dedup:
+    it keys on the decoded pixels, so re-encoded copies in a different
+    fmt still collide.  Block-mean embeddings are all-positive (high
+    baseline cosine), hence the near-1 threshold; identical images
+    give cos == 1.0 exactly.  Bounded to the first 2000 images —
+    the loose-threshold all-positive regime is quadratic-ish by
+    nature (see similarity docstring)."""
+    from .operators.multimodal import extract_features
+    from .operators.similarity import embedding_near_dups
+
+    im = _images(spark, sf_dir).filter(F.col("image_id") < "img_000000002000")
+    feats = extract_features(im).filter(F.col("decoded"))
+    vecs = feats.select("image_id", "embedding")
+    out = embedding_near_dups(vecs, threshold=0.9999, bits=8, bands=16,
+                              dim=16, id_col="image_id",
+                              vec_col="embedding")
+    return out.select("id_a", "id_b", F.round("cos", 4).alias("cos"))
+
+
 def q_join_outer(spark, sf_dir):
     """Full outer join: customers x their order totals (nulls on both
     sides where unmatched)."""
@@ -1559,6 +1581,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "text_fingerprint": (q_text_fingerprint, SQL_TEXT_FINGERPRINT),
     "text_langid_heuristic": (q_text_langid_heuristic, SQL_TEXT_LANGID_HEURISTIC),
     "multimodal_features": (q_multimodal_features, None),
+    "multimodal_near_dups": (q_multimodal_near_dups, None),
     # images-table SQL-checked keys (DuckDB reads the generated
     # parquet by path at the driver's sf=0.01)
     "win_dup_rank_images": (q_win_dup_rank_images, SQL_WIN_DUP_RANK_IMAGES),

@@ -60,3 +60,73 @@ def streaming_dedup(stream: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+NEAR_DUP_OUTPUT_DDL = ("doc_id long, band int, band_hash long, "
+                       "is_candidate_dup boolean, first_id long")
+NEAR_DUP_STATE_DDL = "first_id long, n long"
+
+
+def _near_dup_fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+    (_band, _band_hash) = key
+    if state.exists:
+        first_id, n = state.get
+    else:
+        first_id, n = None, 0
+    rows = []
+    for pdf in pdfs:
+        for doc_id in sorted(pdf["doc_id"]):
+            is_dup = first_id is not None
+            if first_id is None:
+                first_id = int(doc_id)
+            rows.append((int(doc_id), int(_band), int(_band_hash),
+                         is_dup, first_id))
+            n += 1
+    state.update((first_id, n))
+    yield pd.DataFrame(rows, columns=[
+        "doc_id", "band", "band_hash", "is_candidate_dup", "first_id"])
+
+
+def streaming_near_dup_candidates(stream: DataFrame,
+                                  text_col: str = "text",
+                                  id_col: str = "doc_id") -> DataFrame:
+    """Streaming analog of the MinHash-LSH candidate stage: each
+    micro-batch's documents are banded with the SAME deterministic
+    one-permutation-hash signatures as the batch operator
+    (operators/dedup.py), and per-(band, band_hash) state remembers
+    the first-ever arrival — a document matching any band seen in ANY
+    earlier micro-batch is flagged a near-dup candidate.
+
+    Emits one row per (doc, band).  Downstream either drops docs with
+    any is_candidate_dup band (aggressive) or routes candidates to an
+    exact-verification batch job (the text_near_dup_keepers flow).
+    State is per-band-bucket: sharded by the grouping key like any
+    shuffle; RocksDB + timeout TTL bound it in production."""
+    from ..operators.dedup import minhash_signatures
+
+    num_hashes, bands = 16, 4
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(stream, text_col, id_col)
+    from pyspark.sql import functions as F
+    banded = sigs.select(
+        F.col(id_col),
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(*[F.col("sig")[b * rows_per_band + r]
+                             for r in range(rows_per_band)]).alias("band_hash"),
+            )
+            for b in range(bands)
+        ])).alias("bb"),
+    ).select(id_col, F.col("bb.band").alias("band"),
+             F.col("bb.band_hash").alias("band_hash"))
+    return (
+        banded.groupBy("band", "band_hash")
+        .applyInPandasWithState(
+            _near_dup_fn,
+            outputStructType=NEAR_DUP_OUTPUT_DDL,
+            stateStructType=NEAR_DUP_STATE_DDL,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -85,3 +85,44 @@ def test_null_phash_flags_row_not_task(spark):
     assert bool(lab.loc["ok", "pixel_ok"]) is True
     assert bool(lab.loc["null_ph", "pixel_ok"]) is False
     assert bool(lab.loc["null_dims", "pixel_ok"]) is False
+
+
+def test_multimodal_near_dups_find_pixel_dups(spark):
+    """Content-level image near-dup: phash duplicate-cluster members
+    (identical pixels, possibly different fmt) must appear as
+    cos == 1.0 pairs of the embedding-LSH path."""
+    import pandas as pd
+
+    from data_quality_check_spark.queries import REGISTRY
+
+    fn, _ = REGISTRY["multimodal_near_dups"]
+    pairs = fn(spark, "/root/testdata/sf0.001").toPandas()
+    assert len(pairs) > 0
+    assert (pairs.cos >= 0.9999).all()
+
+    pdf = IM.generate_pandas(0.001)
+    sub = pdf[pdf.image_id < "img_000000002000"]
+
+    def decodable(r):
+        try:
+            codecs.decode(r["bytes"], r["fmt"], int(r["w"]), int(r["h"]))
+            return True
+        except Exception:
+            return False
+
+    # corrupted members (truncated bytes, dim mismatch) never reach
+    # the feature path — only expect pairs of decodable images.
+    # Ground truth groups by DECODED PIXEL CONTENT, not phash: smooth
+    # gradient images can collide in the 8x8 average hash without
+    # sharing pixels.
+    sub = sub[sub.apply(decodable, axis=1)].copy()
+    sub["pixkey"] = sub.apply(
+        lambda r: codecs.decode(r["bytes"], r["fmt"], int(r["w"]),
+                                int(r["h"])).tobytes(), axis=1)
+    multi = sub.groupby("pixkey").image_id.agg(list)
+    clustered = [sorted(ids) for ids in multi if len(ids) > 1]
+    got_pairs = {tuple(sorted(p)) for p in
+                 zip(pairs.id_a.tolist(), pairs.id_b.tolist())}
+    for ids in clustered:
+        a, b = ids[0], ids[1]
+        assert (a, b) in got_pairs, f"dup cluster pair {(a, b)} missed"

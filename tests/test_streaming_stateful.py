@@ -57,3 +57,55 @@ def test_cross_batch_dedup(spark, dirs):
     dup_phashes = set(multi[multi > 1].index)
     flagged = set(res[res.is_dup].phash)
     assert flagged == dup_phashes
+
+
+def test_cross_batch_near_dup_candidates(spark, dirs):
+    """Streaming MinHash: an exact-dup text arriving in a LATER
+    micro-batch must be a candidate in every band, first_id pointing
+    at the first-batch original; signatures match the batch operator
+    bit for bit."""
+    import pandas as pd
+
+    from data_quality_check_spark.operators import dedup
+    from data_quality_check_spark.streaming.stateful import (
+        streaming_near_dup_candidates)
+
+    ind, outd = dirs
+    base = ("a photo of the old stone bridge over the quiet river at "
+            "sunset with a small boat passing underneath")
+    b1 = pd.DataFrame({"doc_id": pd.array([1, 2], dtype="int64"),
+                       "text": [base, "totally different market text "
+                                      "about coffee and winter"]})
+    b2 = pd.DataFrame({"doc_id": pd.array([3, 4], dtype="int64"),
+                       "text": [base,  # exact dup of doc 1, later batch
+                                "another unrelated caption about a dog "
+                                "on the beach in summer"]})
+    for i, chunk in enumerate((b1, b2)):
+        pq.write_table(pa.Table.from_pandas(chunk, preserve_index=False),
+                       os.path.join(ind, f"docs{i}.parquet"))
+
+    stream = (spark.readStream.schema("doc_id long, text string")
+              .option("maxFilesPerTrigger", 1).parquet(ind))
+    q = (
+        streaming_near_dup_candidates(stream)
+        .writeStream.format("parquet")
+        .option("path", os.path.join(outd, "res"))
+        .option("checkpointLocation", os.path.join(outd, "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    res = spark.read.parquet(os.path.join(outd, "res")).toPandas()
+    assert len(res) == 16  # 4 docs x 4 bands
+    d3 = res[res.doc_id == 3]
+    assert len(d3) == 4 and d3.is_candidate_dup.all()
+    assert (d3.first_id == 1).all()
+    assert not res[res.doc_id == 2].is_candidate_dup.any()
+    assert not res[res.doc_id == 4].is_candidate_dup.any()
+    # streaming band hashes == batch operator band hashes
+    batch = spark.createDataFrame(pd.concat([b1, b2]))
+    sigs = dedup.minhash_signatures(batch, "text", "doc_id").collect()
+    assert {r["doc_id"]: r["sig"] for r in sigs}[1] == \
+           {r["doc_id"]: r["sig"] for r in sigs}[3]
