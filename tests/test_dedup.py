@@ -146,3 +146,19 @@ def test_text_pipeline_keeper_semantics(spark):
     assert got[7] == (1, True)      # exact dup of 1
     assert got[3] == (1, True)      # near dup of 1
     assert got[4] == (4, False) and got[5] == (5, False)
+
+
+def test_minhash_short_text_densification(spark):
+    """Texts with fewer shingle hashes than bins leave empty bins; the
+    densified signature must be complete (no sentinel), deterministic,
+    and identical for identical short texts."""
+    rows = [(1, "ab"), (2, "ab"), (3, "xy"), (4, "a"), (5, "")]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    sigs = {r["doc_id"]: r["sig"] for r in
+            dedup.minhash_signatures(d, "text", "doc_id").collect()}
+    sentinel = (1 << 63) - 1
+    for i, sig in sigs.items():
+        assert len(sig) == 16
+        assert sentinel not in sig, f"doc {i} kept an undensified bin"
+    assert sigs[1] == sigs[2]
+    assert sigs[1] != sigs[3]
