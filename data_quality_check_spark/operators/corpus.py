@@ -1,0 +1,147 @@
+"""Corpus-level training-data operators (round-2 additions).
+
+The ops a large-scale LLM training-data pipeline runs between raw
+scrape and tokenizer: benchmark decontamination (n-gram overlap vs an
+eval set), deterministic quota / Bernoulli sampling for domain
+balancing, and Gopher-style intra-document repetition signals.
+
+Scale notes (100 TB):
+- `decontaminate`: the eval-set gram dictionary is tiny by
+  construction (eval sets are thousands of docs, not billions) and is
+  BROADCAST — the train side is never shuffled; per-doc stats come
+  from a map-side semi join + one partial-aggregating groupBy on the
+  doc key.
+- `quota_sample` / `hash_sample`: keyed md5 makes the sample a pure
+  function of the row, so re-runs / resumes pick identical rows with
+  no RNG state; hash_sample is shuffle-free, quota_sample pays one
+  shuffle on the group key (the same shuffle any per-domain cap needs).
+- `repetition_signals`: ZERO shuffle — the top-term frequency inside
+  a document is the longest equal-run of the sorted token array,
+  computed with a single higher-order `aggregate` per row, entirely
+  inside whole-stage-codegen'd JVM expressions.  No explode of every
+  token into a shuffle, which is the naive plan's scale killer.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _toks(text_col: str):
+    """Whitespace tokens of a single-space-separated text column."""
+    return F.filter(F.split(F.col(text_col), " "), lambda t: t != F.lit(""))
+
+
+def _word_ngrams(tokens_col: str, n: int):
+    """Word n-grams over a PROJECTED token-array column (CLAUDE.md
+    perf rule: the lambda body only indexes the column reference, so
+    each gram is O(n), not O(len^2))."""
+    cnt = F.size(F.col(tokens_col)) - F.lit(n - 1)
+    grams = F.transform(
+        F.sequence(F.lit(1), cnt),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(F.col(tokens_col), i + j) for j in range(n)]))
+    # sequence(1, 0) is DESCENDING [1, 0] in Spark — guard short docs
+    return F.when(cnt >= 1, grams).otherwise(
+        F.array().cast("array<string>"))
+
+
+def decontaminate(train: DataFrame, eval_df: DataFrame,
+                  text_col: str = "text", id_col: str = "doc_id",
+                  n: int = 3) -> DataFrame:
+    """Benchmark decontamination: per training doc, how many of its
+    distinct word n-grams appear anywhere in the eval set.
+
+    Returns (id, n_grams, n_hits, contam_frac, contaminated).  The
+    eval gram dictionary is distinct-ed and broadcast; the train side
+    is touched by a map-side LEFT SEMI join only.
+    """
+    grams = (train
+             .select(id_col, _toks(text_col).alias("__w"))
+             .select(id_col, F.array_distinct(
+                 _word_ngrams("__w", n)).alias("__g")))
+    ev = (eval_df
+          .select(_toks(text_col).alias("__w"))
+          .select(F.explode(_word_ngrams("__w", n)).alias("gram"))
+          .distinct())
+    hits = (grams
+            .select(id_col, F.explode("__g").alias("gram"))
+            .join(F.broadcast(ev), "gram", "left_semi")
+            .groupBy(id_col)
+            .agg(F.count("*").alias("n_hits")))
+    base = grams.select(id_col, F.size("__g").alias("n_grams"))
+    out = base.join(hits, id_col, "left").fillna({"n_hits": 0})
+    frac = F.col("n_hits") / F.greatest(F.col("n_grams"), F.lit(1))
+    return out.select(
+        id_col, "n_grams", "n_hits",
+        F.round(frac, 6).alias("contam_frac"),
+        (F.col("n_hits") > 0).alias("contaminated"))
+
+
+def quota_sample(df: DataFrame, group_col: str, id_col: str,
+                 k: int, salt: str = "q:") -> DataFrame:
+    """Deterministic per-group quota sampling (domain balancing):
+    keep the k rows per group with the smallest keyed md5 — a uniform
+    random-but-reproducible choice with no RNG state, so a resumed or
+    re-run job picks the identical sample."""
+    rk = F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string")))
+    w = Window.partitionBy(group_col).orderBy(rk.asc(), F.col(id_col).asc())
+    return (df
+            .withColumn("sample_rank", F.row_number().over(w))
+            .filter(F.col("sample_rank") <= k))
+
+
+def hash_sample(df: DataFrame, id_col: str, threshold_hex: str,
+                salt: str = "s:") -> DataFrame:
+    """Deterministic Bernoulli sampling: keep rows whose keyed md5
+    prefix sorts below `threshold_hex` (8 hex chars; '40000000' ~
+    fraction 0.25).  Shuffle-free and resume-stable."""
+    hx = F.substring(
+        F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))), 1, 8)
+    return (df
+            .withColumn("sample_key", hx)
+            .filter(F.col("sample_key") < F.lit(threshold_hex)))
+
+
+def _longest_equal_run(sorted_arr_col: str):
+    """Longest run of equal adjacent elements in a SORTED array =
+    the count of the most frequent element — one higher-order
+    `aggregate`, zero shuffle."""
+    init = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).alias("run"),
+        F.lit(0).alias("best"))
+
+    def merge(acc, x):
+        new_run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+        return F.struct(
+            x.alias("prev"), new_run.alias("run"),
+            F.greatest(acc["best"], new_run).alias("best"))
+
+    return F.aggregate(F.col(sorted_arr_col), init, merge,
+                       lambda acc: acc["best"])
+
+
+def repetition_signals(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """Gopher-style intra-document repetition signals: duplicate-word
+    fraction, top-word fraction, top-bigram fraction.  All computed
+    per row from sorted token / bigram arrays — no explode, no
+    shuffle (see module docstring)."""
+    base = (df
+            .select(id_col, _toks(text_col).alias("__w"))
+            .select(id_col, "__w", _word_ngrams("__w", 2).alias("__b"))
+            .select(id_col,
+                    F.size("__w").alias("n_words"),
+                    F.size(F.array_distinct("__w")).alias("__ndw"),
+                    F.sort_array("__w").alias("__sw"),
+                    F.size("__b").alias("__nb"),
+                    F.sort_array("__b").alias("__sb")))
+    nw = F.nullif(F.col("n_words").cast("double"), F.lit(0.0))
+    nb = F.nullif(F.col("__nb").cast("double"), F.lit(0.0))
+    return base.select(
+        id_col, "n_words",
+        F.round(1.0 - F.col("__ndw") / nw, 6).alias("dup_word_frac"),
+        F.round(_longest_equal_run("__sw") / nw, 6).alias("top_word_frac"),
+        F.round(_longest_equal_run("__sb") / nb, 6).alias("top_bigram_frac"))

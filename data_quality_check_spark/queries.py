@@ -1086,6 +1086,116 @@ SQL_TEXT_FINGERPRINT = (
 )
 
 
+def q_text_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: word 4-gram overlap of each training
+    doc against the (deterministic doc_id % 37 == 0) eval split.  Eval
+    gram dictionary is broadcast; train side is map-side semi-joined."""
+    from .operators import corpus
+    d = _t(spark, sf_dir, "documents")
+    ev = d.filter((F.col("doc_id") % 37) == 0)
+    tr = d.filter((F.col("doc_id") % 37) != 0)
+    return corpus.decontaminate(tr, ev, n=4)
+
+
+SQL_TEXT_DECONTAMINATE = """
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), t -> t != '') AS w
+  FROM documents
+), grams AS (
+  SELECT doc_id, list_distinct(CASE WHEN len(w) >= 4
+    THEN list_transform(generate_series(1, len(w) - 3),
+         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])
+    ELSE [] END) AS g
+  FROM toks
+), ev AS (
+  SELECT DISTINCT unnest(g) AS gram FROM grams WHERE doc_id % 37 = 0
+), tg AS (
+  SELECT doc_id, unnest(g) AS gram FROM grams WHERE doc_id % 37 <> 0
+), hits AS (
+  SELECT tg.doc_id, count(*) AS n_hits
+  FROM tg SEMI JOIN ev USING (gram) GROUP BY tg.doc_id
+)
+SELECT g.doc_id, len(g.g) AS n_grams, coalesce(h.n_hits, 0) AS n_hits,
+       round(coalesce(h.n_hits, 0) * 1.0 / greatest(len(g.g), 1), 6)
+         AS contam_frac,
+       coalesce(h.n_hits, 0) > 0 AS contaminated
+FROM grams g LEFT JOIN hits h ON g.doc_id = h.doc_id
+WHERE g.doc_id % 37 <> 0
+"""
+
+
+def q_sample_quota(spark, sf_dir):
+    """Per-domain quota sampling (domain balancing): deterministic
+    keyed-md5 top-25 per source — resume-stable, no RNG state."""
+    from .operators import corpus
+    d = _t(spark, sf_dir, "documents")
+    return corpus.quota_sample(d, "source", "doc_id", k=25).select(
+        "doc_id", "source", "sample_rank")
+
+
+SQL_SAMPLE_QUOTA = """
+SELECT doc_id, source, sample_rank FROM (
+  SELECT doc_id, source, row_number() OVER (
+    PARTITION BY source
+    ORDER BY md5('q:' || CAST(doc_id AS VARCHAR)), doc_id) AS sample_rank
+  FROM documents) WHERE sample_rank <= 25
+"""
+
+
+def q_sample_hash(spark, sf_dir):
+    """Deterministic Bernoulli sampling (~25%) by keyed-md5 prefix:
+    shuffle-free, identical rows on re-run/resume."""
+    from .operators import corpus
+    d = _t(spark, sf_dir, "documents")
+    return corpus.hash_sample(d, "doc_id", "40000000").select(
+        "doc_id", "source", "sample_key")
+
+
+SQL_SAMPLE_HASH = """
+SELECT doc_id, source,
+       substr(md5('s:' || CAST(doc_id AS VARCHAR)), 1, 8) AS sample_key
+FROM documents
+WHERE substr(md5('s:' || CAST(doc_id AS VARCHAR)), 1, 8) < '40000000'
+"""
+
+
+def q_text_repetition_signals(spark, sf_dir):
+    """Gopher-style repetition signals: zero-shuffle HOF aggregates
+    (top-term frequency = longest equal-run of the sorted array)."""
+    from .operators import corpus
+    d = _t(spark, sf_dir, "documents")
+    return corpus.repetition_signals(d)
+
+
+SQL_TEXT_REPETITION_SIGNALS = """
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), t -> t != '') AS w
+  FROM documents
+), wc AS (
+  SELECT doc_id, unnest(w) AS t FROM toks
+), wcnt AS (
+  SELECT doc_id, t, count(*) AS c FROM wc GROUP BY doc_id, t
+), ws AS (
+  SELECT doc_id, max(c) AS top, count(*) AS nd FROM wcnt GROUP BY doc_id
+), bg AS (
+  SELECT doc_id, unnest(CASE WHEN len(w) >= 2
+    THEN list_transform(generate_series(1, len(w) - 1),
+         i -> w[i] || ' ' || w[i+1]) ELSE [] END) AS b
+  FROM toks
+), bcnt AS (
+  SELECT doc_id, b, count(*) AS c FROM bg GROUP BY doc_id, b
+), bs AS (
+  SELECT doc_id, sum(c) AS btotal, max(c) AS btop FROM bcnt GROUP BY doc_id
+)
+SELECT t.doc_id, len(t.w) AS n_words,
+  round(1.0 - ws.nd * 1.0 / nullif(len(t.w), 0), 6) AS dup_word_frac,
+  round(ws.top * 1.0 / nullif(len(t.w), 0), 6) AS top_word_frac,
+  round(bs.btop * 1.0 / nullif(bs.btotal, 0), 6) AS top_bigram_frac
+FROM toks t LEFT JOIN ws ON t.doc_id = ws.doc_id
+LEFT JOIN bs ON t.doc_id = bs.doc_id
+"""
+
+
 def q_multimodal_features(spark, sf_dir):
     from .operators.multimodal import extract_features
     out = extract_features(_images(spark, sf_dir))
@@ -1580,6 +1690,11 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "text_quality_score": (q_text_quality_score, SQL_TEXT_QUALITY_SCORE),
     "text_fingerprint": (q_text_fingerprint, SQL_TEXT_FINGERPRINT),
     "text_langid_heuristic": (q_text_langid_heuristic, SQL_TEXT_LANGID_HEURISTIC),
+    "text_decontaminate": (q_text_decontaminate, SQL_TEXT_DECONTAMINATE),
+    "text_repetition_signals": (
+        q_text_repetition_signals, SQL_TEXT_REPETITION_SIGNALS),
+    "sample_quota": (q_sample_quota, SQL_SAMPLE_QUOTA),
+    "sample_hash": (q_sample_hash, SQL_SAMPLE_HASH),
     "multimodal_features": (q_multimodal_features, None),
     "multimodal_near_dups": (q_multimodal_near_dups, None),
     # images-table SQL-checked keys (DuckDB reads the generated

@@ -1,0 +1,114 @@
+"""Corpus-level training-data ops (operators/corpus.py): pandas
+reference parity + determinism + edge cases."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import pandas as pd
+import pytest
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    pdf = pd.DataFrame({
+        "doc_id": list(range(8)),
+        "source": ["a", "a", "a", "b", "b", "b", "b", "c"],
+        "text": [
+            "the quick brown fox jumps over the lazy dog today",
+            "the quick brown fox jumps over the lazy dog today",  # exact dup
+            "spark shuffles data between stages on wide deps",
+            "word word word word word word",                      # repetitive
+            "one",                                                # 1 token
+            "",                                                   # empty
+            "alpha beta gamma delta",
+            "the quick brown fox leaps over the lazy dog today",  # near dup
+        ],
+    })
+    return spark.createDataFrame(pdf)
+
+
+def _words(t):
+    return [w for w in t.split(" ") if w != ""]
+
+
+def test_decontaminate_flags_overlap(spark, docs):
+    from data_quality_check_spark.operators import corpus
+
+    ev = docs.filter("doc_id = 0")          # eval set: doc 0
+    tr = docs.filter("doc_id <> 0")
+    out = (corpus.decontaminate(tr, ev, n=4)
+           .toPandas().set_index("doc_id").sort_index())
+    # exact dup of the eval doc: every 4-gram hits
+    assert out.loc[1, "contaminated"] and out.loc[1, "contam_frac"] == 1.0
+    # near dup: some but not all grams hit
+    assert out.loc[7, "contaminated"] and 0 < out.loc[7, "contam_frac"] < 1
+    # unrelated docs: clean
+    assert not out.loc[2, "contaminated"] and out.loc[2, "n_hits"] == 0
+    # short/empty docs produce zero grams but are NOT dropped
+    assert out.loc[4, "n_grams"] == 0 and not out.loc[4, "contaminated"]
+    assert out.loc[5, "n_grams"] == 0
+    assert len(out) == 7
+
+
+def test_quota_sample_caps_and_determinism(spark, docs):
+    from data_quality_check_spark.operators import corpus
+
+    a = (corpus.quota_sample(docs, "source", "doc_id", k=2)
+         .select("doc_id", "source", "sample_rank").toPandas()
+         .sort_values("doc_id").reset_index(drop=True))
+    b = (corpus.quota_sample(docs, "source", "doc_id", k=2)
+         .select("doc_id", "source", "sample_rank").toPandas()
+         .sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(a, b)     # keyed hash => reproducible
+    counts = a.groupby("source").size()
+    assert counts["a"] == 2 and counts["b"] == 2 and counts["c"] == 1
+    assert (a.sample_rank <= 2).all()
+
+
+def test_hash_sample_is_stable_subset(spark, docs):
+    from data_quality_check_spark.operators import corpus
+
+    kept = corpus.hash_sample(docs, "doc_id", "80000000")
+    ids1 = sorted(r.doc_id for r in kept.select("doc_id").collect())
+    ids2 = sorted(r.doc_id for r in kept.select("doc_id").collect())
+    assert ids1 == ids2
+    # a lower threshold keeps a subset of a higher threshold's rows
+    sub = sorted(r.doc_id for r in corpus.hash_sample(
+        docs, "doc_id", "40000000").select("doc_id").collect())
+    assert set(sub) <= set(ids1)
+
+
+def test_repetition_signals_vs_pandas_reference(spark, docs):
+    from data_quality_check_spark.operators import corpus
+
+    out = (corpus.repetition_signals(docs)
+           .toPandas().set_index("doc_id").sort_index())
+    src = docs.toPandas().set_index("doc_id").sort_index()
+    for doc_id, row in src.iterrows():
+        w = _words(row["text"])
+        got = out.loc[doc_id]
+        assert got["n_words"] == len(w)
+        if not w:
+            assert pd.isna(got["dup_word_frac"])
+            continue
+        assert got["dup_word_frac"] == pytest.approx(
+            round(1.0 - len(set(w)) / len(w), 6), abs=1e-9)
+        assert got["top_word_frac"] == pytest.approx(
+            round(Counter(w).most_common(1)[0][1] / len(w), 6), abs=1e-9)
+        bg = [f"{w[i]} {w[i+1]}" for i in range(len(w) - 1)]
+        if bg:
+            assert got["top_bigram_frac"] == pytest.approx(
+                round(Counter(bg).most_common(1)[0][1] / len(bg), 6),
+                abs=1e-9)
+        else:
+            assert pd.isna(got["top_bigram_frac"])
+
+
+def test_repetition_signals_zero_shuffle(spark, docs):
+    """The scale claim: no Exchange in the physical plan."""
+    from data_quality_check_spark.operators import corpus
+
+    plan = (corpus.repetition_signals(docs)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Exchange" not in plan
