@@ -287,18 +287,21 @@ def connected_components(pairs: DataFrame, src: str = "id_a",
     for _ in range(max_iter):
         nbr_min = (edges.join(labels, edges["dst"] == labels["node"])
                    .groupBy("src").agg(F.min("label").alias("nbr_min")))
+        # fold the convergence flag into the label update: counting
+        # it is then a shuffle-free scan of the checkpointed frame,
+        # instead of an extra labels-vs-labels join per round
         new_labels = (
             labels.join(nbr_min, labels["node"] == nbr_min["src"], "left")
             .select(labels["node"],
                     F.least(labels["label"],
                             F.coalesce(nbr_min["nbr_min"], labels["label"])
-                            ).alias("label"))
+                            ).alias("label"),
+                    (F.coalesce(nbr_min["nbr_min"], labels["label"])
+                     < labels["label"]).alias("__chg"))
             .localCheckpoint()
         )
-        changed = (new_labels.alias("n")
-                   .join(labels.alias("o"), "node")
-                   .filter(F.col("n.label") != F.col("o.label")).count())
-        labels = new_labels
+        changed = new_labels.filter(F.col("__chg")).count()
+        labels = new_labels.drop("__chg")
         if changed == 0:
             break
     return labels.select("node", F.col("label").alias("component"))
