@@ -78,10 +78,13 @@ def main() -> None:
         # the first runs (+ JIT/codegen) — BASELINE.md bench protocol
         run_pipeline(spark, sf, _tmp())
         run_pipeline(spark, sf, _tmp())
-        runs = sorted(run_pipeline(spark, sf, _tmp()) for _ in range(3))
+        runs = sorted(run_pipeline(spark, sf, _tmp()) for _ in range(5))
         # noise floor (min), not median: the shared host takes
-        # 1.5-2x CPU-steal bursts that land on individual runs —
-        # same estimator as the BENCH/BASELINE.md scaling protocol
+        # 1.5-2x CPU-steal bursts that land on individual runs (an
+        # interleaved A/B of identical code measured 4.4-31s for the
+        # same job) — same estimator as the BENCH/BASELINE.md scaling
+        # protocol; 5 timed runs because the Python-worker pool keeps
+        # warming through run ~4 on this host
         timings["pipeline"] = round(runs[0], 3)
 
         for key in HEADLINE_KEYS:
