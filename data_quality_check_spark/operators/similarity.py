@@ -200,7 +200,8 @@ def _banded_sigs(df: DataFrame, id_alias: str, vec_alias: str,
 def embedding_near_dups(df: DataFrame, threshold: float = 0.25,
                         bits: int = 0, bands: int = 16, dim: int = 64,
                         id_col: str = "vec_id",
-                        vec_col: str = "embedding") -> DataFrame:
+                        vec_col: str = "embedding",
+                        center_lsh: bool = False) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: all (a, b) with
     cos(a, b) >= threshold and a < b.  bits=0 compares all pairs
     (exact — ONLY for bounded corpora / recall measurement); bits>0 is
@@ -210,7 +211,16 @@ def embedding_near_dups(df: DataFrame, threshold: float = 0.25,
     For a true near-dup threshold (>= 0.9) use the default
     bits=8/bands=16 (measured: recall ~1.0 while pruning ~94% of
     random pairs); for loose thresholds LSH fundamentally cannot
-    prune much — see tests/test_similarity.py."""
+    prune much — see tests/test_similarity.py.
+
+    `center_lsh=True` buckets on per-vector MEAN-CENTERED copies while
+    still scoring true cosine on the raw vectors.  Required for
+    all-positive embedding families (e.g. block-mean image features),
+    where every raw pair has cosine ~1 and hyperplane signs carry no
+    information: without centering the LSH generated 99% of all pairs
+    as candidates (measured, 2k image corpus); with it, collisions
+    track the discriminative spatial structure.  Identical vectors
+    center identically, so exact-dup recall is unaffected."""
     df = _widen(df)  # a small single-file corpus scans as ONE task
     if bits > 0:
         # candidates first, vectors later: only (id_a, id_b, band,
@@ -220,10 +230,24 @@ def embedding_near_dups(df: DataFrame, threshold: float = 0.25,
         # made score-before-dedup ~bands x more expensive.  The
         # vector fetch is two id-keyed joins proportional to the
         # DISTINCT candidate set.
-        a = _banded_sigs(df, "id_a", "va", dim, bits, bands,
-                         id_col, vec_col).drop("va")
-        b = _banded_sigs(df, "id_b", "vb", dim, bits, bands,
-                         id_col, vec_col).drop("vb")
+        lsh_src, lsh_col = df, vec_col
+        if center_lsh:
+            # hoist the per-vector mean into its own projected column
+            # BEFORE the transform lambda (HOF bodies re-evaluate
+            # referenced expressions per element)
+            mu = (F.aggregate(vec_col, F.lit(0.0),
+                              lambda acc, x: acc + x.cast("double"))
+                  / F.size(vec_col))
+            lsh_src = (df.select(id_col, vec_col, mu.alias("__mu"))
+                       .select(id_col, vec_col, F.transform(
+                           vec_col,
+                           lambda x: x.cast("double") - F.col("__mu"))
+                           .alias("__cvec")))
+            lsh_col = "__cvec"
+        a = _banded_sigs(lsh_src, "id_a", "va", dim, bits, bands,
+                         id_col, lsh_col).drop("va")
+        b = _banded_sigs(lsh_src, "id_b", "vb", dim, bits, bands,
+                         id_col, lsh_col).drop("vb")
         cand = (a.join(b, ["band", "sig"])
                 .filter(F.col("id_a") < F.col("id_b"))
                 .select("id_a", "id_b").distinct())

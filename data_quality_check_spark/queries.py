@@ -1227,10 +1227,13 @@ def q_multimodal_near_dups(spark, sf_dir):
 
     im = _images(spark, sf_dir).filter(F.col("image_id") < "img_000000002000")
     feats = extract_features(im).filter(F.col("decoded"))
-    vecs = feats.select("image_id", "embedding")
-    out = embedding_near_dups(vecs, threshold=0.9999, bits=8, bands=16,
+    # the LSH plan references the vector branch 4x (two banded-sig
+    # sides + two score-time vector fetches); materialize the Python
+    # decode ONCE instead of re-running scan+decode per reference
+    vecs = feats.select("image_id", "embedding").localCheckpoint()
+    out = embedding_near_dups(vecs, threshold=0.9999, bits=16, bands=8,
                               dim=16, id_col="image_id",
-                              vec_col="embedding")
+                              vec_col="embedding", center_lsh=True)
     return out.select("id_a", "id_b", F.round("cos", 4).alias("cos"))
 
 
