@@ -44,16 +44,37 @@ def with_cosine(joined: DataFrame, qcol: str, ccol: str) -> DataFrame:
         "cos", F.round(_dot(qa, ca) / (_norm(qa) * _norm(ca)), 6))
 
 
+def _prenormed(df: DataFrame, id_col: str, vec_col: str,
+               id_alias: str, vec_alias: str, norm_alias: str) -> DataFrame:
+    """(id, double-vector, norm) projected ONCE per vector.  Scoring a
+    candidate pair is then a single zip_with/aggregate pass; the r1
+    `with_cosine`-on-raw-columns form re-derived both casts and both
+    norms PER PAIR — higher-order functions are interpreted (no
+    codegen), so that multiplied the dominant per-pair cost ~5x.
+    Values are bit-identical: same expressions, hoisted per-vector."""
+    return (df.select(F.col(id_col).alias(id_alias),
+                      _dvec(F.col(vec_col)).alias(vec_alias))
+            .select(id_alias, vec_alias,
+                    _norm(F.col(vec_alias)).alias(norm_alias)))
+
+
+def _score_pairs(joined: DataFrame, acol: str, bcol: str,
+                 anorm: str, bnorm: str) -> DataFrame:
+    """Cosine over prenormed sides; rounding as in with_cosine."""
+    return joined.withColumn(
+        "cos", F.round(_dot(F.col(acol), F.col(bcol))
+                       / (F.col(anorm) * F.col(bnorm)), 6))
+
+
 def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
                 id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """Brute-force exact top-k neighbors per query (baseline)."""
-    q = queries.select(F.col(id_col).alias("query_id"),
-                       F.col(vec_col).alias("qvec"))
-    c = _widen(corpus).select(F.col(id_col).alias("neighbor_id"),
-                              F.col(vec_col).alias("cvec"))
+    q = _prenormed(queries, id_col, vec_col, "query_id", "qvec", "__qn")
+    c = _prenormed(_widen(corpus), id_col, vec_col,
+                   "neighbor_id", "cvec", "__cn")
     joined = c.crossJoin(F.broadcast(q)).filter(
         F.col("neighbor_id") != F.col("query_id"))
-    scored = with_cosine(joined, "qvec", "cvec")
+    scored = _score_pairs(joined, "qvec", "cvec", "__qn", "__cn")
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rk", F.row_number().over(w))
@@ -146,8 +167,7 @@ def ivf_cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     touches ~nprobe/n_centroids of the data."""
     C = ivf_centroids(corpus, n_centroids, vec_col=vec_col)
     c_assigned = _with_centroid_cell(
-        corpus.select(F.col(id_col).alias("neighbor_id"),
-                      F.col(vec_col).alias("cvec")),
+        _prenormed(corpus, id_col, vec_col, "neighbor_id", "cvec", "__cn"),
         "cvec", C)
 
     import numpy as np
@@ -162,10 +182,12 @@ def ivf_cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     spark = corpus.sparkSession
     q = spark.createDataFrame(
         probe, f"query_id long, cell int, qvec array<double>")
+    q = q.select("query_id", "cell", "qvec",
+                 _norm(F.col("qvec")).alias("__qn"))
 
     joined = c_assigned.join(F.broadcast(q), "cell").filter(
         F.col("neighbor_id") != F.col("query_id"))
-    scored = with_cosine(joined, "qvec", "cvec")
+    scored = _score_pairs(joined, "qvec", "cvec", "__qn", "__cn")
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rk", F.row_number().over(w))
@@ -251,20 +273,19 @@ def embedding_near_dups(df: DataFrame, threshold: float = 0.25,
         cand = (a.join(b, ["band", "sig"])
                 .filter(F.col("id_a") < F.col("id_b"))
                 .select("id_a", "id_b").distinct())
-        vecs = df.select(F.col(id_col), F.col(vec_col))
         joined = (
-            cand.join(vecs.select(F.col(id_col).alias("id_a"),
-                                  F.col(vec_col).alias("va")), "id_a")
-            .join(vecs.select(F.col(id_col).alias("id_b"),
-                              F.col(vec_col).alias("vb")), "id_b")
+            cand.join(_prenormed(df, id_col, vec_col,
+                                 "id_a", "va", "__na"), "id_a")
+            .join(_prenormed(df, id_col, vec_col,
+                             "id_b", "vb", "__nb"), "id_b")
         )
-        scored = with_cosine(joined, "va", "vb")
+        scored = _score_pairs(joined, "va", "vb", "__na", "__nb")
         return (scored.filter(F.col("cos") >= threshold)
                 .select("id_a", "id_b", "cos"))
-    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    a = _prenormed(df, id_col, vec_col, "id_a", "va", "__na")
+    b = _prenormed(df, id_col, vec_col, "id_b", "vb", "__nb")
     joined = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
-    scored = with_cosine(joined, "va", "vb")
+    scored = _score_pairs(joined, "va", "vb", "__na", "__nb")
     return (scored.filter(F.col("cos") >= threshold)
             .select("id_a", "id_b", "cos"))
 
@@ -279,18 +300,23 @@ def lsh_cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     (groupBy dedup on the scalar cos, not the vectors).  Scale knobs:
     candidates/query ~ |corpus| * tables / 2^bits; raise bits with
     corpus size, raise tables for recall."""
-    c = _banded_sigs(_widen(corpus), "neighbor_id", "cvec", dim, bits, tables,
-                     id_col, vec_col)
+    wc = _widen(corpus)
+    c = _banded_sigs(wc, "neighbor_id", "cvec", dim, bits, tables,
+                     id_col, vec_col).drop("cvec")
     q = _banded_sigs(queries, "query_id", "qvec", dim, bits, tables,
-                     id_col, vec_col)
-    joined = c.join(F.broadcast(q), ["band", "sig"]).filter(
-        F.col("neighbor_id") != F.col("query_id"))
-    scored = with_cosine(joined, "qvec", "cvec")
-    dedup = scored.groupBy("query_id", "neighbor_id").agg(
-        F.first("cos").alias("cos"))
+                     id_col, vec_col).drop("qvec")
+    # dedup candidates BEFORE scoring: a pair colliding in m bands was
+    # scored m times in the r1 shape; only ids travel the band join
+    cand = (c.join(F.broadcast(q), ["band", "sig"])
+            .filter(F.col("neighbor_id") != F.col("query_id"))
+            .select("query_id", "neighbor_id").distinct())
+    cv = _prenormed(wc, id_col, vec_col, "neighbor_id", "cvec", "__cn")
+    qv = _prenormed(queries, id_col, vec_col, "query_id", "qvec", "__qn")
+    joined = cand.join(F.broadcast(qv), "query_id").join(cv, "neighbor_id")
+    scored = _score_pairs(joined, "qvec", "cvec", "__qn", "__cn")
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return (
-        dedup.withColumn("rk", F.row_number().over(w))
+        scored.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= k)
         .select("query_id", "neighbor_id", "cos", "rk")
     )
