@@ -104,6 +104,23 @@ def hash_sample(df: DataFrame, id_col: str, threshold_hex: str,
             .filter(F.col("sample_key") < F.lit(threshold_hex)))
 
 
+def pack_token_bins(df: DataFrame, group_col: str, id_col: str,
+                    text_col: str, capacity: int) -> DataFrame:
+    """Sequence packing for training: assign each doc to a
+    fixed-token-capacity bin by cumulative token count within its
+    group (deterministic doc-id order).  bin = floor(tokens-before /
+    capacity) — the contiguous-packing approximation used by training
+    pipelines (docs may straddle a boundary; the tokenizer splits
+    there).  One window shuffle on the group key, nothing else."""
+    n_tok = F.size(_toks(text_col))
+    w = (Window.partitionBy(group_col).orderBy(F.col(id_col).asc())
+         .rowsBetween(Window.unboundedPreceding, -1))
+    cum_before = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    return (df
+            .select(id_col, group_col, n_tok.alias("n_tokens"))
+            .withColumn("bin", F.floor(cum_before / capacity).cast("int")))
+
+
 def _longest_equal_run(sorted_arr_col: str):
     """Longest run of equal adjacent elements in a SORTED array =
     the count of the most frequent element — one higher-order

@@ -1196,6 +1196,29 @@ LEFT JOIN bs ON t.doc_id = bs.doc_id
 """
 
 
+def q_pack_token_bins(spark, sf_dir):
+    """Sequence packing: fixed-capacity token bins per source by
+    cumulative token count (deterministic doc-id order)."""
+    from .operators import corpus
+    d = _t(spark, sf_dir, "documents")
+    return corpus.pack_token_bins(d, "source", "doc_id", "text",
+                                  capacity=256)
+
+
+SQL_PACK_TOKEN_BINS = """
+SELECT doc_id, source, n_tokens,
+       CAST(floor(coalesce(cum, 0) / 256) AS INT) AS bin
+FROM (
+  SELECT doc_id, source, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS cum
+  FROM (SELECT doc_id, source,
+          len(list_filter(string_split(text, ' '), t -> t != ''))
+            AS n_tokens
+        FROM documents))
+"""
+
+
 def q_multimodal_features(spark, sf_dir):
     from .operators.multimodal import extract_features
     out = extract_features(_images(spark, sf_dir))
@@ -1608,6 +1631,46 @@ def q_rule_heuristics_images(spark, sf_dir):
     )
 
 
+# JVM/RE2-portable scrub chain: the production scrub (kernels/scrub.py)
+# runs Python `re` with lookarounds (phone) that RE2 cannot express;
+# this SQL-checked subset proves the regex REPLACEMENT semantics
+# against DuckDB with engine-safe patterns ([^ \t\n\r] instead of \s —
+# ADVICE r1: \s is ASCII-only in Java but Unicode in other engines).
+_SQL_SCRUB_CHAIN: list[tuple[str, str]] = [
+    (r"\bhttps?://[^ \t\n\r]+", "<URL>"),
+    (r"\b[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}\b", "<EMAIL>"),
+    (r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+    (r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+    (r"\b(?:\d{4}[ -]){3}\d{4}\b", "<CC>"),
+    (r"(?i)\b(?:frakk|gorram|smeghead|drokk|felgercarb)\b", "<TOX>"),
+]
+
+
+def q_scrub_regex_sql(spark, sf_dir):
+    """JVM-side regex scrub (url/email/ip/ssn/cc/toxic) on the real
+    caption column, SQL-checked end to end.  The full production
+    scrub (incl. lookaround phone patterns + hit counts) stays in the
+    Arrow UDF (`udf_scrub`, rows-only)."""
+    im = _images(spark, sf_dir)
+    c = F.col("caption")
+    for pat, repl in _SQL_SCRUB_CHAIN:
+        c = F.regexp_replace(c, pat, repl)
+    return im.select("image_id", c.alias("caption_scrubbed_sql"))
+
+
+def _sql_scrub_expr() -> str:
+    expr = "caption"
+    for pat, repl in _SQL_SCRUB_CHAIN:
+        expr = f"regexp_replace({expr}, '{pat}', '{repl}', 'g')"
+    return expr
+
+
+SQL_SCRUB_REGEX = (
+    f"SELECT image_id, {_sql_scrub_expr()} AS caption_scrubbed_sql "
+    f"FROM {IMAGES_SF001}"
+)
+
+
 SQL_RULE_HEURISTICS_IMAGES = f"""
 SELECT image_id,
   caption IS NULL AS cap_null,
@@ -1698,6 +1761,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
         q_text_repetition_signals, SQL_TEXT_REPETITION_SIGNALS),
     "sample_quota": (q_sample_quota, SQL_SAMPLE_QUOTA),
     "sample_hash": (q_sample_hash, SQL_SAMPLE_HASH),
+    "pack_token_bins": (q_pack_token_bins, SQL_PACK_TOKEN_BINS),
+    "scrub_regex_sql": (q_scrub_regex_sql, SQL_SCRUB_REGEX),
     "multimodal_features": (q_multimodal_features, None),
     "multimodal_near_dups": (q_multimodal_near_dups, None),
     # images-table SQL-checked keys (DuckDB reads the generated

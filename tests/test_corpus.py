@@ -105,6 +105,43 @@ def test_repetition_signals_vs_pandas_reference(spark, docs):
             assert pd.isna(got["top_bigram_frac"])
 
 
+def test_pack_token_bins_greedy_cumulative(spark, docs):
+    from data_quality_check_spark.operators import corpus
+
+    out = (corpus.pack_token_bins(docs, "source", "doc_id", "text",
+                                  capacity=10)
+           .toPandas().sort_values("doc_id").reset_index(drop=True))
+    src = docs.toPandas().sort_values("doc_id").reset_index(drop=True)
+    # reference: cumulative tokens-before within source, doc_id order
+    cum: dict = {}
+    for _, row in src.iterrows():
+        n = len(_words(row["text"]))
+        before = cum.get(row["source"], 0)
+        cum[row["source"]] = before + n
+        got = out[out.doc_id == row["doc_id"]].iloc[0]
+        assert got["n_tokens"] == n
+        assert got["bin"] == before // 10
+    # bins start at 0 and are contiguous per source
+    for _, g in out.groupby("source"):
+        bins = sorted(g.bin.unique())
+        assert bins == list(range(len(bins)))
+
+
+def test_scrub_regex_sql_replaces_pii(spark):
+    from data_quality_check_spark.queries import REGISTRY
+
+    import re
+
+    fn, _ = REGISTRY["scrub_regex_sql"]
+    out = fn(spark, "/root/testdata/sf0.001").toPandas()
+    joined = " ".join(out.caption_scrubbed_sql.dropna())
+    assert "<EMAIL>" in joined          # fixture captions contain PII
+    # no email-shaped substring survives (bare @ in symbol-noise
+    # captions is expected and is not PII)
+    assert not re.search(
+        r"\b[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}\b", joined)
+
+
 def test_repetition_signals_zero_shuffle(spark, docs):
     """The scale claim: no Exchange in the physical plan."""
     from data_quality_check_spark.operators import corpus
