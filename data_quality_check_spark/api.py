@@ -17,6 +17,10 @@ size data within seconds" true at scale.
         C.matches("image_id", r"img_\\d{12}"),
         C.accepted_values("fmt", ["raw", "ppm", "png"]),
         C.expression("caption_ok", "length(caption) >= 12"),
+        C.completeness("caption", 0.98),
+        C.mean_between("w", 16, 4096),
+        C.percentile_between("h", 0.5, 16, 2048),
+        C.distinct_count_between("phash", 2, 10**12),
     ]).run(images_df)
     report.passed        # bool
     report.to_rows()     # per-check dicts: name, kind, column,
@@ -41,6 +45,13 @@ class Check:
     column: str | None
     violation_expr: Column | None = field(compare=False, default=None)
     distinct_col: str | None = None  # for `unique`
+    # value-based checks (Deequ-style): one aggregate VALUE compared
+    # against [lo, hi] instead of a violation count
+    agg_expr: Column | None = field(compare=False, default=None)
+    lo: float | None = None
+    hi: float | None = None
+    # ratio-threshold checks: pass iff violations/total <= max_ratio
+    max_ratio: float | None = None
 
 
 class checks:
@@ -76,6 +87,32 @@ class checks:
         return Check(name, "expression", None,
                      ~F.expr(sql_predicate) | F.expr(sql_predicate).isNull())
 
+    @staticmethod
+    def completeness(col: str, min_ratio: float) -> Check:
+        """Pass iff the non-null fraction of `col` >= min_ratio."""
+        return Check(f"completeness_{col}", "completeness", col,
+                     F.col(col).isNull(), max_ratio=1.0 - min_ratio)
+
+    @staticmethod
+    def mean_between(col: str, lo: float, hi: float) -> Check:
+        return Check(f"mean_{col}", "mean_between", col,
+                     agg_expr=F.avg(col), lo=lo, hi=hi)
+
+    @staticmethod
+    def percentile_between(col: str, q: float, lo: float,
+                           hi: float) -> Check:
+        """Exact interpolated percentile (Spark `percentile`, the
+        same linear-interpolation definition as SQL quantile_cont);
+        use in_range/expression checks for approximate needs."""
+        return Check(f"p{int(round(q * 100))}_{col}", "percentile_between",
+                     col, agg_expr=F.percentile(col, q), lo=lo, hi=hi)
+
+    @staticmethod
+    def distinct_count_between(col: str, lo: int, hi: int) -> Check:
+        return Check(f"distinct_{col}", "distinct_count_between", col,
+                     agg_expr=F.countDistinct(col).cast("double"),
+                     lo=float(lo), hi=float(hi))
+
 
 @dataclass
 class CheckResult:
@@ -84,9 +121,21 @@ class CheckResult:
     column: str | None
     violations: int
     total: int
+    value: float | None = None       # value-based checks
+    lo: float | None = None
+    hi: float | None = None
+    max_ratio: float | None = None   # ratio-threshold checks
 
     @property
     def passed(self) -> bool:
+        if self.lo is not None or self.hi is not None:
+            return (self.value is not None
+                    and (self.lo is None or self.value >= self.lo)
+                    and (self.hi is None or self.value <= self.hi))
+        if self.max_ratio is not None:
+            if self.total == 0:
+                return True
+            return self.violations / self.total <= self.max_ratio
         return self.violations == 0
 
 
@@ -103,7 +152,7 @@ class Report:
         return [{
             "check": r.name, "kind": r.kind, "column": r.column,
             "violations": r.violations, "total": r.total,
-            "pass": r.passed,
+            "value": r.value, "pass": r.passed,
         } for r in self.results]
 
 
@@ -116,7 +165,9 @@ class Suite:
         queries()/oracle contract)."""
         aggs = [F.count(F.lit(1)).alias("__total")]
         for c in self.checks:
-            if c.distinct_col is not None:
+            if c.agg_expr is not None:
+                aggs.append(c.agg_expr.alias(c.name))
+            elif c.distinct_col is not None:
                 aggs.append(
                     (F.count(c.distinct_col) - F.countDistinct(c.distinct_col))
                     .alias(c.name))
@@ -128,14 +179,19 @@ class Suite:
     def run(self, df: DataFrame) -> Report:
         row = df.agg(*self.aggregates()).collect()[0]
         total = row["__total"]
-        return Report(
-            results=[
-                CheckResult(c.name, c.kind, c.column,
-                            int(row[c.name] or 0), total)
-                for c in self.checks
-            ],
-            total_rows=total,
-        )
+        results = []
+        for c in self.checks:
+            if c.agg_expr is not None:
+                v = row[c.name]
+                results.append(CheckResult(
+                    c.name, c.kind, c.column, 0, total,
+                    value=None if v is None else float(v),
+                    lo=c.lo, hi=c.hi))
+            else:
+                results.append(CheckResult(
+                    c.name, c.kind, c.column, int(row[c.name] or 0),
+                    total, max_ratio=c.max_ratio))
+        return Report(results=results, total_rows=total)
 
     def run_and_log(self, df: DataFrame, catalog, run_id: str,
                     table: str = "dq_reports") -> Report:

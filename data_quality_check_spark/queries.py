@@ -1464,6 +1464,39 @@ def q_dq_checks(spark, sf_dir):
     return li.agg(*suite.aggregates())
 
 
+def q_dq_stats(spark, sf_dir):
+    """Value-based DQ checks (Deequ-style) in the same single
+    aggregation pass: completeness ratio, mean / exact-percentile /
+    distinct-count bounds."""
+    from .api import Suite, checks as C
+
+    li = _t(spark, sf_dir, "lineitem")
+    suite = Suite([
+        C.completeness("l_returnflag", 0.95),
+        C.mean_between("l_quantity", 20.0, 30.0),
+        C.percentile_between("l_extendedprice", 0.5, 10_000.0, 60_000.0),
+        C.distinct_count_between("l_suppkey", 10, 1_000_000),
+    ])
+    out = li.agg(*suite.aggregates())
+    return out.select(
+        "__total", "completeness_l_returnflag",
+        F.round("mean_l_quantity", 6).alias("mean_l_quantity"),
+        F.round("p50_l_extendedprice", 6).alias("p50_l_extendedprice"),
+        F.col("distinct_l_suppkey").cast("bigint")
+         .alias("distinct_l_suppkey"))
+
+
+SQL_DQ_STATS = """
+SELECT count(*) AS __total,
+  CAST(sum(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+    AS completeness_l_returnflag,
+  round(avg(l_quantity), 6) AS mean_l_quantity,
+  round(quantile_cont(l_extendedprice, 0.5), 6) AS p50_l_extendedprice,
+  CAST(count(DISTINCT l_suppkey) AS BIGINT) AS distinct_l_suppkey
+FROM lineitem
+"""
+
+
 SQL_DQ_CHECKS = """
 SELECT count(*) AS __total,
   CAST(sum(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS BIGINT)
@@ -1773,6 +1806,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "rule_heuristics_images": (q_rule_heuristics_images, SQL_RULE_HEURISTICS_IMAGES),
     "agg_bucket_rule_hits": (q_agg_bucket_rule_hits, SQL_AGG_BUCKET_RULE_HITS),
     "dq_checks": (q_dq_checks, SQL_DQ_CHECKS),
+    "dq_stats": (q_dq_stats, SQL_DQ_STATS),
     "join_outer": (q_join_outer, SQL_JOIN_OUTER),
     "join_semi": (q_join_semi, SQL_JOIN_SEMI),
     "win_lag_lead": (q_win_lag_lead, SQL_WIN_LAG_LEAD),

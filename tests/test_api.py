@@ -3,6 +3,8 @@ single-pass evaluation, per-check verdicts, hand-computed counts."""
 
 from __future__ import annotations
 
+import pytest
+
 from data_quality_check_spark.api import Suite, checks as C
 
 
@@ -64,3 +66,48 @@ def test_run_and_log(spark, tmp_path):
     assert len(logged) == 2
     assert set(logged["check"]) == {"not_null_s", "in_range_id"}
     assert logged.set_index("check").loc["in_range_id", "violations"] == 4
+
+
+def test_value_based_checks(spark):
+    df = spark.range(100).selectExpr(
+        "id", "cast(id as double) AS v",
+        "CASE WHEN id < 10 THEN NULL ELSE cast(id as string) END AS s")
+    rep = Suite([
+        C.completeness("s", 0.85),           # 10% null -> pass
+        C.completeness("id", 1.0),           # no nulls -> pass
+        C.mean_between("v", 49.0, 50.0),     # mean = 49.5
+        C.percentile_between("v", 0.5, 49.0, 50.0),  # p50 = 49.5
+        C.distinct_count_between("id", 100, 100),
+    ]).run(df)
+    assert rep.passed, rep.to_rows()
+    by = {r.name: r for r in rep.results}
+    assert by["mean_v"].value == pytest.approx(49.5)
+    assert by["p50_v"].value == pytest.approx(49.5)
+    assert by["distinct_id"].value == 100.0
+
+    bad = Suite([
+        C.completeness("s", 0.95),           # 10% null -> fail
+        C.mean_between("v", 0.0, 10.0),      # fail
+    ]).run(df)
+    assert not bad.passed
+    assert not any(r.passed for r in bad.results)
+
+
+def test_value_checks_single_pass(spark):
+    df = spark.range(1000).selectExpr("id", "cast(id as double) AS v")
+    suite = Suite([C.mean_between("v", 0, 1e9),
+                   C.percentile_between("v", 0.9, 0, 1e9),
+                   C.distinct_count_between("id", 1, 10**9),
+                   C.not_null("v")])
+    agg = df.agg(*suite.aggregates())
+    plan = agg._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("FileScan") <= 1
+
+
+def test_value_checks_empty_table(spark):
+    df = spark.range(0).selectExpr("id", "cast(id as double) AS v")
+    rep = Suite([C.mean_between("v", 0, 1),
+                 C.completeness("v", 0.9)]).run(df)
+    by = {r.name: r for r in rep.results}
+    assert not by["mean_v"].passed       # no value -> cannot pass
+    assert by["completeness_v"].passed   # vacuously complete
