@@ -1,0 +1,67 @@
+"""CLI job surfaces (jobs/run_dedup.py, jobs/run_dq.py): the run()
+bodies driven with the shared session (spark-submit wiring is arg
+parsing + get_spark only)."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+
+def test_run_dedup_job(spark, tmp_path):
+    from jobs import run_dedup
+
+    out = str(tmp_path / "keepers")
+    res = run_dedup.run(spark, "/root/testdata/sf0.001/documents.parquet",
+                        "text", "doc_id", 0.5, out)
+    assert res["n_docs"] == 500
+    assert 0 < res["n_dups"] < 500
+    assert res["n_clusters"] == 500 - res["n_dups"]
+    written = spark.read.parquet(out)
+    assert written.count() == 500
+    assert set(written.columns) == {"id", "keeper_id", "is_dup"}
+
+
+def test_run_dq_job_pass_and_fail(spark, tmp_path):
+    from jobs import run_dq
+
+    spec = [
+        {"kind": "not_null", "column": "image_id"},
+        {"kind": "unique", "column": "image_id"},
+        {"kind": "accepted_values", "column": "fmt",
+         "values": ["raw", "ppm", "png", "rawq"]},
+        {"kind": "completeness", "column": "caption", "min_ratio": 0.9},
+        {"kind": "mean_between", "column": "w", "lo": 16, "hi": 4096},
+        {"kind": "percentile_between", "column": "h", "q": 0.5,
+         "lo": 16, "hi": 2048},
+        {"kind": "distinct_count_between", "column": "phash",
+         "lo": 2, "hi": 10**12},
+    ]
+    res = run_dq.run(spark, "/root/repo/data/images_sf0.001.parquet", spec)
+    assert res["passed"], res["checks"]
+    assert res["total_rows"] == 1000
+
+    bad = run_dq.run(spark, "/root/repo/data/images_sf0.001.parquet",
+                     [{"kind": "completeness", "column": "caption",
+                       "min_ratio": 1.0}])
+    assert not bad["passed"]  # fixture plants null captions
+
+    # report logging goes through the catalog like pipeline audit rows
+    logged = run_dq.run(spark, "/root/repo/data/images_sf0.001.parquet",
+                        spec, log_to=str(tmp_path / "cat"), run_id="t1")
+    assert logged["passed"]
+    from data_quality_check_spark.plans.catalog import LocalParquetCatalog
+
+    cat = LocalParquetCatalog(spark, str(tmp_path / "cat"))
+    assert cat.read_table("dq_reports").count() == len(spec)
+
+    # spec is JSON round-trippable (the CLI contract)
+    assert json.loads(json.dumps(spec)) == spec
+
+
+def test_run_dq_unknown_kind(spark):
+    from jobs import run_dq
+
+    with pytest.raises(SystemExit):
+        run_dq.build_suite([{"kind": "nope"}])
