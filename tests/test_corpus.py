@@ -142,6 +142,30 @@ def test_scrub_regex_sql_replaces_pii(spark):
         r"\b[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}\b", joined)
 
 
+def test_corpus_ops_partition_invariant(spark):
+    """Results are a pure function of the data, not of its physical
+    layout: repartitioning the input must change nothing (the
+    resume/recompute guarantee the sampling ops advertise)."""
+    from data_quality_check_spark.operators import corpus
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    d7 = d.repartition(7)
+    builders = [
+        lambda x: corpus.decontaminate(
+            x.filter("doc_id % 37 <> 0"), x.filter("doc_id % 37 = 0"), n=4),
+        lambda x: corpus.quota_sample(x, "source", "doc_id", 25)
+                        .select("doc_id", "source", "sample_rank"),
+        lambda x: corpus.hash_sample(x, "doc_id", "40000000")
+                        .select("doc_id", "sample_key"),
+        lambda x: corpus.repetition_signals(x),
+        lambda x: corpus.pack_token_bins(x, "source", "doc_id", "text", 256),
+    ]
+    for build in builders:
+        a = build(d).toPandas().sort_values("doc_id").reset_index(drop=True)
+        b = build(d7).toPandas().sort_values("doc_id").reset_index(drop=True)
+        pd.testing.assert_frame_equal(a, b)
+
+
 def test_repetition_signals_zero_shuffle(spark, docs):
     """The scale claim: no Exchange in the physical plan."""
     from data_quality_check_spark.operators import corpus
