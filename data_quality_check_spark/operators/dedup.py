@@ -361,6 +361,16 @@ def text_near_dup_keepers(df: DataFrame, text_col: str, id_col: str,
                  lambda t: t != F.lit("")).alias("__toks"))
     grams = tokd.select(F.col(id_col).alias("gid"),
                         _gram_expr(F.col("__toks"), ngram).alias("grams"))
+    # gram arrays are the widest payload in this plan: restrict them
+    # to docs that actually appear in a candidate pair BEFORE the
+    # fetch joins, so non-candidate docs (the overwhelming majority
+    # at scale) never push their grams into a shuffle.  `cand` is
+    # referenced three times but ends in an Exchange (distinct), so
+    # Spark's ReusedExchange computes the candidate shuffle once.
+    cand_ids = (cand.select(F.col("id_a").alias("gid"))
+                .union(cand.select(F.col("id_b").alias("gid")))
+                .distinct())
+    grams = grams.join(cand_ids, "gid", "left_semi")
     pairs = (
         cand.join(grams.select(F.col("gid").alias("id_a"),
                                F.col("grams").alias("ga")), "id_a")
