@@ -488,6 +488,19 @@ SQL_WIN_TOPK = (
 )
 
 
+def q_win_topk_twophase(spark, sf_dir):
+    """Two-phase top-k per group (map-side partition-local head ->
+    tiny window): identical rows to win_topk, shuffle bounded by
+    partitions x k per group.  Oracle: the plain window formulation."""
+    from .operators.topk import topk_per_group
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    return topk_per_group(d, "lang", "n_chars", k=3,
+                          tiebreak_col="doc_id")
+
+
+SQL_WIN_TOPK_TWOPHASE = SQL_WIN_TOPK
+
+
 def q_win_rank_misc(spark, sf_dir):
     """Ranking-family window surface: ntile / percent_rank /
     cume_dist / rank / dense_rank / first_value over one total order
@@ -1752,6 +1765,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "win_dup_rank": (q_win_dup_rank, SQL_WIN_DUP_RANK),
     "win_moving": (q_win_moving, SQL_WIN_MOVING),
     "win_topk": (q_win_topk, SQL_WIN_TOPK),
+    "win_topk_twophase": (q_win_topk_twophase, SQL_WIN_TOPK_TWOPHASE),
     "win_rank_misc": (q_win_rank_misc, SQL_WIN_RANK_MISC),
     # sorts / set ops
     "sort_limit": (q_sort_limit, SQL_SORT_LIMIT),
