@@ -304,7 +304,100 @@ def connected_components(pairs: DataFrame, src: str = "id_a",
         labels = new_labels.drop("__chg")
         if changed == 0:
             break
+    else:
+        # silent truncation would return WRONG labels on a graph with
+        # diameter > max_iter; fail honestly (or use
+        # connected_components_star, which needs O(log n) rounds)
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} "
+            f"rounds (graph diameter too large); use "
+            f"connected_components_star for high-diameter graphs")
     return labels.select("node", F.col("label").alias("component"))
+
+
+def connected_components_star(pairs: DataFrame, src: str = "id_a",
+                              dst: str = "id_b",
+                              max_iter: int = 50) -> DataFrame:
+    """Connected components by alternating large-star / small-star
+    rounds (Kiveris et al., "Connected Components in MapReduce and
+    Beyond", SoCC'14 — public algorithm): converges in O(log n)
+    rounds regardless of graph DIAMETER, where min-label propagation
+    (`connected_components`) needs diameter rounds.  Same output
+    contract: (node, component), component = min reachable node.
+
+      large-star: every node links its strictly-larger neighbors to
+          the minimum of its closed neighborhood;
+      small-star: every node links its not-larger neighbors (and
+          itself) to that minimum.
+
+    Both steps are one groupBy(min) + one join over the current edge
+    multiset — the same shuffle class per round as label propagation,
+    but exponentially fewer rounds on path-ish graphs.  Convergence =
+    the edge set reaches a fixed point (stars only), checked with an
+    order-insensitive xxhash64 fingerprint — no edge-set comparison
+    join."""
+    p = pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    # nodes BEFORE dropping self-loops: a node appearing only as
+    # (x, x) is its own singleton component, not absent
+    nodes = (p.select(F.col("u").alias("node"))
+             .union(p.select(F.col("v").alias("node"))).distinct()
+             .localCheckpoint())
+    edges = p.filter(F.col("u") != F.col("v")).localCheckpoint()
+
+    def _fingerprint(ed: DataFrame):
+        a, b = F.least("u", "v"), F.greatest("u", "v")
+        # bit_xor: order-insensitive and overflow-free under ANSI
+        # mode (a hash SUM overflows long); edges are distinct so
+        # xor cancellation of duplicates cannot occur
+        row = ed.select(
+            F.count("*").alias("n"),
+            F.bit_xor(F.xxhash64(a, b)).alias("h")).collect()[0]
+        return (row["n"], row["h"])
+
+    def _sym(ed: DataFrame) -> DataFrame:
+        return ed.union(ed.select(F.col("v").alias("u"),
+                                  F.col("u").alias("v")))
+
+    prev = None
+    for _ in range(max_iter):
+        # ---- large-star ------------------------------------------------
+        # m(u) = min of u's closed neighborhood; link each strictly
+        # larger neighbor v to m
+        s = _sym(edges)
+        mins = (s.groupBy("u").agg(F.min("v").alias("__mv"))
+                .select("u", F.least("__mv", "u").alias("m")))
+        ls = (s.join(mins, "u")
+              .filter(F.col("v") > F.col("u"))
+              .select(F.col("v").alias("u"), F.col("m").alias("v"))
+              .filter(F.col("u") != F.col("v"))
+              .distinct())
+        # ---- small-star ------------------------------------------------
+        # orient large->small; for each large endpoint u with smaller
+        # neighbors N, m = min(N); link every v in N and u itself to m
+        o = (ls.select(F.greatest("u", "v").alias("u"),
+                       F.least("u", "v").alias("v")))
+        mins2 = o.groupBy("u").agg(F.min("v").alias("m"))
+        ss = (o.join(mins2, "u")
+              .select(F.col("v").alias("u"), F.col("m").alias("v"))
+              .union(mins2.select("u", F.col("m").alias("v")))
+              .filter(F.col("u") != F.col("v"))
+              .distinct()
+              .localCheckpoint())
+        edges = ss
+        fp = _fingerprint(edges)
+        if fp == prev:
+            break
+        prev = fp
+    else:
+        raise RuntimeError(
+            f"connected_components_star did not converge in "
+            f"{max_iter} rounds")
+    # fixed point: edges are (node -> component-min) stars
+    comp = edges.select(F.col("u").alias("node"),
+                        F.col("v").alias("component"))
+    return (nodes.join(comp, "node", "left")
+            .select("node", F.coalesce("component", "node")
+                    .alias("component")))
 
 
 def minhash_candidate_pairs(df: DataFrame, text_col: str, id_col: str,

@@ -993,6 +993,17 @@ SELECT node, min(r) AS component FROM reach GROUP BY node
 """
 
 
+def q_dedup_components_star(spark, sf_dir):
+    """Same cluster resolution as dedup_components but via the
+    alternating large-star/small-star algorithm (O(log n) rounds,
+    diameter-independent) — checked against the identical DuckDB
+    recursive-CTE oracle."""
+    from .operators.similarity import embedding_near_dups
+    em = _t(spark, sf_dir, "embeddings")
+    pairs = embedding_near_dups(em, threshold=0.25)
+    return dedup.connected_components_star(pairs)
+
+
 def q_dedup_embedding_lsh(spark, sf_dir):
     """Banded-LSH scale path of dedup_embedding (rows-only: bucket
     membership is hyperplane-seeded; the recall-vs-exact contract is
@@ -1798,6 +1809,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "dedup_embedding": (q_dedup_embedding, SQL_DEDUP_EMBEDDING),
     "dedup_embedding_lsh": (q_dedup_embedding_lsh, None),
     "dedup_components": (q_dedup_components, SQL_DEDUP_COMPONENTS),
+    "dedup_components_star": (q_dedup_components_star, SQL_DEDUP_COMPONENTS),
     "dedup_text_pipeline": (q_dedup_text_pipeline, None),
     "text_tokens": (q_text_tokens, SQL_TEXT_TOKENS),
     "text_quality_score": (q_text_quality_score, SQL_TEXT_QUALITY_SCORE),

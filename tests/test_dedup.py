@@ -162,3 +162,40 @@ def test_minhash_short_text_densification(spark):
         assert sentinel not in sig, f"doc {i} kept an undensified bin"
     assert sigs[1] == sigs[2]
     assert sigs[1] != sigs[3]
+
+
+def test_star_components_high_diameter(spark):
+    """Large-star/small-star resolves a 100-edge PATH (diameter 100)
+    in O(log n) rounds; min-label propagation needs diameter rounds
+    and now fails HONESTLY when max_iter is too small instead of
+    returning partially-propagated labels."""
+    import pytest
+
+    from data_quality_check_spark.operators.dedup import (
+        connected_components, connected_components_star)
+
+    path = spark.createDataFrame(
+        [(i, i + 1) for i in range(100)], "id_a long, id_b long")
+    got = {(r.node, r.component)
+           for r in connected_components_star(path).collect()}
+    assert got == {(i, 0) for i in range(101)}
+
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(path, max_iter=5).collect()
+
+
+def test_star_components_matches_minlabel(spark):
+    import random
+
+    from data_quality_check_spark.operators.dedup import (
+        connected_components, connected_components_star)
+
+    random.seed(7)
+    pairs = [(random.randrange(200), random.randrange(200))
+             for _ in range(150)] + [(5, 5)]  # incl. self-loop node
+    df = spark.createDataFrame(pairs, "id_a long, id_b long")
+    a = {(r.node, r.component)
+         for r in connected_components_star(df).collect()}
+    b = {(r.node, r.component)
+         for r in connected_components(df, max_iter=300).collect()}
+    assert a == b
