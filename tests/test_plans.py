@@ -1,0 +1,94 @@
+"""Physical-plan regression tests: the scale-critical plan shapes
+(pushdown, pruning, broadcast, shuffle counts) asserted so a rewrite
+that silently degrades the plan fails CI, not the cluster."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_scan_prunes_and_pushes(spark):
+    """Projection + filter must reach the parquet scan."""
+    from data_quality_check_spark.sources import images as IM
+
+    df = (IM.read_images(spark, 0.001)
+          .filter(F.col("fmt") == "png")
+          .select("image_id", "w"))
+    plan = _plan(df)
+    assert "PushedFilters: [IsNotNull(fmt), EqualTo(fmt,png)]" in plan
+    # ReadSchema carries only the needed columns — bytes/caption must
+    # not be read for a 2-column projection
+    rs = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
+    assert "bytes" not in rs and "caption" not in rs
+
+
+def test_broadcast_join_small_dim(spark):
+    from data_quality_check_spark.queries import REGISTRY
+
+    plan = _plan(REGISTRY["join_broadcast"][0](
+        spark, "/root/testdata/sf0.001"))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_decontaminate_broadcasts_eval_dict(spark):
+    """The eval gram dictionary must broadcast — the train side must
+    not shuffle for the semi join."""
+    from data_quality_check_spark.operators import corpus
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = corpus.decontaminate(d.filter("doc_id % 37 <> 0"),
+                               d.filter("doc_id % 37 = 0"), n=4)
+    plan = _plan(out)
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+
+
+def test_repetition_signals_no_exchange(spark):
+    from data_quality_check_spark.operators import corpus
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    assert "Exchange" not in _plan(corpus.repetition_signals(d))
+
+
+def test_hash_sample_no_exchange(spark):
+    from data_quality_check_spark.operators import corpus
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    assert "Exchange" not in _plan(corpus.hash_sample(d, "doc_id",
+                                                      "40000000"))
+
+
+def test_suite_single_aggregation_pass(spark):
+    """All checks of a Suite compile to ONE scan + one aggregate
+    tree, however many checks there are."""
+    from data_quality_check_spark.api import Suite, checks as C
+    from data_quality_check_spark.sources import images as IM
+
+    df = IM.read_images(spark, 0.001)
+    agg = df.agg(*Suite([
+        C.not_null("image_id"), C.in_range("w", 1, 10000),
+        C.mean_between("h", 1, 10000),
+        C.completeness("caption", 0.5)]).aggregates())
+    assert _plan(agg).count("FileScan") == 1
+
+
+def test_pipeline_bytes_never_shuffles(spark, tmp_path):
+    """The uncompressed payload column must be consumed below every
+    Exchange (CLAUDE.md invariant: bytes never crosses a shuffle)."""
+    from data_quality_check_spark.plans import pipeline as P
+    from data_quality_check_spark.sources import images as IM
+
+    df = IM.read_images(spark, 0.001)
+    frame = P.quality_frame(df)
+    plan = _plan(frame)
+    # find every Exchange line and assert no 'bytes' attribute is in
+    # its output schema (attribute names render as bytes#NNN)
+    for ln in plan.splitlines():
+        if "Exchange" in ln:
+            assert "bytes#" not in ln, ln
