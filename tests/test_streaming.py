@@ -53,3 +53,43 @@ def test_stream_matches_batch(spark, shard_dir, oracle_labels):
         assert len(mismatch) < 50
     finally:
         shutil.rmtree(out_root, ignore_errors=True)
+
+
+def test_streaming_dq_reports_per_batch(spark, shard_dir):
+    """Streaming DQ monitoring: one Suite report row-set per
+    micro-batch, appended to the catalog like audit rows."""
+    from data_quality_check_spark.api import Suite, checks as C
+    from data_quality_check_spark.plans.catalog import LocalParquetCatalog
+    from data_quality_check_spark.streaming.dq import start_dq_stream
+
+    pdf = IM.generate_pandas(0.001)
+    for i, chunk in enumerate((pdf.iloc[:500], pdf.iloc[500:])):
+        tbl = pa.Table.from_pandas(chunk, schema=IM.ARROW_SCHEMA,
+                                   preserve_index=False)
+        pq.write_table(tbl, os.path.join(shard_dir, f"s{i}.parquet"))
+
+    out_root = tempfile.mkdtemp(prefix="dqc-dqstream-")
+    try:
+        cat = LocalParquetCatalog(spark, out_root)
+        suite = Suite([
+            C.not_null("image_id"),
+            C.unique("image_id"),
+            C.mean_between("w", 16, 4096),
+        ])
+        q = start_dq_stream(
+            spark, shard_dir, IM.IMAGES_DDL, suite, cat,
+            checkpoint_dir=os.path.join(out_root, "ckpt"),
+            max_files_per_trigger=1).start()
+        q.awaitTermination(120)
+
+        rep = cat.read_table("dq_stream_reports").toPandas()
+        # 2 micro-batches x 3 checks
+        assert len(rep) == 6
+        assert set(rep.batch_id) == {0, 1}
+        assert set(rep.check) == {"not_null_image_id", "unique_image_id",
+                                  "mean_w"}
+        assert rep["pass"].all()
+        by = rep.set_index(["batch_id", "check"])
+        assert by.loc[(0, "mean_w"), "value"] > 16
+    finally:
+        shutil.rmtree(out_root, ignore_errors=True)
