@@ -84,12 +84,18 @@ def quota_sample(df: DataFrame, group_col: str, id_col: str,
     """Deterministic per-group quota sampling (domain balancing):
     keep the k rows per group with the smallest keyed md5 — a uniform
     random-but-reproducible choice with no RNG state, so a resumed or
-    re-run job picks the identical sample."""
+    re-run job picks the identical sample.
+
+    Executes as two-phase top-k (operators/topk.py): each partition
+    keeps its own k smallest hashes per group map-side, so the
+    shuffle is bounded by partitions x k per group — a 10^9-row
+    domain never sorts in one reducer."""
+    from .topk import topk_per_group
+
     rk = F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string")))
-    w = Window.partitionBy(group_col).orderBy(rk.asc(), F.col(id_col).asc())
-    return (df
-            .withColumn("sample_rank", F.row_number().over(w))
-            .filter(F.col("sample_rank") <= k))
+    out = topk_per_group(df.withColumn("__rk", rk), group_col, "__rk",
+                         k, ascending=True, tiebreak_col=id_col)
+    return (out.withColumnRenamed("rk", "sample_rank").drop("__rk"))
 
 
 def hash_sample(df: DataFrame, id_col: str, threshold_hex: str,
