@@ -166,6 +166,36 @@ def test_corpus_ops_partition_invariant(spark):
         pd.testing.assert_frame_equal(a, b)
 
 
+def test_repetition_signals_hypothesis_fuzz(spark):
+    """Randomized token streams (incl. repeats, unicode-ish tokens,
+    single tokens) against the Counter reference — the HOF
+    longest-equal-run trick must equal the true mode count always."""
+    import random
+
+    from collections import Counter
+
+    from data_quality_check_spark.operators import corpus
+
+    rng = random.Random(42)
+    vocab = ["a", "b", "ab", "zz", "é", "漢", "tok1", "x" * 30]
+    rows = []
+    for i in range(60):
+        n = rng.randrange(0, 40)
+        rows.append((i, " ".join(rng.choice(vocab) for _ in range(n))))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = (corpus.repetition_signals(df)
+           .toPandas().set_index("doc_id").sort_index())
+    for i, text in rows:
+        w = [t for t in text.split(" ") if t]
+        got = out.loc[i]
+        if not w:
+            assert pd.isna(got["top_word_frac"])
+            continue
+        top = Counter(w).most_common(1)[0][1]
+        assert got["top_word_frac"] == pytest.approx(
+            round(top / len(w), 6), abs=1e-9), (i, text)
+
+
 def test_repetition_signals_zero_shuffle(spark, docs):
     """The scale claim: no Exchange in the physical plan."""
     from data_quality_check_spark.operators import corpus
