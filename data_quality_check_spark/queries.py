@@ -1520,6 +1520,57 @@ FROM lineitem GROUP BY l_returnflag
 """
 
 
+def q_agg_cms_heavy_hitters(spark, sf_dir):
+    """Count-Min-Sketch heavy hitters (hot-key detection, the sketch
+    behind the pipeline's salting decision at scale): a CMS built in
+    one pass answers per-key frequency for the exact top-10 keys.
+    The sketch is built DECLARATIVELY — depth x width counter tables
+    via `groupBy(xxhash64(key, seed) % width).count()`, estimate =
+    least of the depth bucket counts — so it is fully distributed
+    (three w-row aggregates, no driver-side sketch object).
+    Verified-sketch oracle trick as in agg_hll_sketch: the emitted
+    columns are CMS INVARIANTS — never-underestimates (deterministic:
+    a bucket count >= any member key's count) and overestimate within
+    slack (expected excess N/width per row, min over depth rows) —
+    which DuckDB asserts as literal TRUE over exact counts."""
+    import math
+
+    li = _t(spark, sf_dir, "lineitem")
+    seeds, width = (101, 202, 303), 8192
+
+    def bucket(col, seed):
+        return F.pmod(F.xxhash64(col, F.lit(seed)), F.lit(width))
+
+    counters = [
+        li.groupBy(bucket(F.col("l_suppkey"), s).alias(f"b{i}"))
+          .agg(F.count("*").alias(f"c{i}"))
+        for i, s in enumerate(seeds)
+    ]
+    top = (li.groupBy("l_suppkey").agg(F.count("*").alias("n_exact"))
+           .orderBy(F.desc("n_exact"), F.asc("l_suppkey")).limit(10))
+    keyed = top.select(
+        "l_suppkey", "n_exact",
+        *[bucket(F.col("l_suppkey"), s).alias(f"b{i}")
+          for i, s in enumerate(seeds)])
+    for i, c in enumerate(counters):
+        keyed = keyed.join(F.broadcast(c), f"b{i}")
+    est = F.least(*[F.col(f"c{i}") for i in range(len(seeds))])
+    total = li.count()
+    slack = math.ceil(0.001 * total)
+    return keyed.select(
+        "l_suppkey", "n_exact",
+        (est >= F.col("n_exact")).alias("never_underestimates"),
+        (est <= F.col("n_exact") + slack).alias("within_eps"))
+
+
+SQL_AGG_CMS_HEAVY_HITTERS = """
+SELECT l_suppkey, count(*) AS n_exact,
+       TRUE AS never_underestimates, TRUE AS within_eps
+FROM lineitem GROUP BY l_suppkey
+ORDER BY n_exact DESC, l_suppkey LIMIT 10
+"""
+
+
 def q_dq_stats(spark, sf_dir):
     """Value-based DQ checks (Deequ-style) in the same single
     aggregation pass: completeness ratio, mean / exact-percentile /
@@ -1866,6 +1917,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "dq_checks": (q_dq_checks, SQL_DQ_CHECKS),
     "dq_stats": (q_dq_stats, SQL_DQ_STATS),
     "agg_hll_sketch": (q_agg_hll_sketch, SQL_AGG_HLL_SKETCH),
+    "agg_cms_heavy_hitters": (q_agg_cms_heavy_hitters, SQL_AGG_CMS_HEAVY_HITTERS),
     "join_outer": (q_join_outer, SQL_JOIN_OUTER),
     "join_semi": (q_join_semi, SQL_JOIN_SEMI),
     "win_lag_lead": (q_win_lag_lead, SQL_WIN_LAG_LEAD),
