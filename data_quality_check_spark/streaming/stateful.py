@@ -27,37 +27,55 @@ DEDUP_OUTPUT_DDL = "image_id string, phash long, is_dup boolean, seen_before int
 DEDUP_STATE_DDL = "first_id string, n long"
 
 
-def _dedup_fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
-    (phash,) = key
-    if state.exists:
-        first_id, n = state.get
-    else:
-        first_id, n = None, 0
-    rows = []
-    for pdf in pdfs:
-        for image_id in sorted(pdf["image_id"]):
-            is_dup = first_id is not None
-            if first_id is None:
-                first_id = image_id
-            rows.append((image_id, phash, is_dup, n))
-            n += 1
-    state.update((first_id, n))
-    yield pd.DataFrame(rows, columns=["image_id", "phash", "is_dup",
-                                      "seen_before"])
+def _make_dedup_fn(ttl_ms: int | None):
+    def _dedup_fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        if ttl_ms is not None and state.hasTimedOut:
+            # TTL fired with no new data: evict this key's state.  A
+            # duplicate arriving later is treated as first-seen again
+            # — the standard bounded-state trade-off, sized via ttl.
+            state.remove()
+            yield pd.DataFrame(columns=["image_id", "phash", "is_dup",
+                                        "seen_before"])
+            return
+        (phash,) = key
+        if state.exists:
+            first_id, n = state.get
+        else:
+            first_id, n = None, 0
+        rows = []
+        for pdf in pdfs:
+            for image_id in sorted(pdf["image_id"]):
+                is_dup = first_id is not None
+                if first_id is None:
+                    first_id = image_id
+                rows.append((image_id, phash, is_dup, n))
+                n += 1
+        state.update((first_id, n))
+        if ttl_ms is not None:
+            state.setTimeoutDuration(ttl_ms)
+        yield pd.DataFrame(rows, columns=["image_id", "phash", "is_dup",
+                                          "seen_before"])
+
+    return _dedup_fn
 
 
-def streaming_dedup(stream: DataFrame) -> DataFrame:
+def streaming_dedup(stream: DataFrame, ttl_ms: int | None = None) -> DataFrame:
     """image stream -> (image_id, phash, is_dup, seen_before); first
-    arrival of each phash wins across all micro-batches."""
+    arrival of each phash wins across all micro-batches.  `ttl_ms`
+    bounds state size: keys idle longer than the TTL are evicted
+    (processing-time timeout), so state holds only the active-window
+    working set instead of every phash ever seen."""
+    timeout = (GroupStateTimeout.ProcessingTimeTimeout
+               if ttl_ms is not None else GroupStateTimeout.NoTimeout)
     return (
         stream.select("image_id", "phash")
         .groupBy("phash")
         .applyInPandasWithState(
-            _dedup_fn,
+            _make_dedup_fn(ttl_ms),
             outputStructType=DEDUP_OUTPUT_DDL,
             stateStructType=DEDUP_STATE_DDL,
             outputMode="append",
-            timeoutConf=GroupStateTimeout.NoTimeout,
+            timeoutConf=timeout,
         )
     )
 

@@ -7,6 +7,7 @@ import os
 import shutil
 import tempfile
 
+import pandas as pd
 import pyarrow as pa
 import pyarrow.parquet as pq
 import pytest
@@ -109,3 +110,56 @@ def test_cross_batch_near_dup_candidates(spark, dirs):
     sigs = dedup.minhash_signatures(batch, "text", "doc_id").collect()
     assert {r["doc_id"]: r["sig"] for r in sigs}[1] == \
            {r["doc_id"]: r["sig"] for r in sigs}[3]
+
+
+def test_streaming_dedup_with_ttl_matches_no_timeout(spark, tmp_path):
+    """With a TTL far longer than the run, eviction never fires and
+    output is identical to the NoTimeout operator."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from data_quality_check_spark.sources import images as IM
+    from data_quality_check_spark.streaming.stateful import streaming_dedup
+
+    pdf = IM.generate_pandas(0.001)
+    in_dir = str(tmp_path / "shards")
+    os.makedirs(in_dir)
+    for i, chunk in enumerate((pdf.iloc[:500], pdf.iloc[500:])):
+        tbl = pa.Table.from_pandas(chunk, schema=IM.ARROW_SCHEMA,
+                                   preserve_index=False)
+        pq.write_table(tbl, os.path.join(in_dir, f"s{i}.parquet"))
+
+    outs = {}
+    for tag, ttl in (("none", None), ("long", 3_600_000)):
+        stream = (spark.readStream.schema(IM.IMAGES_DDL)
+                  .option("maxFilesPerTrigger", 1).parquet(in_dir))
+        out_dir = str(tmp_path / f"out_{tag}")
+        q = (streaming_dedup(stream, ttl_ms=ttl).writeStream
+             .format("parquet").option("path", out_dir)
+             .option("checkpointLocation", str(tmp_path / f"ck_{tag}"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        outs[tag] = (spark.read.parquet(out_dir).toPandas()
+                     .sort_values("image_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(outs["none"], outs["long"])
+    assert outs["none"].is_dup.sum() > 0  # cross-batch dups exist
+
+
+def test_dedup_fn_timeout_branch_evicts():
+    """The hasTimedOut branch removes state and emits nothing (driven
+    with a fake GroupState — Spark invokes it with no data)."""
+    from data_quality_check_spark.streaming.stateful import _make_dedup_fn
+
+    class FakeState:
+        hasTimedOut = True
+        removed = False
+
+        def remove(self):
+            self.removed = True
+
+    st = FakeState()
+    out = list(_make_dedup_fn(1000)((42,), iter(()), st))
+    assert st.removed
+    assert len(out) == 1 and len(out[0]) == 0
