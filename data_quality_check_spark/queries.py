@@ -885,6 +885,51 @@ SELECT id_a, id_b, jaccard FROM p WHERE jaccard >= 0.3
 """
 
 
+def q_dedup_simhash_invariant(spark, sf_dir):
+    """SQL-checked SimHash LOCALITY invariant (upgrades the
+    engine-specific `dedup_simhash` from rows-only evidence): for
+    every true near-dup pair (exact word-3-gram Jaccard >= 0.5), the
+    64-bit SimHash hamming distance must be small (<= 16; measured
+    max 9 across fixtures, vs avg ~18 / max 32 for non-near pairs).  DuckDB
+    reproduces the pair set and asserts the bound as literal TRUE —
+    a locality-breaking simhash change flips booleans and fails the
+    value compare."""
+    d = _t(spark, sf_dir, "documents")
+    pairs = dedup.jaccard_pairs_exact(d, "text", "doc_id", threshold=0.5)
+    sh = dedup.simhash64(d, "text", "doc_id")
+    j = (pairs
+         .join(sh.select(F.col("doc_id").alias("id_a"),
+                         F.col("simhash").alias("__ha")), "id_a")
+         .join(sh.select(F.col("doc_id").alias("id_b"),
+                         F.col("simhash").alias("__hb")), "id_b"))
+    ham = F.bit_count(F.col("__ha").bitwiseXOR(F.col("__hb")))
+    return j.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"),
+                    (ham <= 16).alias("hamming_le_16"))
+
+
+SQL_DEDUP_SIMHASH_INVARIANT = """
+WITH t AS (
+  SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x != '') AS toks
+  FROM documents
+), g AS (
+  SELECT doc_id,
+    CASE WHEN len(toks) >= 3
+         THEN list_distinct(list_transform(range(1, len(toks) - 1),
+              i -> toks[i] || '_' || toks[i+1] || '_' || toks[i+2]))
+         ELSE [array_to_string(toks, '_')] END AS grams
+  FROM t
+), p AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+    round(len(list_intersect(a.grams, b.grams))
+          / CAST(len(list_distinct(list_concat(a.grams, b.grams))) AS DOUBLE),
+          6) AS jaccard
+  FROM g a JOIN g b ON a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, jaccard, TRUE AS hamming_le_16
+FROM p WHERE jaccard >= 0.5
+"""
+
+
 def q_sim_topk_cosine(spark, sf_dir):
     from .operators.similarity import cosine_topk
     em = _t(spark, sf_dir, "embeddings")
@@ -1886,6 +1931,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "dedup_simhash": (q_dedup_simhash, None),
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, None),
     "dedup_jaccard_exact": (q_dedup_jaccard_exact, SQL_DEDUP_JACCARD_EXACT),
+    "dedup_simhash_invariant": (q_dedup_simhash_invariant, SQL_DEDUP_SIMHASH_INVARIANT),
     "sim_topk_cosine": (q_sim_topk_cosine, SQL_SIM_TOPK_COSINE),
     "sim_lsh_topk": (q_sim_lsh_topk, None),
     "sim_ivf_topk": (q_sim_ivf_topk, None),
