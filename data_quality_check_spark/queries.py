@@ -662,12 +662,34 @@ SQL_AGG_CUBE = (
 
 
 def q_agg_approx_distinct(spark, sf_dir):
-    # rows-only: HLL sketch values are engine-specific by design
+    """approx_count_distinct accuracy invariant.  The HLL++ estimate
+    itself is engine-specific, so the emitted columns are the exact
+    counts plus within-rsd booleans (default rsd=0.05; we assert 3x
+    slack = 15%), which DuckDB asserts as literal TRUE against its own
+    exact counts — same verified-sketch oracle trick as
+    agg_hll_sketch.  A broken estimator flips a boolean and
+    hash-FAILs the driver compare."""
     li = _t(spark, sf_dir, "lineitem")
-    return li.agg(
-        F.approx_count_distinct("l_partkey").alias("approx_parts"),
-        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+    agg = li.agg(
+        F.approx_count_distinct("l_partkey").alias("ap"),
+        F.approx_count_distinct("l_orderkey").alias("ao"),
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
     )
+    return agg.select(
+        "n_parts", "n_orders",
+        (F.abs(F.col("ap") - F.col("n_parts")) / F.col("n_parts")
+         <= 0.15).alias("parts_within_rsd"),
+        (F.abs(F.col("ao") - F.col("n_orders")) / F.col("n_orders")
+         <= 0.15).alias("orders_within_rsd"),
+    )
+
+
+SQL_AGG_APPROX_DISTINCT = (
+    "SELECT count(DISTINCT l_partkey) AS n_parts, "
+    "count(DISTINCT l_orderkey) AS n_orders, "
+    "TRUE AS parts_within_rsd, TRUE AS orders_within_rsd FROM lineitem"
+)
 
 
 def q_fn_levenshtein(spark, sf_dir):
@@ -1914,7 +1936,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "win_sessionize": (q_win_sessionize, SQL_WIN_SESSIONIZE),
     "win_tumbling": (q_win_tumbling, SQL_WIN_TUMBLING),
     "agg_cube": (q_agg_cube, SQL_AGG_CUBE),
-    "agg_approx_distinct": (q_agg_approx_distinct, None),
+    "agg_approx_distinct": (q_agg_approx_distinct, SQL_AGG_APPROX_DISTINCT),
     "fn_levenshtein": (q_fn_levenshtein, SQL_FN_LEVENSHTEIN),
     # partitioning
     "bucket_assign": (q_bucket_assign, SQL_BUCKET_ASSIGN),
