@@ -33,6 +33,7 @@ from .constants import (
 from .operators import dedup, metrics, salt
 from .plans import pipeline
 from .sources import images as IM
+from .sources import text as TX
 
 # ---------------------------------------------------------------------------
 # helpers
@@ -104,6 +105,39 @@ SQL_SCAN_LINEITEM = "SELECT * FROM lineitem"
 def q_scan_images(spark, sf_dir):
     # rows-only: images is this engine's own synthesized table (O-1/O-3)
     return _images(spark, sf_dir).select("image_id", "w", "h", "fmt", "phash")
+
+
+def q_scan_jsonl(spark, sf_dir):
+    """Line-delimited JSON ingest (sources/text.py): explicit schema
+    (no inference pass), byte-range-splittable layout.  Oracle reads
+    the byte-identical cache file with DuckDB read_json."""
+    sf = _sf_of(sf_dir)
+    path = TX.ensure_docs_jsonl(sf, sf_dir)
+    return TX.read_jsonl(spark, path)
+
+
+SQL_SCAN_JSONL = (
+    "SELECT doc_id, text, lang, source, n_chars FROM read_json("
+    "'/root/repo/data/docs_sf0.01.jsonl', format='newline_delimited', "
+    "columns={doc_id: 'BIGINT', text: 'VARCHAR', lang: 'VARCHAR', "
+    "source: 'VARCHAR', n_chars: 'BIGINT'})"
+)
+
+
+def q_scan_csv(spark, sf_dir):
+    """Header-CSV manifest ingest: scalar metadata columns only —
+    free text rides JSONL because quoted-newline CSV would serialize
+    the scan to a single task (sources/text.py)."""
+    sf = _sf_of(sf_dir)
+    path = TX.ensure_docs_csv(sf, sf_dir)
+    return TX.read_csv(spark, path)
+
+
+SQL_SCAN_CSV = (
+    "SELECT * FROM read_csv('/root/repo/data/docs_meta_sf0.01.csv', "
+    "header=true, columns={'doc_id': 'BIGINT', 'lang': 'VARCHAR', "
+    "'source': 'VARCHAR', 'n_chars': 'BIGINT'})"
+)
 
 
 # ---------------------------------------------------------------------------
@@ -1899,6 +1933,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     # scans / projection / rules
     "scan_lineitem": (q_scan_lineitem, SQL_SCAN_LINEITEM),
     "scan_images": (q_scan_images, SQL_SCAN_IMAGES),
+    "scan_jsonl": (q_scan_jsonl, SQL_SCAN_JSONL),
+    "scan_csv": (q_scan_csv, SQL_SCAN_CSV),
     "project_prune": (q_project_prune, SQL_PROJECT_PRUNE),
     "filter_nulls": (q_filter_nulls, SQL_FILTER_NULLS),
     "rule_length": (q_rule_length, SQL_RULE_LENGTH),

@@ -34,8 +34,9 @@ ROWS_ONLY_KEYS = [k for k, (_f, sql) in REGISTRY.items() if sql is None]
 @pytest.mark.parametrize("key", SQL_KEYS)
 def test_sql_oracle_match(spark, duck, key):
     fn, sql = REGISTRY[key]
-    # image-backed oracles are pinned to the driver's sf0.01 parquet
-    sf_dir = "/root/testdata/sf0.01" if "images_sf0.01" in sql else SF_DIR
+    # file-backed oracles (images parquet, docs jsonl/csv caches) are
+    # pinned to the driver's sf0.01 fixtures via literal paths
+    sf_dir = "/root/testdata/sf0.01" if "_sf0.01" in sql else SF_DIR
     sdf = fn(spark, sf_dir).toPandas()
     ddf = duck.execute(sql).fetchdf()
     err = compare(sdf, ddf)

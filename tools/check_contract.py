@@ -81,7 +81,7 @@ def main() -> int:
         # pinned to sf0.01 (the driver's compare scale) — run the
         # Spark side at the same scale
         eff_dir = ("/root/testdata/sf0.01"
-                   if sql and "images_sf0.01" in sql else sf_dir)
+                   if sql and "_sf0.01" in sql else sf_dir)
         try:
             sdf = fn(spark, eff_dir).toPandas()
         except Exception as e:
