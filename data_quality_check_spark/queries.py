@@ -986,6 +986,55 @@ FROM p WHERE jaccard >= 0.5
 """
 
 
+def q_dedup_minhash_recall(spark, sf_dir):
+    """SQL-checked recall invariant for MinHash-LSH candidate
+    generation (upgrades evidence for the xxhash64-seeded
+    dedup_minhash_lsh / dedup_text_pipeline family, whose candidate
+    *rows* DuckDB cannot reproduce): DuckDB reproduces the exact
+    word-3-gram Jaccard >= 0.5 pair set from the raw text; every such
+    true near-dup pair must surface as an LSH candidate.  Floor 0.95
+    (measured 1.0 at sf0.001 and sf0.01 — consistent with
+    tests/test_dedup.py::test_text_pipeline_matches_exact, which
+    asserts the verified pipeline output equals the exact pair set).
+    False positives need no column here: the pipeline re-scores every
+    candidate with the exact Jaccard before acting on it, so
+    structurally none survive verification."""
+    d = _t(spark, sf_dir, "documents")
+    exact = dedup.jaccard_pairs_exact(
+        d, "text", "doc_id", threshold=0.5).select("id_a", "id_b")
+    cand = dedup.minhash_candidate_pairs(d, "text", "doc_id")
+    hits = exact.join(cand, ["id_a", "id_b"]).agg(
+        F.count("*").alias("__hits"))
+    n_ex = exact.agg(F.count("*").alias("n_exact_pairs"))
+    return n_ex.crossJoin(hits).select(
+        "n_exact_pairs",
+        (F.col("__hits") / F.col("n_exact_pairs") >= 0.95)
+        .alias("recall_ge_095"))
+
+
+SQL_DEDUP_MINHASH_RECALL = """
+WITH t AS (
+  SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x != '') AS toks
+  FROM documents
+), g AS (
+  SELECT doc_id,
+    CASE WHEN len(toks) >= 3
+         THEN list_distinct(list_transform(range(1, len(toks) - 1),
+              i -> toks[i] || '_' || toks[i+1] || '_' || toks[i+2]))
+         ELSE [array_to_string(toks, '_')] END AS grams
+  FROM t
+), p AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+    round(len(list_intersect(a.grams, b.grams))
+          / CAST(len(list_distinct(list_concat(a.grams, b.grams))) AS DOUBLE),
+          6) AS jaccard
+  FROM g a JOIN g b ON a.doc_id < b.doc_id
+)
+SELECT count(*) AS n_exact_pairs, TRUE AS recall_ge_095
+FROM p WHERE jaccard >= 0.5
+"""
+
+
 def q_sim_topk_cosine(spark, sf_dir):
     from .operators.similarity import cosine_topk
     em = _t(spark, sf_dir, "embeddings")
@@ -2077,6 +2126,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, None),
     "dedup_jaccard_exact": (q_dedup_jaccard_exact, SQL_DEDUP_JACCARD_EXACT),
     "dedup_simhash_invariant": (q_dedup_simhash_invariant, SQL_DEDUP_SIMHASH_INVARIANT),
+    "dedup_minhash_recall": (q_dedup_minhash_recall, SQL_DEDUP_MINHASH_RECALL),
     "sim_topk_cosine": (q_sim_topk_cosine, SQL_SIM_TOPK_COSINE),
     "sim_lsh_topk": (q_sim_lsh_topk, SQL_SIM_LSH_TOPK),
     "sim_ivf_topk": (q_sim_ivf_topk, SQL_SIM_IVF_TOPK),
