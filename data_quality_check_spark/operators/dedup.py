@@ -486,3 +486,58 @@ def text_near_dup_keepers(df: DataFrame, text_col: str, id_col: str,
             .alias("is_dup"),
         )
     )
+
+
+def phash_near_dups(df: DataFrame, max_hamming: int = 3,
+                    id_col: str = "image_id",
+                    phash_col: str = "phash") -> DataFrame:
+    """EXACT perceptual-hash near-duplicate pairs via multi-index
+    pigeonhole banding (Norouzi et al., "Fast Search in Hamming Space
+    with Multi-Index Hashing"): a 64-bit hash pair differing in at
+    most `max_hamming` bits must agree EXACTLY on at least one of
+    (max_hamming+1) disjoint bit-slices, so banding on those slices
+    has guaranteed 100% recall — unlike MinHash / hyperplane LSH
+    there is no probabilistic miss.  Candidates from the band
+    self-join are re-scored with the exact bit_count(xor) filter, so
+    the output EQUALS the all-pairs answer while the join shuffles
+    only (band, slice-value, id, phash) — never pixel bytes — and the
+    scan prunes to two columns.
+
+    At cluster scale the band self-join hash-partitions on
+    (band, slice value); a pathologically hot slice value (e.g. the
+    all-zero band of flat images) concentrates one reducer — cap it
+    upstream with an approx-count filter or pre-aggregate identical
+    phash values (hamming 0) separately and run the band join on
+    distinct hashes only, which also removes exact-dup-cluster
+    quadratic blowup: |distinct phash| << |rows| on real corpora.
+    """
+    nb = max_hamming + 1
+    w = 64 // nb
+    src = (df.select(F.col(id_col).alias("__id"),
+                     F.col(phash_col).alias("__ph"))
+           .filter(F.col("__ph").isNotNull()))
+    slices = []
+    for b in range(nb):
+        width = w if b < nb - 1 else 64 - w * (nb - 1)
+        mask = (1 << width) - 1
+        # shiftrightunsigned: bit 63 must not smear sign bits into
+        # the high slice
+        slices.append(F.struct(
+            F.lit(b).alias("band"),
+            F.shiftrightunsigned("__ph", b * w)
+             .bitwiseAND(F.lit(mask)).alias("bv")))
+    banded = (src.select("__id", "__ph",
+                         F.explode(F.array(*slices)).alias("s"))
+              .select("__id", "__ph", "s.band", "s.bv"))
+    a, b_ = banded.alias("a"), banded.alias("b")
+    cand = (a.join(b_, (F.col("a.band") == F.col("b.band"))
+                   & (F.col("a.bv") == F.col("b.bv"))
+                   & (F.col("a.__id") < F.col("b.__id")))
+            .select(F.col("a.__id").alias("id_a"),
+                    F.col("b.__id").alias("id_b"),
+                    F.bit_count(F.col("a.__ph").bitwiseXOR(F.col("b.__ph")))
+                    .alias("hamming"))
+            .filter(F.col("hamming") <= max_hamming)
+            # a close pair agrees on several slices -> k duplicates
+            .dropDuplicates(["id_a", "id_b"]))
+    return cand

@@ -1947,6 +1947,25 @@ FROM flags GROUP BY bucket
 """
 
 
+def q_dedup_phash_hamming(spark, sf_dir):
+    """Image near-dup pairs by perceptual-hash hamming distance <= 3,
+    found via multi-index pigeonhole banding (4 disjoint 16-bit
+    slices -> guaranteed recall, see operators.dedup.phash_near_dups)
+    and re-scored exactly — so the result is value-identical to
+    DuckDB's brute-force all-pairs bit_count(xor) scan."""
+    im = _images(spark, sf_dir).select("image_id", "phash")
+    return dedup.phash_near_dups(im, max_hamming=3)
+
+
+SQL_DEDUP_PHASH_HAMMING = f"""
+SELECT a.image_id AS id_a, b.image_id AS id_b,
+       CAST(bit_count(xor(a.phash, b.phash)) AS INT) AS hamming
+FROM {IMAGES_SF001} a, {IMAGES_SF001} b
+WHERE a.image_id < b.image_id
+  AND bit_count(xor(a.phash, b.phash)) <= 3
+"""
+
+
 def q_win_dup_rank_images(spark, sf_dir):
     """O-23 proper: first-wins duplicate ranking on phash."""
     im = _images(spark, sf_dir).select("image_id", "phash")
@@ -2151,6 +2170,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     # images-table SQL-checked keys (DuckDB reads the generated
     # parquet by path at the driver's sf=0.01)
     "win_dup_rank_images": (q_win_dup_rank_images, SQL_WIN_DUP_RANK_IMAGES),
+    "dedup_phash_hamming": (q_dedup_phash_hamming, SQL_DEDUP_PHASH_HAMMING),
     "dedup_phash_groups": (q_dedup_phash_groups, SQL_DEDUP_PHASH_GROUPS),
     "bucket_assign_images": (q_bucket_assign_images, SQL_BUCKET_ASSIGN_IMAGES),
     "rule_heuristics_images": (q_rule_heuristics_images, SQL_RULE_HEURISTICS_IMAGES),

@@ -199,3 +199,58 @@ def test_star_components_matches_minlabel(spark):
     b = {(r.node, r.component)
          for r in connected_components(df, max_iter=300).collect()}
     assert a == b
+
+
+def test_phash_hamming_equals_brute_force(spark):
+    """Pigeonhole banding has GUARANTEED recall for hamming <=
+    bands-1; with exact re-scoring the result must EQUAL the
+    all-pairs answer (including pairs differing only in the top
+    slice, which exercises shiftrightunsigned on negative phash)."""
+    import itertools
+    vals = [
+        ("a", 0),
+        ("b", 0b111),                 # ham(a,b)=3 -> pair
+        ("c", 0b1111),                # ham(a,c)=4 -> no pair
+        ("d", -1),                    # all 64 bits set
+        ("e", (1 << 63) - 1),         # ham(d,e)=1, differs in bit 63
+        ("f", (1 << 48) | (1 << 20)), # cross-slice bits
+        ("g", (1 << 48) | (1 << 20) | 0b11),  # ham(f,g)=2
+        ("h", None),                  # null phash must be ignored
+    ]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in vals], "image_id string, phash long")
+    got = {(r.id_a, r.id_b, r.hamming)
+           for r in dedup.phash_near_dups(df, max_hamming=3).collect()}
+    want = set()
+    for (ia, va), (ib, vb) in itertools.combinations(
+            [(i, v) for i, v in vals if v is not None], 2):
+        ham = bin((va ^ vb) & ((1 << 64) - 1)).count("1")
+        if ham <= 3:
+            want.add(tuple(sorted((ia, ib))) + (ham,))
+    assert got == want
+    assert ("a", "b", 3) in got and ("d", "e", 1) in got
+
+
+def test_phash_hamming_fixture_counts(spark):
+    """On the deterministic sf0.001 images fixture the banded result
+    must equal numpy brute force exactly (count + pair set)."""
+    import numpy as np
+    from data_quality_check_spark.sources import images as IM
+
+    im = IM.read_images(spark, 0.001).select("image_id", "phash")
+    got = dedup.phash_near_dups(im, max_hamming=3)
+    pdf = im.toPandas()
+    ph = pdf.phash.to_numpy().astype(np.uint64)
+    ids = pdf.image_id.to_numpy()
+    x = ph[:, None] ^ ph[None, :]
+    v = x - ((x >> np.uint64(1)) & np.uint64(0x5555555555555555))
+    v = (v & np.uint64(0x3333333333333333)) + (
+        (v >> np.uint64(2)) & np.uint64(0x3333333333333333))
+    v = (v + (v >> np.uint64(4))) & np.uint64(0x0F0F0F0F0F0F0F0F)
+    ham = (v * np.uint64(0x0101010101010101)) >> np.uint64(56)
+    iu = np.triu_indices(len(ph), k=1)
+    mask = ham[iu] <= 3
+    want = {tuple(sorted((ids[i], ids[j])))
+            for i, j in zip(iu[0][mask], iu[1][mask])}
+    got_pairs = {(r.id_a, r.id_b) for r in got.collect()}
+    assert got_pairs == want
