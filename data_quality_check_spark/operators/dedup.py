@@ -541,3 +541,30 @@ def phash_near_dups(df: DataFrame, max_hamming: int = 3,
             # a close pair agrees on several slices -> k duplicates
             .dropDuplicates(["id_a", "id_b"]))
     return cand
+
+
+def image_near_dup_keepers(df: DataFrame, max_hamming: int = 3,
+                           id_col: str = "image_id",
+                           phash_col: str = "phash") -> DataFrame:
+    """The canonical IMAGE-dedup pipeline, the visual twin of
+    text_near_dup_keepers:
+
+      phash pigeonhole-band near-dup pairs (guaranteed recall,
+      exact re-score)  ->  connected components (large/small-star,
+      O(log n) rounds)  ->  first-wins keeper per duplicate group.
+
+    Returns one row per input image: (id, keeper_id, is_dup);
+    singletons and null-phash rows keep themselves.  Every stage
+    shuffles only ids/hashes — pixel bytes never enter the plan."""
+    pairs = phash_near_dups(df, max_hamming, id_col, phash_col)
+    comp = connected_components_star(pairs.select("id_a", "id_b"))
+    return (
+        df.select(F.col(id_col).alias("id"))
+        .join(comp, F.col("id") == F.col("node"), "left")
+        .select(
+            "id",
+            F.coalesce(F.col("component"), F.col("id")).alias("keeper_id"),
+            (F.coalesce(F.col("component"), F.col("id")) != F.col("id"))
+            .alias("is_dup"),
+        )
+    )

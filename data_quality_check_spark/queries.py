@@ -1966,6 +1966,48 @@ WHERE a.image_id < b.image_id
 """
 
 
+def q_dedup_image_pipeline(spark, sf_dir):
+    """End-to-end image dedup, the visual twin of dedup_text_pipeline:
+    phash pigeonhole-band pairs (guaranteed recall at hamming <= 3,
+    exact re-score) -> large/small-star connected components ->
+    first-wins keeper per group.  Every stage is deterministic, so the
+    whole composition is value-exact against DuckDB (brute-force pair
+    scan + recursive-CTE min-reachable-label).  Bounded to the first
+    2000 images: the synthetic fixture's low-entropy phashes produce
+    one 1300-node dense component at 10k images, which makes the
+    ORACLE's quadratic transitive closure (not the Spark job) take
+    ~60 s; the unbounded operator is exercised by
+    tests/test_dedup.py::test_image_keepers_match_components."""
+    im = (_images(spark, sf_dir)
+          .filter(F.col("image_id") < "img_000000002000")
+          .select("image_id", "phash"))
+    return dedup.image_near_dup_keepers(im, max_hamming=3).select(
+        F.col("id").alias("image_id"), "keeper_id", "is_dup")
+
+
+SQL_DEDUP_IMAGE_PIPELINE = f"""
+WITH RECURSIVE im AS (
+  SELECT image_id, phash FROM {IMAGES_SF001}
+  WHERE image_id < 'img_000000002000'
+), p AS (
+  SELECT a.image_id AS id_a, b.image_id AS id_b
+  FROM im a, im b
+  WHERE a.image_id < b.image_id AND bit_count(xor(a.phash, b.phash)) <= 3
+), e AS (
+  SELECT id_a AS src, id_b AS dst FROM p UNION SELECT id_b, id_a FROM p
+), n AS (SELECT DISTINCT src AS node FROM e),
+reach(node, r) AS (
+  SELECT node, node FROM n
+  UNION
+  SELECT reach.node, e.dst FROM reach JOIN e ON reach.r = e.src
+), comp AS (SELECT node, min(r) AS component FROM reach GROUP BY node)
+SELECT im.image_id,
+       coalesce(comp.component, im.image_id) AS keeper_id,
+       (coalesce(comp.component, im.image_id) <> im.image_id) AS is_dup
+FROM im LEFT JOIN comp ON im.image_id = comp.node
+"""
+
+
 def q_win_dup_rank_images(spark, sf_dir):
     """O-23 proper: first-wins duplicate ranking on phash."""
     im = _images(spark, sf_dir).select("image_id", "phash")
@@ -2171,6 +2213,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     # parquet by path at the driver's sf=0.01)
     "win_dup_rank_images": (q_win_dup_rank_images, SQL_WIN_DUP_RANK_IMAGES),
     "dedup_phash_hamming": (q_dedup_phash_hamming, SQL_DEDUP_PHASH_HAMMING),
+    "dedup_image_pipeline": (q_dedup_image_pipeline, SQL_DEDUP_IMAGE_PIPELINE),
     "dedup_phash_groups": (q_dedup_phash_groups, SQL_DEDUP_PHASH_GROUPS),
     "bucket_assign_images": (q_bucket_assign_images, SQL_BUCKET_ASSIGN_IMAGES),
     "rule_heuristics_images": (q_rule_heuristics_images, SQL_RULE_HEURISTICS_IMAGES),

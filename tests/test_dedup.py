@@ -254,3 +254,39 @@ def test_phash_hamming_fixture_counts(spark):
             for i, j in zip(iu[0][mask], iu[1][mask])}
     got_pairs = {(r.id_a, r.id_b) for r in got.collect()}
     assert got_pairs == want
+
+
+def test_image_keepers_match_components(spark):
+    """Unbounded image keepers on the sf0.001 fixture must match a
+    python union-find over the numpy brute-force hamming<=3 pairs
+    (covers singleton/keeper semantics end to end)."""
+    import numpy as np
+    from data_quality_check_spark.sources import images as IM
+
+    im = IM.read_images(spark, 0.001).select("image_id", "phash")
+    got = {(r.id, r.keeper_id, r.is_dup)
+           for r in dedup.image_near_dup_keepers(im).collect()}
+    pdf = im.toPandas()
+    ph = pdf.phash.to_numpy().astype(np.uint64)
+    ids = list(pdf.image_id)
+    parent = {i: i for i in ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    x = ph[:, None] ^ ph[None, :]
+    v = x - ((x >> np.uint64(1)) & np.uint64(0x5555555555555555))
+    v = (v & np.uint64(0x3333333333333333)) + (
+        (v >> np.uint64(2)) & np.uint64(0x3333333333333333))
+    v = (v + (v >> np.uint64(4))) & np.uint64(0x0F0F0F0F0F0F0F0F)
+    ham = (v * np.uint64(0x0101010101010101)) >> np.uint64(56)
+    iu = np.triu_indices(len(ph), k=1)
+    for i, j in zip(iu[0][ham[iu] <= 3], iu[1][ham[iu] <= 3]):
+        ra, rb = find(ids[i]), find(ids[j])
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {(i, find(i), find(i) != i) for i in ids}
+    assert got == want
