@@ -110,6 +110,26 @@ def hash_sample(df: DataFrame, id_col: str, threshold_hex: str,
             .filter(F.col("sample_key") < F.lit(threshold_hex)))
 
 
+def hash_split(df: DataFrame, id_col: str,
+               boundaries: dict[str, str] | None = None,
+               salt: str = "sp:") -> DataFrame:
+    """Deterministic train/val/test assignment by keyed-md5 prefix:
+    every row gets exactly one split label, stable across runs,
+    resumes and cluster sizes (pure per-row expression — zero
+    shuffle, zero RNG state).  `boundaries` maps split name -> upper
+    8-hex-char bound in ascending order; the last bound should be
+    'ffffffff' + 1-ish sentinel ('g') so every key lands somewhere.
+    Default: 90% train / 5% val / 5% test."""
+    if boundaries is None:
+        boundaries = {"train": "e6666666", "val": "f3333333", "test": "g"}
+    hx = F.substring(
+        F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))), 1, 8)
+    label = F.lit(list(boundaries)[-1])
+    for name, bound in reversed(list(boundaries.items())[:-1]):
+        label = F.when(hx < F.lit(bound), F.lit(name)).otherwise(label)
+    return df.withColumn("split_key", hx).withColumn("split", label)
+
+
 def pack_token_bins(df: DataFrame, group_col: str, id_col: str,
                     text_col: str, capacity: int) -> DataFrame:
     """Sequence packing for training: assign each doc to a

@@ -1420,6 +1420,29 @@ WHERE substr(md5('s:' || CAST(doc_id AS VARCHAR)), 1, 8) < '40000000'
 """
 
 
+def q_sample_split(spark, sf_dir):
+    """Deterministic 90/5/5 train/val/test split by keyed-md5 prefix:
+    a pure per-row expression — zero shuffle, no RNG state — so the
+    assignment is identical across runs, resumes and cluster sizes.
+    DuckDB reproduces it exactly (md5 is md5)."""
+    from .operators import corpus
+    d = _t(spark, sf_dir, "documents")
+    return corpus.hash_split(d, "doc_id").select(
+        "doc_id", "source", "split_key", "split")
+
+
+SQL_SAMPLE_SPLIT = """
+SELECT doc_id, source,
+       substr(md5('sp:' || CAST(doc_id AS VARCHAR)), 1, 8) AS split_key,
+       CASE WHEN substr(md5('sp:' || CAST(doc_id AS VARCHAR)), 1, 8)
+                 < 'e6666666' THEN 'train'
+            WHEN substr(md5('sp:' || CAST(doc_id AS VARCHAR)), 1, 8)
+                 < 'f3333333' THEN 'val'
+            ELSE 'test' END AS split
+FROM documents
+"""
+
+
 def q_text_repetition_signals(spark, sf_dir):
     """Gopher-style repetition signals: zero-shuffle HOF aggregates
     (top-term frequency = longest equal-run of the sorted array)."""
@@ -2205,6 +2228,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
         q_text_repetition_signals, SQL_TEXT_REPETITION_SIGNALS),
     "sample_quota": (q_sample_quota, SQL_SAMPLE_QUOTA),
     "sample_hash": (q_sample_hash, SQL_SAMPLE_HASH),
+    "sample_split": (q_sample_split, SQL_SAMPLE_SPLIT),
     "pack_token_bins": (q_pack_token_bins, SQL_PACK_TOKEN_BINS),
     "scrub_regex_sql": (q_scrub_regex_sql, SQL_SCRUB_REGEX),
     "multimodal_features": (q_multimodal_features, None),

@@ -233,3 +233,21 @@ def test_hll_sketch_union_partition_invariant(spark):
             assert abs(e - 4000) / 4000 <= 0.02
     for g in by_m:
         assert abs(by_m[g] - by_id[g]) / 4000 <= 0.01
+
+
+def test_hash_split_exhaustive_and_stable(spark, docs):
+    """Every row gets exactly one label; fractions approximate
+    90/5/5; labels are invariant under repartitioning."""
+    from data_quality_check_spark.operators.corpus import hash_split
+
+    out = hash_split(docs, "doc_id").select("doc_id", "split")
+    rows = {r.doc_id: r.split for r in out.collect()}
+    assert len(rows) == docs.count()
+    assert set(rows.values()) <= {"train", "val", "test"}
+    n = len(rows)
+    frac_train = sum(1 for v in rows.values() if v == "train") / n
+    assert 0.8 < frac_train < 0.97
+    again = {r.doc_id: r.split
+             for r in hash_split(docs.repartition(7), "doc_id")
+             .select("doc_id", "split").collect()}
+    assert rows == again
