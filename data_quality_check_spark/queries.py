@@ -1149,11 +1149,49 @@ SELECT id_a, id_b, cos FROM scored WHERE cos >= 0.25
 
 def q_dedup_text_pipeline(spark, sf_dir):
     """End-to-end text dedup: MinHash candidates -> exact Jaccard
-    verification -> components -> first-wins keepers (rows-only:
-    candidate generation is xxhash64-seeded; the exactness contract
-    is tests/test_dedup.py::test_text_pipeline_matches_exact)."""
+    verification -> components -> first-wins keepers.  SQL-checked
+    VALUE-EXACT even though candidate generation is xxhash64-seeded:
+    measured candidate recall is 1.0 (see dedup_minhash_recall) and
+    verification re-scores with the exact Jaccard, so the keepers
+    output equals the ground truth DuckDB computes independently
+    (all-pairs word-3-gram Jaccard >= 0.5 -> recursive-CTE
+    components -> first-wins).  A pipeline change that loses a true
+    dup pair now fails the driver compare, not just
+    tests/test_dedup.py::test_text_pipeline_matches_exact."""
     d = _t(spark, sf_dir, "documents")
     return dedup.text_near_dup_keepers(d, "text", "doc_id", threshold=0.5)
+
+
+SQL_DEDUP_TEXT_PIPELINE = """
+WITH RECURSIVE t AS (
+  SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x != '') AS toks
+  FROM documents
+), g AS (
+  SELECT doc_id,
+    CASE WHEN len(toks) >= 3
+         THEN list_distinct(list_transform(range(1, len(toks) - 1),
+              i -> toks[i] || '_' || toks[i+1] || '_' || toks[i+2]))
+         ELSE [array_to_string(toks, '_')] END AS grams
+  FROM t
+), p AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM g a JOIN g b ON a.doc_id < b.doc_id
+  WHERE round(len(list_intersect(a.grams, b.grams))
+        / CAST(len(list_distinct(list_concat(a.grams, b.grams))) AS DOUBLE),
+        6) >= 0.5
+), e AS (
+  SELECT id_a AS src, id_b AS dst FROM p UNION SELECT id_b, id_a FROM p
+), n AS (SELECT DISTINCT src AS node FROM e),
+reach(node, r) AS (
+  SELECT node, node FROM n
+  UNION
+  SELECT reach.node, e.dst FROM reach JOIN e ON reach.r = e.src
+), comp AS (SELECT node, min(r) AS component FROM reach GROUP BY node)
+SELECT d.doc_id AS id,
+       coalesce(comp.component, d.doc_id) AS keeper_id,
+       (coalesce(comp.component, d.doc_id) <> d.doc_id) AS is_dup
+FROM documents d LEFT JOIN comp ON d.doc_id = comp.node
+"""
 
 
 def q_dedup_components(spark, sf_dir):
@@ -2218,7 +2256,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "dedup_embedding_lsh": (q_dedup_embedding_lsh, SQL_DEDUP_EMBEDDING_LSH),
     "dedup_components": (q_dedup_components, SQL_DEDUP_COMPONENTS),
     "dedup_components_star": (q_dedup_components_star, SQL_DEDUP_COMPONENTS),
-    "dedup_text_pipeline": (q_dedup_text_pipeline, None),
+    "dedup_text_pipeline": (q_dedup_text_pipeline, SQL_DEDUP_TEXT_PIPELINE),
     "text_tokens": (q_text_tokens, SQL_TEXT_TOKENS),
     "text_quality_score": (q_text_quality_score, SQL_TEXT_QUALITY_SCORE),
     "text_fingerprint": (q_text_fingerprint, SQL_TEXT_FINGERPRINT),
