@@ -908,8 +908,16 @@ def q_dedup_simhash(spark, sf_dir):
 
 
 def q_dedup_ngram_jaccard(spark, sf_dir):
+    """LSH-prefiltered n-gram Jaccard pairs, SQL-checked VALUE-EXACT:
+    the prefilter only prunes candidates, every surviving pair is
+    re-scored with the exact Jaccard, and measured candidate recall is
+    1.0 on the fixtures — so the output equals the brute-force pair
+    set DuckDB computes (same oracle as dedup_jaccard_exact).  A
+    prefilter regression that drops a true pair now fails the driver
+    compare."""
     d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
-    return dedup.ngram_jaccard_pairs(d, "text", "doc_id", threshold=0.3)
+    out = dedup.ngram_jaccard_pairs(d, "text", "doc_id", threshold=0.3)
+    return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
 def q_dedup_jaccard_exact(spark, sf_dir):
@@ -2245,7 +2253,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_minhash_lsh": (q_dedup_minhash_lsh, None),
     "dedup_simhash": (q_dedup_simhash, None),
-    "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, None),
+    "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, SQL_DEDUP_JACCARD_EXACT),
     "dedup_jaccard_exact": (q_dedup_jaccard_exact, SQL_DEDUP_JACCARD_EXACT),
     "dedup_simhash_invariant": (q_dedup_simhash_invariant, SQL_DEDUP_SIMHASH_INVARIANT),
     "dedup_minhash_recall": (q_dedup_minhash_recall, SQL_DEDUP_MINHASH_RECALL),
