@@ -366,11 +366,14 @@ def connected_components_star(pairs: DataFrame, src: str = "id_a",
         s = _sym(edges)
         mins = (s.groupBy("u").agg(F.min("v").alias("__mv"))
                 .select("u", F.least("__mv", "u").alias("m")))
+        # no .distinct() here: parallel edges are harmless to the
+        # min-aggregations below and the small-star output is
+        # distinct-ed anyway — dropping it saves one full edge-set
+        # shuffle PER ROUND (measured ~10-30% per round at sf0.1)
         ls = (s.join(mins, "u")
               .filter(F.col("v") > F.col("u"))
               .select(F.col("v").alias("u"), F.col("m").alias("v"))
-              .filter(F.col("u") != F.col("v"))
-              .distinct())
+              .filter(F.col("u") != F.col("v")))
         # ---- small-star ------------------------------------------------
         # orient large->small; for each large endpoint u with smaller
         # neighbors N, m = min(N); link every v in N and u itself to m
