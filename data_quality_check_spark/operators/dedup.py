@@ -601,3 +601,23 @@ def image_near_dup_keepers(df: DataFrame, max_hamming: int = 3,
                      F.col(id_col).alias("keeper_id"),
                      F.lit(False).alias("is_dup")))
     return kept.unionByName(nulls)
+
+
+def exact_dedup_binary(df: DataFrame, bytes_col: str = "bytes",
+                       id_col: str = "image_id") -> DataFrame:
+    """Exact binary dedup — the standard FIRST pass of web-scale image
+    dedup (byte-identical re-uploads dominate raw crawls): group by a
+    content digest, keep the min id.  The digest is computed in the
+    scan stage projection, so only the 64-char hex string crosses the
+    shuffle — the payload bytes never do (the repo invariant: `bytes`
+    is stored uncompressed and must never enter an Exchange).  The
+    digest is sha256 over the HEX encoding of the payload: hex(bytes)
+    is deterministic and identically defined in Spark and DuckDB,
+    which makes the whole operator value-exact against the SQL oracle
+    (DuckDB's sha256 only accepts VARCHAR); collision resistance is
+    unchanged.  Returns (digest, n, keeper_id) for groups of >= 2."""
+    dg = F.sha2(F.hex(F.col(bytes_col)), 256)
+    return (df.select(dg.alias("digest"), F.col(id_col))
+            .groupBy("digest")
+            .agg(F.count("*").alias("n"), F.min(id_col).alias("keeper_id"))
+            .filter(F.col("n") >= 2))

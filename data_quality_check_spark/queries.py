@@ -2035,6 +2035,25 @@ WHERE a.image_id < b.image_id
 """
 
 
+def q_dedup_exact_images(spark, sf_dir):
+    """Exact binary image dedup: byte-identical duplicate groups by
+    content digest (the standard first pass of web-scale image dedup).
+    Only the 64-char digest crosses the shuffle — the payload bytes
+    never do.  Value-exact vs DuckDB (sha256 over hex(bytes), which
+    both engines define identically)."""
+    im = _images(spark, sf_dir).select("image_id", "bytes")
+    return dedup.exact_dedup_binary(im)
+
+
+SQL_DEDUP_EXACT_IMAGES = f"""
+SELECT sha256(hex(bytes)) AS digest,
+       count(*) AS n,
+       min(image_id) AS keeper_id
+FROM {IMAGES_SF001}
+GROUP BY 1 HAVING count(*) >= 2
+"""
+
+
 def q_dedup_image_pipeline(spark, sf_dir):
     """End-to-end image dedup, the visual twin of dedup_text_pipeline:
     phash pigeonhole-band pairs (guaranteed recall at hamming <= 3,
@@ -2284,6 +2303,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "win_dup_rank_images": (q_win_dup_rank_images, SQL_WIN_DUP_RANK_IMAGES),
     "dedup_phash_hamming": (q_dedup_phash_hamming, SQL_DEDUP_PHASH_HAMMING),
     "dedup_image_pipeline": (q_dedup_image_pipeline, SQL_DEDUP_IMAGE_PIPELINE),
+    "dedup_exact_images": (q_dedup_exact_images, SQL_DEDUP_EXACT_IMAGES),
     "dedup_phash_groups": (q_dedup_phash_groups, SQL_DEDUP_PHASH_GROUPS),
     "bucket_assign_images": (q_bucket_assign_images, SQL_BUCKET_ASSIGN_IMAGES),
     "rule_heuristics_images": (q_rule_heuristics_images, SQL_RULE_HEURISTICS_IMAGES),

@@ -290,3 +290,17 @@ def test_image_keepers_match_components(spark):
             parent[max(ra, rb)] = min(ra, rb)
     want = {(i, find(i), find(i) != i) for i in ids}
     assert got == want
+
+
+def test_exact_dedup_binary_groups(spark):
+    """Byte-identical payloads group; near-identical do not; only
+    groups of >= 2 are returned with the min-id keeper."""
+    rows = [("a", bytearray(b"\x00\x01\xff")),
+            ("b", bytearray(b"\x00\x01\xff")),
+            ("c", bytearray(b"\x00\x01\xfe")),
+            ("d", bytearray(b"")),
+            ("e", bytearray(b""))]
+    df = spark.createDataFrame(rows, "image_id string, bytes binary")
+    got = {(r.n, r.keeper_id)
+           for r in dedup.exact_dedup_binary(df).collect()}
+    assert got == {(2, "a"), (2, "d")}
