@@ -97,6 +97,69 @@ def extract_features(images: DataFrame, batch_limit: int = 512) -> DataFrame:
         run, FEATURES_DDL)
 
 
+RESIZE_DDL = ("image_id string, decoded boolean, rw int, rh int, "
+              "resized_sha256 string, mean_gray double")
+
+
+def resize_nearest(pix: np.ndarray, tw: int, th: int) -> np.ndarray:
+    """Nearest-neighbor resize by floor index mapping — deterministic
+    (pure integer index arithmetic, no interpolation rounding), so the
+    output digest is stable across platforms and batch compositions."""
+    h, w = pix.shape[:2]
+    ys = (np.arange(th, dtype=np.int64) * h) // th
+    xs = (np.arange(tw, dtype=np.int64) * w) // tw
+    return pix[ys][:, xs]
+
+
+def resize_images(images: DataFrame, tw: int = 32, th: int = 32,
+                  batch_limit: int = 512) -> DataFrame:
+    """Decode + resize to a fixed thumbnail grid via mapInPandas.
+
+    Emits scalar evidence columns instead of the pixel payload: the
+    sha256 of the resized RGB buffer (byte-exact identity check) and
+    the exact grayscale mean.  On a real cluster the thumbnail bytes
+    would be re-emitted as a binary column for the downstream vision
+    encoder; here the digest keeps the driver-contract output scalar
+    while still pinning every pixel."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        from ..kernels import codecs
+
+        for pdf in batches:
+            for start in range(0, len(pdf), batch_limit):
+                chunk = pdf.iloc[start:start + batch_limit]
+                ids = chunk["image_id"].to_numpy()
+                blobs = chunk["bytes"].to_numpy()
+                fmts = chunk["fmt"].to_numpy()
+                ws = chunk["w"].to_numpy()
+                hs = chunk["h"].to_numpy()
+                rows = []
+                for iid, blob, fmt, w, h in zip(ids, blobs, fmts, ws, hs):
+                    rec = {"image_id": iid, "decoded": False,
+                           "rw": tw, "rh": th,
+                           "resized_sha256": None, "mean_gray": None}
+                    try:
+                        pix = codecs.decode(blob, fmt, int(w), int(h))
+                        small = np.ascontiguousarray(
+                            resize_nearest(pix, tw, th))
+                        rec.update(
+                            decoded=True,
+                            resized_sha256=hashlib.sha256(
+                                small.tobytes()).hexdigest(),
+                            mean_gray=float(small.sum(dtype=np.int64)
+                                            / small.size),
+                        )
+                    except Exception:
+                        pass
+                    rows.append(rec)
+                yield pd.DataFrame(rows)
+
+    return images.select("image_id", "bytes", "fmt", "w", "h").mapInPandas(
+        run, RESIZE_DDL)
+
+
 def decode_audio_stub(*_args, **_kwargs):
     raise NotImplementedError(
         "audio decode requires libsndfile/ffmpeg, unavailable in this "

@@ -475,6 +475,37 @@ SQL_JOIN_RANGE = (
 )
 
 
+def q_join_asof(spark, sf_dir):
+    """Point-in-time (as-of) join: every purchase event gets the
+    user's most recent click value at-or-before the purchase — the
+    time-series primitive Spark lacks, implemented as a single-shuffle
+    union-window plan (operators/asof.py), oracled by DuckDB's native
+    ASOF LEFT JOIN.  The right side is pre-aggregated to one row per
+    (user_id, ts) so both engines share an exact tie rule."""
+    from .operators.asof import asof_join
+
+    e = _t(spark, sf_dir, "events")
+    left = (e.filter(F.col("event_type") == "purchase")
+            .select("event_id", "user_id", "ts"))
+    right = (e.filter(F.col("event_type") == "click")
+             .groupBy("user_id", "ts")
+             .agg(F.max("value").alias("click_value")))
+    out = asof_join(left, right, key="user_id", ts="ts",
+                    value_cols=["click_value"])
+    return out.select(
+        "event_id", F.round("click_value", 4).alias("click_value"))
+
+
+SQL_JOIN_ASOF = """
+WITH l AS (SELECT event_id, user_id, ts FROM events
+           WHERE event_type = 'purchase'),
+     r AS (SELECT user_id, ts, max(value) AS click_value FROM events
+           WHERE event_type = 'click' GROUP BY 1, 2)
+SELECT l.event_id, round(r.click_value, 4) AS click_value
+FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+"""
+
+
 # ---------------------------------------------------------------------------
 # G. windows
 # ---------------------------------------------------------------------------
@@ -1590,6 +1621,19 @@ def q_multimodal_near_dups(spark, sf_dir):
     return out.select("id_a", "id_b", F.round("cos", 4).alias("cos"))
 
 
+def q_multimodal_resize(spark, sf_dir):
+    """Decode -> nearest-neighbor thumbnail -> sha256 digest + exact
+    grayscale mean (operators/multimodal.py::resize_images).  Digest
+    pins every resized pixel byte-exactly, so the rows-only check is
+    value-stable across runs; pytest checks resize parity vs a pure
+    numpy oracle."""
+    from .operators.multimodal import resize_images
+
+    out = resize_images(_images(spark, sf_dir), tw=16, th=16)
+    return out.select("image_id", "decoded", "rw", "rh", "resized_sha256",
+                      F.round("mean_gray", 6).alias("mean_gray"))
+
+
 def q_join_outer(spark, sf_dir):
     """Full outer join: customers x their order totals (nulls on both
     sides where unmatched)."""
@@ -2243,6 +2287,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "join_smj_3way": (q_join_smj_3way, SQL_JOIN_SMJ_3WAY),
     "join_anti_resume": (q_join_anti_resume, SQL_JOIN_ANTI_RESUME),
     "join_range": (q_join_range, SQL_JOIN_RANGE),
+    "join_asof": (q_join_asof, SQL_JOIN_ASOF),
     # windows
     "win_dup_rank": (q_win_dup_rank, SQL_WIN_DUP_RANK),
     "win_moving": (q_win_moving, SQL_WIN_MOVING),
@@ -2298,6 +2343,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "scrub_regex_sql": (q_scrub_regex_sql, SQL_SCRUB_REGEX),
     "multimodal_features": (q_multimodal_features, None),
     "multimodal_near_dups": (q_multimodal_near_dups, None),
+    "multimodal_resize": (q_multimodal_resize, None),
     # images-table SQL-checked keys (DuckDB reads the generated
     # parquet by path at the driver's sf=0.01)
     "win_dup_rank_images": (q_win_dup_rank_images, SQL_WIN_DUP_RANK_IMAGES),

@@ -87,6 +87,46 @@ def test_null_phash_flags_row_not_task(spark):
     assert bool(lab.loc["null_dims", "pixel_ok"]) is False
 
 
+def test_resize_nearest_kernel():
+    """Floor index mapping: resize of a known ramp equals direct
+    integer indexing; identity resize is a no-op; upscale repeats."""
+    pix = np.arange(4 * 6 * 3, dtype=np.uint8).reshape(4, 6, 3)
+    out = MM.resize_nearest(pix, 3, 2)
+    ys = (np.arange(2) * 4) // 2
+    xs = (np.arange(3) * 6) // 3
+    assert np.array_equal(out, pix[ys][:, xs])
+    assert np.array_equal(MM.resize_nearest(pix, 6, 4), pix)
+    up = MM.resize_nearest(pix, 12, 8)
+    assert up.shape == (8, 12, 3)
+    assert np.array_equal(up[::2][:, ::2], pix)
+
+
+def test_resize_images_matches_numpy_oracle(spark, images_pdf):
+    import hashlib
+
+    df = IM.read_images(spark, 0.001)
+    out = (MM.resize_images(df, tw=16, th=16).toPandas()
+           .set_index("image_id"))
+    assert len(out) == len(images_pdf)
+
+    checked = 0
+    for _, row in images_pdf.head(40).iterrows():
+        got = out.loc[row.image_id]
+        try:
+            pix = codecs.decode(row["bytes"], row.fmt, int(row.w), int(row.h))
+        except Exception:
+            assert not got.decoded
+            assert got.resized_sha256 is None
+            continue
+        small = np.ascontiguousarray(MM.resize_nearest(pix, 16, 16))
+        assert got.decoded and (got.rw, got.rh) == (16, 16)
+        assert got.resized_sha256 == hashlib.sha256(small.tobytes()).hexdigest()
+        assert abs(got.mean_gray
+                   - small.sum(dtype=np.int64) / small.size) < 1e-9
+        checked += 1
+    assert checked > 25
+
+
 def test_multimodal_near_dups_find_pixel_dups(spark):
     """Content-level image near-dup: phash duplicate-cluster members
     (identical pixels, possibly different fmt) must appear as
