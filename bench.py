@@ -34,6 +34,9 @@ HEADLINE_KEYS = [
     "text_quality_score",
     "multimodal_features",
     "dedup_text_pipeline",
+    "dedup_phash_hamming",
+    "dedup_crossmodal",
+    "join_asof",
 ]
 
 

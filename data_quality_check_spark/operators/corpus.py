@@ -188,3 +188,39 @@ def repetition_signals(df: DataFrame, text_col: str = "text",
         F.round(1.0 - F.col("__ndw") / nw, 6).alias("dup_word_frac"),
         F.round(_longest_equal_run("__sw") / nw, 6).alias("top_word_frac"),
         F.round(_longest_equal_run("__sb") / nb, 6).alias("top_bigram_frac"))
+
+
+def _rate_hex8(rate: float) -> str:
+    """Upper md5-prefix bound for a keep rate in [0, 1].  Rates >= 1
+    use the 'g' sentinel (sorts above every hex digit) so the group is
+    kept in full."""
+    if rate >= 1.0:
+        return "g"
+    return format(max(int(rate * 16 ** 8), 0), "08x")
+
+
+def mixture_sample(df: DataFrame, group_col: str, id_col: str,
+                   rates: dict[str, float], default_rate: float = 0.0,
+                   salt: str = "m:") -> DataFrame:
+    """Deterministic corpus mixing: per-group Bernoulli keep rates
+    (the 'sample en at 30%, upsample-rare-langs at 100%' step every
+    training-mixture spec needs), as a pure per-row expression — the
+    group's rate bound is a literal CASE chain folded at plan time, so
+    the sample is zero-shuffle, zero-RNG-state, and identical across
+    runs, resumes and cluster sizes.  For thousands of groups,
+    broadcast-join a (group, bound) dim table instead of the CASE
+    chain — same semantics, same determinism.
+
+    Rows keep when their keyed md5 prefix sorts below the group's
+    bound; a row's fate depends only on (salt, id), so changing one
+    group's rate never reshuffles WHICH rows of another group are
+    kept — mixtures can be retuned incrementally."""
+    hx = F.substring(
+        F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))), 1, 8)
+    bound = F.lit(_rate_hex8(default_rate))
+    for g, r in rates.items():
+        bound = F.when(F.col(group_col) == F.lit(g),
+                       F.lit(_rate_hex8(r))).otherwise(bound)
+    return (df.withColumn("sample_key", hx)
+            .withColumn("rate_bound", bound)
+            .filter(F.col("sample_key") < F.col("rate_bound")))

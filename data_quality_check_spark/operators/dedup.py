@@ -621,3 +621,55 @@ def exact_dedup_binary(df: DataFrame, bytes_col: str = "bytes",
             .groupBy("digest")
             .agg(F.count("*").alias("n"), F.min(id_col).alias("keeper_id"))
             .filter(F.col("n") >= 2))
+
+
+def crossmodal_near_dups(df: DataFrame, max_hamming: int = 3,
+                         jaccard_threshold: float = 0.5,
+                         id_col: str = "image_id",
+                         phash_col: str = "phash",
+                         caption_col: str = "caption",
+                         ngram: int = 3) -> DataFrame:
+    """Cross-modal image near-dup scoring: the visual candidate set
+    (guaranteed-recall phash pigeonhole banding, exact hamming
+    re-score) enriched with the caption word-n-gram Jaccard of each
+    pair, labeled `visual+text` when captions agree too — the signal
+    that separates true re-uploads (same picture, same caption) from
+    visually-near-but-editorially-distinct pairs (same picture,
+    rewritten caption), which web-scale curation treats differently
+    (drop vs keep-both-captions).
+
+    Scale shape: text is only ever compared on pairs the VISUAL index
+    proposes — never all-pairs caption comparison — and the caption
+    gram arrays are computed once, semi-join-pruned to candidate ids
+    before the fetch joins, so non-candidate captions (the
+    overwhelming majority at corpus scale) never enter a shuffle.
+    Pixel bytes never enter the plan at all."""
+    cand = phash_near_dups(df.select(id_col, phash_col), max_hamming,
+                           id_col, phash_col)
+    tokd = df.select(
+        F.col(id_col),
+        F.filter(
+            F.split(F.lower(F.coalesce(F.col(caption_col), F.lit(""))), " "),
+            lambda t: t != F.lit("")).alias("__toks"))
+    grams = tokd.select(F.col(id_col).alias("gid"),
+                        _gram_expr(F.col("__toks"), ngram).alias("grams"))
+    cand_ids = (cand.select(F.col("id_a").alias("gid"))
+                .union(cand.select(F.col("id_b").alias("gid")))
+                .distinct())
+    grams = grams.join(cand_ids, "gid", "left_semi")
+    pairs = (
+        cand.join(grams.select(F.col("gid").alias("id_a"),
+                               F.col("grams").alias("ga")), "id_a")
+        .join(grams.select(F.col("gid").alias("id_b"),
+                           F.col("grams").alias("gb")), "id_b"))
+    inter = F.size(F.array_intersect("ga", "gb")).cast("double")
+    union = F.size(F.array_union("ga", "gb")).cast("double")
+    return (
+        pairs.withColumn("jaccard", F.round(inter / union, 6))
+        .select(
+            "id_a", "id_b",
+            F.col("hamming").cast("int").alias("hamming"),
+            "jaccard",
+            F.when(F.col("jaccard") >= jaccard_threshold,
+                   F.lit("visual+text"))
+            .otherwise(F.lit("visual_only")).alias("match_type")))

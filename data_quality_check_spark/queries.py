@@ -1497,6 +1497,35 @@ WHERE substr(md5('s:' || CAST(doc_id AS VARCHAR)), 1, 8) < '40000000'
 """
 
 
+def q_sample_mixture(spark, sf_dir):
+    """Deterministic per-language corpus mixing (downsample dominant
+    en, keep rare langs in full): keyed-md5 Bernoulli with a
+    per-group rate bound folded into a literal CASE chain — zero
+    shuffle, resume-stable, retunable per group without disturbing
+    other groups' picks (operators/corpus.py::mixture_sample)."""
+    from .operators import corpus
+    d = _t(spark, sf_dir, "documents")
+    rates = {"en": 0.3, "zh": 1.0, "fr": 0.75}
+    return corpus.mixture_sample(d, "lang", "doc_id", rates,
+                                 default_rate=0.5).select(
+        "doc_id", "lang", "sample_key", "rate_bound")
+
+
+SQL_SAMPLE_MIXTURE = """
+WITH keyed AS (
+  SELECT doc_id, lang,
+         substr(md5('m:' || CAST(doc_id AS VARCHAR)), 1, 8) AS sample_key,
+         CASE lang WHEN 'en' THEN '4ccccccc'
+                   WHEN 'zh' THEN 'g'
+                   WHEN 'fr' THEN 'c0000000'
+                   ELSE '80000000' END AS rate_bound
+  FROM documents
+)
+SELECT doc_id, lang, sample_key, rate_bound
+FROM keyed WHERE sample_key < rate_bound
+"""
+
+
 def q_sample_split(spark, sf_dir):
     """Deterministic 90/5/5 train/val/test split by keyed-md5 prefix:
     a pure per-row expression — zero shuffle, no RNG state — so the
@@ -2079,6 +2108,78 @@ WHERE a.image_id < b.image_id
 """
 
 
+def q_layout_zorder(spark, sf_dir):
+    """Z-order (Morton) layout key over lineitem's (l_partkey,
+    l_suppkey) — the write-side data-layout primitive that makes 2-D
+    min-max scan pruning work at 100 TB (operators/layout.py).  The
+    bit interleave is pure integer arithmetic; DuckDB runs the SAME
+    generated expression (zorder_key_sql), so the two engines cannot
+    drift."""
+    from .operators.layout import zorder_key
+
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
+        zorder_key(F.col("l_partkey"), F.col("l_suppkey")).alias("zkey"))
+
+
+def _sql_layout_zorder() -> str:
+    from .operators.layout import zorder_key_sql
+
+    return f"""
+SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+       CAST({zorder_key_sql('l_partkey', 'l_suppkey')} AS BIGINT) AS zkey
+FROM lineitem
+"""
+
+
+SQL_LAYOUT_ZORDER = _sql_layout_zorder()
+
+
+def q_dedup_crossmodal(spark, sf_dir):
+    """Cross-modal near-dup scoring: visual candidates (guaranteed-
+    recall phash banding, hamming <= 3) enriched with caption
+    word-3-gram Jaccard and labeled visual+text / visual_only
+    (operators/dedup.py::crossmodal_near_dups).  Text is scored only
+    on visually-proposed pairs, never all-pairs.  Value-exact vs
+    DuckDB's brute-force pair scan + list Jaccard."""
+    im = _images(spark, sf_dir).select("image_id", "phash", "caption")
+    return dedup.crossmodal_near_dups(im, max_hamming=3,
+                                      jaccard_threshold=0.5)
+
+
+SQL_DEDUP_CROSSMODAL = f"""
+WITH im AS (
+  SELECT image_id, phash,
+         list_filter(string_split(lower(coalesce(caption, '')), ' '),
+                     x -> x != '') AS toks
+  FROM {IMAGES_SF001}
+), g AS (
+  SELECT image_id, phash,
+    CASE WHEN len(toks) >= 3
+         THEN list_distinct(list_transform(range(1, len(toks) - 1),
+              i -> toks[i] || '_' || toks[i+1] || '_' || toks[i+2]))
+         -- coalesce: array_to_string([], '_') is NULL in DuckDB but
+         -- concat_ws('_') is '' in Spark (empty/null captions)
+         ELSE [coalesce(array_to_string(toks, '_'), '')] END AS grams
+  FROM im
+), p AS (
+  SELECT a.image_id AS id_a, b.image_id AS id_b,
+         CAST(bit_count(xor(a.phash, b.phash)) AS INT) AS hamming,
+         round(len(list_intersect(a.grams, b.grams))
+               / CAST(len(list_distinct(list_concat(a.grams, b.grams)))
+                      AS DOUBLE), 6) AS jaccard
+  FROM g a JOIN g b ON a.image_id < b.image_id
+  WHERE a.phash IS NOT NULL AND b.phash IS NOT NULL
+    AND bit_count(xor(a.phash, b.phash)) <= 3
+)
+SELECT id_a, id_b, hamming, jaccard,
+       CASE WHEN jaccard >= 0.5 THEN 'visual+text'
+            ELSE 'visual_only' END AS match_type
+FROM p
+"""
+
+
 def q_dedup_exact_images(spark, sf_dir):
     """Exact binary image dedup: byte-identical duplicate groups by
     content digest (the standard first pass of web-scale image dedup).
@@ -2338,6 +2439,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
         q_text_repetition_signals, SQL_TEXT_REPETITION_SIGNALS),
     "sample_quota": (q_sample_quota, SQL_SAMPLE_QUOTA),
     "sample_hash": (q_sample_hash, SQL_SAMPLE_HASH),
+    "sample_mixture": (q_sample_mixture, SQL_SAMPLE_MIXTURE),
     "sample_split": (q_sample_split, SQL_SAMPLE_SPLIT),
     "pack_token_bins": (q_pack_token_bins, SQL_PACK_TOKEN_BINS),
     "scrub_regex_sql": (q_scrub_regex_sql, SQL_SCRUB_REGEX),
@@ -2348,6 +2450,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     # parquet by path at the driver's sf=0.01)
     "win_dup_rank_images": (q_win_dup_rank_images, SQL_WIN_DUP_RANK_IMAGES),
     "dedup_phash_hamming": (q_dedup_phash_hamming, SQL_DEDUP_PHASH_HAMMING),
+    "dedup_crossmodal": (q_dedup_crossmodal, SQL_DEDUP_CROSSMODAL),
+    "layout_zorder": (q_layout_zorder, SQL_LAYOUT_ZORDER),
     "dedup_image_pipeline": (q_dedup_image_pipeline, SQL_DEDUP_IMAGE_PIPELINE),
     "dedup_exact_images": (q_dedup_exact_images, SQL_DEDUP_EXACT_IMAGES),
     "dedup_phash_groups": (q_dedup_phash_groups, SQL_DEDUP_PHASH_GROUPS),

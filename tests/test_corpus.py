@@ -7,6 +7,7 @@ from collections import Counter
 
 import pandas as pd
 import pytest
+from pyspark.sql import functions as F
 
 
 @pytest.fixture(scope="module")
@@ -251,3 +252,35 @@ def test_hash_split_exhaustive_and_stable(spark, docs):
              for r in hash_split(docs.repartition(7), "doc_id")
              .select("doc_id", "split").collect()}
     assert rows == again
+
+
+def test_mixture_sample_rates_and_independence(spark):
+    """Per-group keep fractions track the requested mixture; a row's
+    fate depends only on its id, so retuning ONE group's rate leaves
+    every other group's picked set bit-identical; rate 1.0 keeps the
+    group in full and rate 0.0 drops it entirely."""
+    from data_quality_check_spark.operators.corpus import mixture_sample
+
+    n = 4000
+    df = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("g"), (F.col("id") % 4).cast("string")).alias("lang"))
+    rates = {"g0": 0.25, "g1": 1.0, "g2": 0.0}
+    out = mixture_sample(df, "lang", "doc_id", rates, default_rate=0.6)
+    kept = {r.doc_id: r.lang for r in out.collect()}
+    by = Counter(kept.values())
+    assert by["g1"] == n // 4                      # rate 1.0: all rows
+    assert "g2" not in by                          # rate 0.0: none
+    assert abs(by["g0"] / (n // 4) - 0.25) < 0.05
+    assert abs(by["g3"] / (n // 4) - 0.60) < 0.05  # default rate
+
+    # retune g0 only: g1/g3 picks must be identical sets
+    out2 = mixture_sample(df, "lang", "doc_id", {**rates, "g0": 0.9},
+                          default_rate=0.6)
+    kept2 = {r.doc_id: r.lang for r in out2.collect()}
+    for g in ("g1", "g3"):
+        assert ({k for k, v in kept.items() if v == g}
+                == {k for k, v in kept2.items() if v == g})
+    # g0 at a higher rate is a SUPERSET of g0 at the lower rate
+    assert ({k for k, v in kept.items() if v == "g0"}
+            <= {k for k, v in kept2.items() if v == "g0"})

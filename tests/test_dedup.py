@@ -304,3 +304,30 @@ def test_exact_dedup_binary_groups(spark):
     got = {(r.n, r.keeper_id)
            for r in dedup.exact_dedup_binary(df).collect()}
     assert got == {(2, "a"), (2, "d")}
+
+
+def test_crossmodal_near_dups_labels(spark):
+    """Visual candidates carry the caption-gram jaccard: identical
+    captions -> visual+text, rewritten caption -> visual_only, null
+    captions compare equal (both ['']); visually-far pairs never
+    appear no matter how similar the captions."""
+    cap = "a red fox jumps over the icy river at dawn"
+    rows = [
+        ("a", 0x0F0F, cap),                      # base
+        ("b", 0x0F0E, cap),                      # ham 1, same caption
+        ("c", 0x0F0B, "totally different words entirely now"),  # ham 2
+        ("d", None, cap),                        # null phash: excluded
+        ("e", 0x0F0F ^ 0xFF00000000, cap),       # ham >= 6 from all
+        ("f", 0x0F0D, None),                     # ham 1+2, null caption
+        ("g", 0x0F0C, None),                     # null caption twin
+    ]
+    df = spark.createDataFrame(
+        rows, "image_id string, phash long, caption string")
+    got = {(r.id_a, r.id_b): (r.hamming, r.jaccard, r.match_type)
+           for r in dedup.crossmodal_near_dups(df).collect()}
+    assert got[("a", "b")] == (1, 1.0, "visual+text")
+    assert got[("a", "c")][2] == "visual_only"
+    assert got[("f", "g")] == (1, 1.0, "visual+text")  # [''] == ['']
+    assert not any("d" in p or "e" in p for p in got)
+    # jaccard bounded and present on every visual pair
+    assert all(0.0 <= j <= 1.0 for (_h, j, _m) in got.values())
