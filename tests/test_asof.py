@@ -74,3 +74,44 @@ def test_asof_preserves_left_rowcount(spark):
     assert asof_join(left, right, "k", "ts", ["v"]).count() == left.count()
     assert (asof_join(left.repartition(7), right, "k", "ts", ["v"]).count()
             == left.count())
+
+
+def test_asof_matches_pandas_merge_asof(spark):
+    """Randomized parity against an INDEPENDENT oracle: pandas
+    merge_asof (backward direction) — 400 left x 300 right rows,
+    multiple keys, duplicate left timestamps, keys missing on either
+    side.  Right (key, ts) are unique so both engines share a
+    deterministic answer; both modes (at-or-before / strictly-before)
+    checked."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(42)
+    left = pd.DataFrame({
+        "lid": np.arange(400),
+        "k": rng.integers(0, 8, 400),
+        "ts": rng.integers(0, 500, 400),
+    })
+    rpairs = set()
+    while len(rpairs) < 300:
+        rpairs.add((int(rng.integers(0, 10)), int(rng.integers(0, 500))))
+    right = pd.DataFrame(sorted(rpairs), columns=["k", "ts"])
+    right["v"] = rng.normal(size=len(right)).round(6)
+
+    ldf = spark.createDataFrame(left.astype({"lid": "int64", "k": "int64",
+                                             "ts": "int64"}))
+    rdf = spark.createDataFrame(right.astype({"k": "int64", "ts": "int64"}))
+
+    for strict in (False, True):
+        got = {r["lid"]: r["v"] for r in asof_join(
+            ldf, rdf, "k", "ts", ["v"], strict=strict).collect()}
+        want_df = pd.merge_asof(
+            left.sort_values("ts", kind="stable"),
+            right.sort_values("ts", kind="stable"),
+            on="ts", by="k", direction="backward",
+            allow_exact_matches=not strict)
+        want = dict(zip(want_df["lid"], want_df["v"]))
+        assert len(got) == len(left)
+        for lid in want:
+            g, w = got[lid], want[lid]
+            assert (g is None and pd.isna(w)) or g == w, (strict, lid, g, w)

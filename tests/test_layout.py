@@ -67,3 +67,44 @@ def test_zorder_sql_twin_agrees(spark):
     got = spark.sql(f"SELECT x, y, {sql} AS z FROM zt").collect()
     for r in got:
         assert r.z == _morton(r.x, r.y)
+
+
+def test_zorder_layout_prunes_2d_boxes(spark, tmp_path):
+    """The reason the operator exists, measured on real parquet
+    min-max statistics: against a 1-D range layout on x, the Z-order
+    layout lets a y-predicate (which the x-layout cannot prune at
+    all) and a 2-D box skip most row groups."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    df = spark.range(40000).select(
+        (F.col("id") % 200).alias("x"),
+        ((F.col("id") * 7919) % 200).alias("y"))
+    p_x = str(tmp_path / "xsort")
+    p_z = str(tmp_path / "zord")
+    df.repartitionByRange(16, "x").sortWithinPartitions("x") \
+        .write.parquet(p_x)
+    L.zorder_layout(df, "x", "y", num_files=16).write.parquet(p_z)
+
+    def touched(root, lo, hi, col):
+        tot = hit = 0
+        for f in glob.glob(root + "/part-*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            idx = {md.schema.column(i).name: i
+                   for i in range(md.num_columns)}[col]
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx).statistics
+                tot += 1
+                if st.min <= hi and st.max >= lo:
+                    hit += 1
+        return hit, tot
+
+    # y-only predicate: the x layout cannot prune it at all
+    yx_hit, yx_tot = touched(p_x, 90, 120, "y")
+    yz_hit, yz_tot = touched(p_z, 90, 120, "y")
+    assert yx_hit == yx_tot                 # x-layout reads everything
+    assert yz_hit <= yz_tot // 2            # z-layout skips >= half
+    # and the x dimension still prunes on the z layout too
+    xz_hit, xz_tot = touched(p_z, 10, 40, "x")
+    assert xz_hit < xz_tot

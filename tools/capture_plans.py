@@ -99,6 +99,48 @@ def main() -> None:
         "the plan.",
     ))
 
+    # 6. as-of join: exactly ONE exchange, no Join node at all
+    aj = REGISTRY["join_asof"][0](spark, sf_dir)
+    p = plan_of(aj)
+    sections.append((
+        "as-of join (join_asof) — union-window plan",
+        p,
+        f"Exchanges: {p.count('Exchange ')} for the whole query "
+        f"(the window partitioning plus the right side's "
+        f"pre-aggregation); the as-of core itself contains NO join "
+        f"operator (Join in plan: {'Join' in p}) — left and right are "
+        f"union-tagged and resolved by one last(ignorenulls) window, so "
+        f"no row is ever replicated by its match history.",
+    ))
+
+    # 7. cross-modal dedup: captions fetched only for candidate ids
+    cm = REGISTRY["dedup_crossmodal"][0](spark, sf_dir)
+    p = plan_of(cm)
+    sections.append((
+        "cross-modal near-dup (dedup_crossmodal)",
+        p,
+        "Gram arrays enter the plan only through the left-semi-pruned "
+        "fetch joins above the banded candidate join — caption payloads "
+        "of non-candidate images never cross an Exchange; pixel bytes "
+        "never enter the plan.",
+    ))
+
+    # 8. z-order layout: single range exchange + in-partition sort
+    from data_quality_check_spark.operators.layout import zorder_layout
+    zl = zorder_layout(
+        REGISTRY["layout_zorder"][0](spark, sf_dir), "l_partkey",
+        "l_suppkey", num_files=8)
+    p = plan_of(zl)
+    sections.append((
+        "Z-order write layout (zorder_layout)",
+        p,
+        f"rangepartitioning exchange present: "
+        f"{'rangepartitioning' in p} — one range exchange on the Morton "
+        f"key (this IS the write's exchange, not an extra one), then a "
+        f"partition-local Sort so parquet page indexes prune below file "
+        f"level; the key itself is a pure Project expression.",
+    ))
+
     os.makedirs("BENCH", exist_ok=True)
     with open("BENCH/PLANS.md", "w") as f:
         f.write("# BENCH/PLANS.md — captured physical plans\n\n"
