@@ -403,17 +403,18 @@ def connected_components_star(pairs: DataFrame, src: str = "id_a",
                     .alias("component")))
 
 
-def minhash_candidate_pairs(df: DataFrame, text_col: str, id_col: str,
-                            num_hashes: int = 16, bands: int = 4,
-                            shingle_k: int = 5) -> DataFrame:
-    """Distinct candidate PAIRS from shared MinHash LSH bands
-    (id_a < id_b).  Only ids travel through the band self-join —
-    never text, shingles or grams (the r1 Jaccard path replicated
-    gram arrays ~8x through the band explosion)."""
+def minhash_band_table(df: DataFrame, text_col: str, id_col: str,
+                       num_hashes: int = 16, bands: int = 4,
+                       shingle_k: int = 5) -> DataFrame:
+    """The LSH *index* as a DataFrame: (__id, band, bh) — one row per
+    (doc, band), bh = hash of that band's signature slice.  This is
+    the thing a production deployment PERSISTS (a few dozen bytes per
+    doc) so tomorrow's crawl batch joins against it instead of
+    re-signaturing 10^12 existing docs (see incremental_dedup)."""
     rows_per_band = num_hashes // bands
     sigs = minhash_signatures(_widen(df), text_col, id_col,
                               num_hashes, shingle_k)
-    banded = sigs.select(
+    return sigs.select(
         F.col(id_col).alias("__id"),
         F.explode(F.array(*[
             F.struct(
@@ -424,6 +425,17 @@ def minhash_candidate_pairs(df: DataFrame, text_col: str, id_col: str,
             for b in range(bands)
         ])).alias("bb"),
     ).select("__id", "bb.band", "bb.bh")
+
+
+def minhash_candidate_pairs(df: DataFrame, text_col: str, id_col: str,
+                            num_hashes: int = 16, bands: int = 4,
+                            shingle_k: int = 5) -> DataFrame:
+    """Distinct candidate PAIRS from shared MinHash LSH bands
+    (id_a < id_b).  Only ids travel through the band self-join —
+    never text, shingles or grams (the r1 Jaccard path replicated
+    gram arrays ~8x through the band explosion)."""
+    banded = minhash_band_table(df, text_col, id_col, num_hashes,
+                                bands, shingle_k)
     return (
         banded.alias("a").join(
             banded.alias("b"),
@@ -673,3 +685,85 @@ def crossmodal_near_dups(df: DataFrame, max_hamming: int = 3,
             F.when(F.col("jaccard") >= jaccard_threshold,
                    F.lit("visual+text"))
             .otherwise(F.lit("visual_only")).alias("match_type")))
+
+
+def incremental_dedup(batch: DataFrame, corpus: DataFrame,
+                      text_col: str, id_col: str,
+                      threshold: float = 0.5, num_hashes: int = 16,
+                      bands: int = 4, shingle_k: int = 5,
+                      ngram: int = 3) -> DataFrame:
+    """Dedup a NEW batch against an EXISTING corpus — the production
+    mode of web-scale dedup: the 100 TB corpus is already deduped and
+    indexed, and each day's crawl increment must be checked against it
+    (and against itself) without ever re-processing the corpus.
+
+    Per batch doc: (id, status, match_id) where status is
+      'dup_of_corpus'  — some corpus doc has n-gram Jaccard >= t
+                         (match_id = the smallest such corpus id),
+      'dup_in_batch'   — else some EARLIER batch doc (smaller id)
+                         matches (first-wins keeper semantics),
+      'new'            — else (match_id null).  Corpus matches take
+    priority: the corpus copy is canonical by definition.
+
+    Scale shape: the corpus contributes ONLY its band table
+    (minhash_band_table — persisted in production, a few dozen bytes
+    per doc) and the texts of the few ids that collide with a batch
+    band; the batch band table probes it with an equi-join on
+    (band, bh).  Candidates are verified with exact n-gram Jaccard,
+    gram arrays semi-join-pruned to candidate ids on both sides.
+    Cost per increment ~ |batch| x collision rate, independent of
+    |corpus| except through the (pre-built) index join."""
+    bb = minhash_band_table(batch, text_col, id_col, num_hashes,
+                            bands, shingle_k)
+    cb = minhash_band_table(corpus, text_col, id_col, num_hashes,
+                            bands, shingle_k)
+    cross = (bb.alias("n").join(
+        cb.alias("o"), (F.col("n.band") == F.col("o.band"))
+        & (F.col("n.bh") == F.col("o.bh")))
+        .select(F.col("n.__id").alias("bid"),
+                F.col("o.__id").alias("cid")).distinct())
+    within = (bb.alias("a").join(
+        bb.alias("b"), (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.bh") == F.col("b.bh"))
+        & (F.col("a.__id") > F.col("b.__id")))
+        .select(F.col("a.__id").alias("bid"),
+                F.col("b.__id").alias("cid")).distinct())
+
+    def _grams_of(df: DataFrame) -> DataFrame:
+        tokd = df.select(
+            F.col(id_col),
+            F.filter(F.split(F.lower(F.col(text_col)), " "),
+                     lambda t: t != F.lit("")).alias("__toks"))
+        return tokd.select(F.col(id_col).alias("gid"),
+                           _gram_expr(F.col("__toks"), ngram).alias("grams"))
+
+    def _verified_min(cand: DataFrame, other_grams: DataFrame,
+                      batch_grams: DataFrame) -> DataFrame:
+        bg = batch_grams.join(cand.select(F.col("bid").alias("gid"))
+                              .distinct(), "gid", "left_semi")
+        og = other_grams.join(cand.select(F.col("cid").alias("gid"))
+                              .distinct(), "gid", "left_semi")
+        pairs = (cand
+                 .join(bg.select(F.col("gid").alias("bid"),
+                                 F.col("grams").alias("ga")), "bid")
+                 .join(og.select(F.col("gid").alias("cid"),
+                                 F.col("grams").alias("gb")), "cid"))
+        inter = F.size(F.array_intersect("ga", "gb")).cast("double")
+        union = F.size(F.array_union("ga", "gb")).cast("double")
+        return (pairs.filter(inter / union >= threshold)
+                .groupBy("bid").agg(F.min("cid").alias("mid")))
+
+    bgrams = _grams_of(batch)
+    cm = _verified_min(cross, _grams_of(corpus), bgrams)
+    bm = _verified_min(within, bgrams, bgrams)
+    return (batch.select(F.col(id_col).alias("id"))
+            .join(cm.select(F.col("bid").alias("id"),
+                            F.col("mid").alias("__cm")), "id", "left")
+            .join(bm.select(F.col("bid").alias("id"),
+                            F.col("mid").alias("__bm")), "id", "left")
+            .select(
+                "id",
+                F.when(F.col("__cm").isNotNull(), F.lit("dup_of_corpus"))
+                .when(F.col("__bm").isNotNull(), F.lit("dup_in_batch"))
+                .otherwise(F.lit("new")).alias("status"),
+                F.coalesce("__cm", "__bm").alias("match_id")))

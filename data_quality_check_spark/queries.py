@@ -980,6 +980,56 @@ SELECT id_a, id_b, jaccard FROM p WHERE jaccard >= 0.3
 """
 
 
+def q_dedup_incremental(spark, sf_dir):
+    """Incremental dedup — today's crawl batch (doc_id % 5 == 0) vs
+    the already-ingested corpus (the rest): per batch doc, dup-of-
+    corpus / dup-in-batch / new with the first-wins match id
+    (operators/dedup.py::incremental_dedup).  The corpus side joins
+    only through its band index + candidate-id text fetch; DuckDB
+    brute-forces the same answer over all pairs."""
+    d = _t(spark, sf_dir, "documents")
+    batch = d.filter(F.col("doc_id") % 5 == 0)
+    corpus = d.filter(F.col("doc_id") % 5 != 0)
+    return dedup.incremental_dedup(batch, corpus, "text", "doc_id",
+                                   threshold=0.5)
+
+
+SQL_DEDUP_INCREMENTAL = """
+WITH t AS (
+  SELECT doc_id, list_filter(string_split(lower(text), ' '),
+                             x -> x != '') AS toks
+  FROM documents
+), g AS (
+  SELECT doc_id,
+    CASE WHEN len(toks) >= 3
+         THEN list_distinct(list_transform(range(1, len(toks) - 1),
+              i -> toks[i] || '_' || toks[i+1] || '_' || toks[i+2]))
+         ELSE [coalesce(array_to_string(toks, '_'), '')] END AS grams
+  FROM t
+), b AS (SELECT * FROM g WHERE doc_id % 5 = 0),
+   c AS (SELECT * FROM g WHERE doc_id % 5 != 0),
+   cm AS (
+  SELECT b.doc_id, min(c.doc_id) AS mid
+  FROM b JOIN c ON len(list_intersect(b.grams, c.grams))
+       >= 0.5 * len(list_distinct(list_concat(b.grams, c.grams)))
+  GROUP BY 1
+), bm AS (
+  SELECT b1.doc_id, min(b2.doc_id) AS mid
+  FROM b b1 JOIN b b2 ON b2.doc_id < b1.doc_id
+   AND len(list_intersect(b1.grams, b2.grams))
+       >= 0.5 * len(list_distinct(list_concat(b1.grams, b2.grams)))
+  GROUP BY 1
+)
+SELECT b.doc_id AS id,
+       CASE WHEN cm.mid IS NOT NULL THEN 'dup_of_corpus'
+            WHEN bm.mid IS NOT NULL THEN 'dup_in_batch'
+            ELSE 'new' END AS status,
+       coalesce(cm.mid, bm.mid) AS match_id
+FROM b LEFT JOIN cm ON b.doc_id = cm.doc_id
+       LEFT JOIN bm ON b.doc_id = bm.doc_id
+"""
+
+
 def q_dedup_simhash_invariant(spark, sf_dir):
     """SQL-checked SimHash LOCALITY invariant (upgrades the
     engine-specific `dedup_simhash` from rows-only evidence): for
@@ -2421,6 +2471,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, SQL_DEDUP_JACCARD_EXACT),
     "dedup_jaccard_exact": (q_dedup_jaccard_exact, SQL_DEDUP_JACCARD_EXACT),
     "dedup_simhash_invariant": (q_dedup_simhash_invariant, SQL_DEDUP_SIMHASH_INVARIANT),
+    "dedup_incremental": (q_dedup_incremental, SQL_DEDUP_INCREMENTAL),
     "dedup_minhash_recall": (q_dedup_minhash_recall, SQL_DEDUP_MINHASH_RECALL),
     "sim_topk_cosine": (q_sim_topk_cosine, SQL_SIM_TOPK_COSINE),
     "sim_lsh_topk": (q_sim_lsh_topk, SQL_SIM_LSH_TOPK),

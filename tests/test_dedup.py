@@ -331,3 +331,32 @@ def test_crossmodal_near_dups_labels(spark):
     assert not any("d" in p or "e" in p for p in got)
     # jaccard bounded and present on every visual pair
     assert all(0.0 <= j <= 1.0 for (_h, j, _m) in got.values())
+
+
+def test_incremental_dedup_statuses(spark):
+    """All three verdicts on controlled data: corpus dup beats batch
+    dup (corpus copy is canonical), within-batch dup points at the
+    EARLIER batch doc, fresh text is 'new', and corpus docs
+    themselves never appear in the output."""
+    base = ("the quick brown fox jumps over the lazy dog while "
+            "rain falls softly on the quiet village roofs tonight")
+    other = ("completely unrelated sentence about spark shuffle "
+             "partitions and adaptive query execution plans")
+    corpus = spark.createDataFrame(
+        [(1, base), (3, other)], "doc_id long, text string")
+    batch = spark.createDataFrame(
+        [(10, base),                       # dup of corpus doc 1
+         (15, other + " with a word"),     # near-dup of corpus doc 3
+         (20, "entirely novel content never seen in any earlier doc "
+              "with enough words to form several distinct grams"),
+         (25, "entirely novel content never seen in any earlier doc "
+              "with enough words to form several distinct grams"),
+         ], "doc_id long, text string")
+    got = {r.id: (r.status, r.match_id) for r in dedup.incremental_dedup(
+        batch, corpus, "text", "doc_id", threshold=0.5).collect()}
+    assert got == {
+        10: ("dup_of_corpus", 1),
+        15: ("dup_of_corpus", 3),
+        20: ("new", None),
+        25: ("dup_in_batch", 20),
+    }
