@@ -98,3 +98,45 @@ def two_phase_agg(df: DataFrame, group_col: str, aggs: dict[str, str]) -> DataFr
         df.groupBy(group_col, "salt").agg(*partial_exprs)
         .groupBy(group_col).agg(*final_exprs)
     )
+
+
+def salted_join(big: DataFrame, small: DataFrame, on: str,
+                salt_factor: int = SALT_FACTOR,
+                how: str = "inner",
+                salt_col: str | None = None) -> DataFrame:
+    """Skew-safe equi-join: the join-side twin of two_phase_agg.
+
+    A shuffled equi-join sends every row of a hot key to ONE reducer;
+    when one key holds 1% of 10^12 rows that task runs alone for
+    hours (AQE's skew split helps sort-merge joins but cannot split a
+    key ACROSS tasks when the other side must be present in full).
+    Salting fixes it structurally: the big side gets a per-row salt
+    in [0, salt_factor) (from `salt_col` when given: deterministic), the small side is replicated
+    once per salt value (explode of a literal range — salt_factor
+    small-side copies, NOT a cartesian), and the join key becomes
+    (key, salt), spreading each hot key over salt_factor tasks.
+
+    Result is provably identical to big.join(small, on, how): every
+    (big-row, small-row) key match still meets exactly once — at the
+    big row's own salt — property-tested against the unsalted plan
+    and value-checked vs DuckDB's plain join (`skew_salted_join`).
+
+    `how` supports inner / left (semantics preserved because the big
+    side is never replicated); right/full would need the small side
+    deduplicated after the join — not offered, use the plain join."""
+    if how not in ("inner", "left"):
+        raise ValueError("salted_join supports inner/left only")
+    # the salt must vary WITHIN a key (hashing the join key itself
+    # would give a hot key one salt value = still one reducer): use a
+    # caller-named row-level column when reproducible task placement
+    # matters, else a per-row id.  The OUTPUT is identical for any
+    # salt assignment, so correctness never depends on this choice.
+    salt_src = (F.xxhash64(F.col(salt_col)) if salt_col
+                else F.monotonically_increasing_id())
+    salted_big = big.withColumn(
+        "__jsalt", F.pmod(salt_src, F.lit(salt_factor)).cast("int"))
+    exploded_small = small.withColumn(
+        "__jsalt",
+        F.explode(F.sequence(F.lit(0), F.lit(salt_factor - 1))))
+    return (salted_big.join(exploded_small, [on, "__jsalt"], how)
+            .drop("__jsalt"))

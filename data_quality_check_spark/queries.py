@@ -809,6 +809,30 @@ SQL_SKEW_SALTED_AGG = (
 )
 
 
+def q_skew_salted_join(spark, sf_dir):
+    """Skew-safe salted equi-join (operators/salt.py::salted_join):
+    big side salted per row, small side replicated once per salt —
+    each hot key spreads over salt_factor reducers instead of melting
+    one task.  Output provably equals the plain join, which is
+    exactly what the DuckDB oracle runs."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_suppkey", "l_quantity")
+    sup = _t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("l_suppkey"), "s_name", "s_nationkey")
+    out = salt.salted_join(li, sup, "l_suppkey", salt_factor=8,
+                           salt_col="l_orderkey")
+    return out.select("l_orderkey", "l_linenumber", "l_suppkey",
+                      "s_name", "s_nationkey",
+                      F.round("l_quantity", 4).alias("qty"))
+
+
+SQL_SKEW_SALTED_JOIN = """
+SELECT l_orderkey, l_linenumber, l.l_suppkey, s_name, s_nationkey,
+       round(l_quantity, 4) AS qty
+FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+"""
+
+
 def q_resume_pending(spark, sf_dir):
     # O-33 resume primitive: pending = all buckets anti-join 'done'
     # ledger rows (evens committed); fully relational => SQL-checked
@@ -2458,6 +2482,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     # partitioning
     "bucket_assign": (q_bucket_assign, SQL_BUCKET_ASSIGN),
     "skew_salted_agg": (q_skew_salted_agg, SQL_SKEW_SALTED_AGG),
+    "skew_salted_join": (q_skew_salted_join, SQL_SKEW_SALTED_JOIN),
     "resume_pending": (q_resume_pending, SQL_RESUME_PENDING),
     # scalar fn surface
     "fn_string": (q_fn_string, SQL_FN_STRING),

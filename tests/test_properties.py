@@ -77,6 +77,56 @@ def test_salting_invariance(spark):
     assert a == b
 
 
+def test_salted_join_equals_plain_join(spark):
+    """salted_join == plain join for inner AND left, on a skewed big
+    side (one hot key holds half the rows), with keys unmatched on
+    each side, in both salt modes (column-derived and row-id)."""
+    from pyspark.sql import functions as F
+
+    from data_quality_check_spark.operators.salt import salted_join
+
+    big = spark.range(20_000).select(
+        F.col("id").alias("rid"),
+        # key 0 is hot (half the rows); keys 90..99 match nothing
+        F.when(F.col("id") % 2 == 0, F.lit(0))
+        .otherwise(F.col("id") % 100).alias("k"),
+        (F.col("id") * 3).alias("payload"))
+    small = spark.range(90).select(      # keys 0..89; 90..99 unmatched
+        F.col("id").alias("k"), F.concat(F.lit("dim_"),
+                                         F.col("id")).alias("name"))
+
+    for how in ("inner", "left"):
+        plain = big.join(small, "k", how)
+        for salt_col in ("rid", None):
+            got = salted_join(big, small, "k", salt_factor=8, how=how,
+                              salt_col=salt_col)
+            a = sorted(map(tuple, got.select(
+                "k", "rid", "payload", "name").collect()))
+            b = sorted(map(tuple, plain.select(
+                "k", "rid", "payload", "name").collect()))
+            assert a == b, (how, salt_col)
+
+
+def test_salted_join_spreads_hot_key(spark):
+    """The point of the salt: a hot key's rows carry all salt_factor
+    distinct salt values, so the shuffle spreads them over
+    salt_factor reducers instead of one."""
+    from pyspark.sql import functions as F
+
+    from data_quality_check_spark.operators.salt import salted_join
+
+    big = spark.range(8_000).select(F.lit(0).alias("k"),
+                                    F.col("id").alias("rid"))
+    small = spark.createDataFrame([(0, "hot")], "k long, name string")
+    salted = big.withColumn(
+        "__jsalt", F.pmod(F.xxhash64(F.col("rid")), F.lit(8)).cast("int"))
+    n_salts = salted.select("__jsalt").distinct().count()
+    assert n_salts == 8
+    # and the join still returns every big row exactly once
+    assert salted_join(big, small, "k", salt_factor=8,
+                       salt_col="rid").count() == 8_000
+
+
 @given(st.integers(0, 2**32 - 1), st.sampled_from([1, 2]))
 @settings(max_examples=25, deadline=None)
 def test_rawq_roundtrip_properties(seed, version):
