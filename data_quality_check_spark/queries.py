@@ -1436,6 +1436,39 @@ SQL_TEXT_QUALITY_SCORE = (
 )
 
 
+def q_text_quality_tiers(spark, sf_dir):
+    """Language-balanced quality tiering — the 'keep the best 30% of
+    every language' corpus op (a global cut would eject low-resource
+    languages wholesale): ntile(10) deciles per lang over the
+    composite quality score, deterministic tiebreak on doc_id.  One
+    window shuffle on lang; at corpus scale the same plan runs with
+    lang x salt partitioning if a language dominates."""
+    d = _t(spark, sf_dir, "documents")
+    score = F.round(
+        0.4 * F.least(F.lit(1.0), F.length("text") / F.lit(200.0))
+        + 0.3 * _stop_ratio()
+        + 0.3 * _distinct_ratio(), 6)
+    w = Window.partitionBy("lang").orderBy(
+        F.desc("quality_score"), F.asc("doc_id"))
+    return (d.select("doc_id", "lang", score.alias("quality_score"))
+            .withColumn("tier", F.ntile(10).over(w))
+            .withColumn("keep_top30", F.col("tier") <= 3))
+
+
+SQL_TEXT_QUALITY_TIERS = (
+    "WITH s AS (SELECT doc_id, lang, "
+    "round(0.4 * least(1.0, length(text) / 200.0) "
+    f"+ 0.3 * {_DOC_SR_SQL} + 0.3 * {_DOC_DR_SQL}, 6) AS quality_score "
+    "FROM documents) "
+    "SELECT doc_id, lang, quality_score, "
+    "ntile(10) OVER (PARTITION BY lang ORDER BY quality_score DESC, "
+    "doc_id ASC) AS tier, "
+    "ntile(10) OVER (PARTITION BY lang ORDER BY quality_score DESC, "
+    "doc_id ASC) <= 3 AS keep_top30 "
+    "FROM s"
+)
+
+
 def q_text_langid_heuristic(spark, sf_dir):
     """Stopword-vote language ID: argmax over per-language stopword
     hit counts (ties broken in LANGS order, zero votes => 'und').
@@ -2510,6 +2543,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "text_quality_score": (q_text_quality_score, SQL_TEXT_QUALITY_SCORE),
     "text_fingerprint": (q_text_fingerprint, SQL_TEXT_FINGERPRINT),
     "text_langid_heuristic": (q_text_langid_heuristic, SQL_TEXT_LANGID_HEURISTIC),
+    "text_quality_tiers": (q_text_quality_tiers, SQL_TEXT_QUALITY_TIERS),
     "text_decontaminate": (q_text_decontaminate, SQL_TEXT_DECONTAMINATE),
     "text_repetition_signals": (
         q_text_repetition_signals, SQL_TEXT_REPETITION_SIGNALS),
