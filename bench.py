@@ -34,7 +34,7 @@ HEADLINE_KEYS = [
     "text_quality_score",
     "multimodal_features",
     "dedup_text_pipeline",
-    "dedup_phash_hamming",
+    "dedup_phash_hamming_distinct",
     "dedup_crossmodal",
     "join_asof",
 ]

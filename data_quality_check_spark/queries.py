@@ -2215,6 +2215,33 @@ WHERE a.image_id < b.image_id
 """
 
 
+def q_dedup_phash_hamming_distinct(spark, sf_dir):
+    """The SCALE path of phash near-dup: collapse identical phashes to
+    one min-id representative FIRST (|distinct phash| << |rows| on
+    real corpora; an exact-dup cluster of k copies contributes 0 pairs
+    instead of k^2/2), then band + exact-re-score over the distinct
+    hashes.  This is the variant image_near_dup_keepers composes and
+    the one benchmarked at sf0.1; value-exact vs DuckDB brute force
+    over the same representative set."""
+    im = _images(spark, sf_dir).select("image_id", "phash")
+    reps = (im.filter(F.col("phash").isNotNull())
+            .groupBy("phash").agg(F.min("image_id").alias("rep")))
+    return dedup.phash_near_dups(reps, max_hamming=3,
+                                 id_col="rep", phash_col="phash")
+
+
+SQL_DEDUP_PHASH_HAMMING_DISTINCT = f"""
+WITH r AS (
+  SELECT phash, min(image_id) AS rep FROM {IMAGES_SF001}
+  WHERE phash IS NOT NULL GROUP BY 1
+)
+SELECT a.rep AS id_a, b.rep AS id_b,
+       CAST(bit_count(xor(a.phash, b.phash)) AS INT) AS hamming
+FROM r a, r b
+WHERE a.rep < b.rep AND bit_count(xor(a.phash, b.phash)) <= 3
+"""
+
+
 def q_layout_zorder(spark, sf_dir):
     """Z-order (Morton) layout key over lineitem's (l_partkey,
     l_suppkey) — the write-side data-layout primitive that makes 2-D
@@ -2560,6 +2587,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     # parquet by path at the driver's sf=0.01)
     "win_dup_rank_images": (q_win_dup_rank_images, SQL_WIN_DUP_RANK_IMAGES),
     "dedup_phash_hamming": (q_dedup_phash_hamming, SQL_DEDUP_PHASH_HAMMING),
+    "dedup_phash_hamming_distinct": (q_dedup_phash_hamming_distinct,
+                                     SQL_DEDUP_PHASH_HAMMING_DISTINCT),
     "dedup_crossmodal": (q_dedup_crossmodal, SQL_DEDUP_CROSSMODAL),
     "layout_zorder": (q_layout_zorder, SQL_LAYOUT_ZORDER),
     "dedup_image_pipeline": (q_dedup_image_pipeline, SQL_DEDUP_IMAGE_PIPELINE),
