@@ -47,15 +47,33 @@ class LocalParquetCatalog(Catalog):
     def _manifest_dir(self, name: str) -> str:
         return os.path.join(self._dir(name), "_manifests")
 
+    def _data_files(self, name: str) -> list[str]:
+        """Relative paths of the table's current parquet data files.
+        An O(files) walk per commit — the sandbox stand-in for
+        Iceberg's manifest lists, which make the same enumeration
+        O(manifests) at 10^12-file scale."""
+        d = self._dir(name)
+        out = []
+        for dirpath, _dirs, files in os.walk(d):
+            if "_manifests" in dirpath:
+                continue
+            for f in files:
+                if f.endswith(".parquet") and not f.startswith("."):
+                    out.append(os.path.relpath(os.path.join(dirpath, f), d))
+        return sorted(out)
+
     def _write_manifest(self, name: str, op: str) -> str:
-        """Write-then-rename: the rename is the commit point."""
+        """Write-then-rename: the rename is the commit point.  The
+        manifest pins the snapshot's data-file set, which is what
+        makes read_table_at (time travel) possible."""
         mdir = self._manifest_dir(name)
         os.makedirs(mdir, exist_ok=True)
         sid = f"{int(time.time() * 1000):013d}-{uuid.uuid4().hex[:8]}"
         tmp = os.path.join(mdir, f".{sid}.json.tmp")
         final = os.path.join(mdir, f"{sid}.json")
         with open(tmp, "w") as f:
-            json.dump({"snapshot": sid, "op": op}, f)
+            json.dump({"snapshot": sid, "op": op,
+                       "files": self._data_files(name)}, f)
         os.replace(tmp, final)
         return sid
 
@@ -120,11 +138,53 @@ class LocalParquetCatalog(Catalog):
         self._write_manifest(name, "overwrite_partitions")
 
     def snapshot_id(self, name: str) -> str | None:
+        snaps = self.snapshots(name)
+        return snaps[-1] if snaps else None
+
+    def snapshots(self, name: str) -> list[str]:
+        """All committed snapshot ids, oldest first (ids embed a ms
+        timestamp, so lexicographic order == commit order)."""
         mdir = self._manifest_dir(name)
         if not os.path.isdir(mdir):
-            return None
-        snaps = sorted(f for f in os.listdir(mdir) if f.endswith(".json"))
-        return snaps[-1].removesuffix(".json") if snaps else None
+            return []
+        return sorted(f.removesuffix(".json") for f in os.listdir(mdir)
+                      if f.endswith(".json"))
+
+    def read_table_at(self, name: str, snapshot: str) -> DataFrame:
+        """Time travel: read the table exactly as of a committed
+        snapshot — the Iceberg `VERSION AS OF` primitive, used to
+        reconstruct the audit/ledger state any pipeline wave saw.
+
+        Sound for APPEND-ONLY tables (audit, ledger — the lineage
+        tables this catalog exists for): appends never delete files,
+        so every older snapshot's file set is still on disk.  A
+        dynamic-partition OVERWRITE physically replaces files (the
+        local catalog keeps no file history, unlike real Iceberg), so
+        reading a pre-overwrite snapshot raises instead of silently
+        returning partial data."""
+        mpath = os.path.join(self._manifest_dir(name), f"{snapshot}.json")
+        if not os.path.isfile(mpath):
+            raise ValueError(f"unknown snapshot {snapshot!r} for table "
+                             f"{name!r}")
+        with open(mpath) as f:
+            m = json.load(f)
+        files = m.get("files")
+        if files is None:
+            raise ValueError(
+                f"snapshot {snapshot!r} predates file tracking")
+        d = self._dir(name)
+        paths = [os.path.join(d, rel) for rel in files]
+        missing = [p for p in paths if not os.path.isfile(p)]
+        if missing:
+            raise ValueError(
+                f"snapshot {snapshot!r} is no longer readable: "
+                f"{len(missing)} file(s) were replaced by a later "
+                f"overwrite (append-only tables never hit this)")
+        if not paths:
+            return self.spark.createDataFrame([], self.read_table(name).schema)
+        # basePath keeps partition columns (bucket=NN/) recoverable
+        # when reading an explicit file list
+        return self.spark.read.option("basePath", d).parquet(*paths)
 
 
 class IcebergCatalog(Catalog):

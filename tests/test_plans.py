@@ -92,3 +92,44 @@ def test_pipeline_bytes_never_shuffles(spark, tmp_path):
     for ln in plan.splitlines():
         if "Exchange" in ln:
             assert "bytes#" not in ln, ln
+
+
+def test_catalog_time_travel(spark, tmp_path):
+    """Snapshot time travel (plans/catalog.py::read_table_at): each
+    append commits a manifest pinning the file set; reading AS OF an
+    older snapshot reproduces exactly the rows that existed then.
+    Overwritten snapshots fail loudly instead of returning partial
+    data (the local catalog keeps no file history, unlike Iceberg)."""
+    from data_quality_check_spark.plans.catalog import LocalParquetCatalog
+
+    cat = LocalParquetCatalog(spark, str(tmp_path))
+    for wave in range(3):
+        cat.append_rows("audit", [{"wave": wave, "n": 10 + wave}])
+    snaps = cat.snapshots("audit")
+    assert len(snaps) == 3
+    for i, sid in enumerate(snaps):
+        got = sorted(r.wave for r in cat.read_table_at("audit", sid)
+                     .collect())
+        assert got == list(range(i + 1)), (i, sid)
+    assert cat.snapshot_id("audit") == snaps[-1]
+
+    with pytest.raises(ValueError, match="unknown snapshot"):
+        cat.read_table_at("audit", "nope")
+
+    # partitioned overwrite invalidates the pre-overwrite snapshot
+    df = spark.createDataFrame([(0, "a"), (1, "b")], "bucket int, v string")
+    cat.overwrite_partitions("results", df, ["bucket"])
+    s1 = cat.snapshot_id("results")
+    df2 = spark.createDataFrame([(0, "A")], "bucket int, v string")
+    cat.overwrite_partitions("results", df2, ["bucket"])
+    # bucket 1 untouched, bucket 0 replaced
+    assert {(r.bucket, r.v) for r in cat.read_table("results").collect()} \
+        == {(0, "A"), (1, "b")}
+    with pytest.raises(ValueError, match="no longer readable"):
+        cat.read_table_at("results", s1).collect()
+    # the CURRENT snapshot of the partitioned table reads fine, with
+    # the partition column intact
+    s2 = cat.snapshot_id("results")
+    assert {(r.bucket, r.v)
+            for r in cat.read_table_at("results", s2).collect()} \
+        == {(0, "A"), (1, "b")}
