@@ -2227,7 +2227,8 @@ def q_dedup_phash_hamming_distinct(spark, sf_dir):
     reps = (im.filter(F.col("phash").isNotNull())
             .groupBy("phash").agg(F.min("image_id").alias("rep")))
     return dedup.phash_near_dups(reps, max_hamming=3,
-                                 id_col="rep", phash_col="phash")
+                                 id_col="rep", phash_col="phash",
+                                 collapse_exact=False)
 
 
 SQL_DEDUP_PHASH_HAMMING_DISTINCT = f"""
