@@ -68,7 +68,14 @@ class LocalParquetCatalog(Catalog):
         makes read_table_at (time travel) possible."""
         mdir = self._manifest_dir(name)
         os.makedirs(mdir, exist_ok=True)
-        sid = f"{int(time.time() * 1000):013d}-{uuid.uuid4().hex[:8]}"
+        # strictly monotonic ids: two commits inside the same
+        # millisecond would otherwise tie on the timestamp and sort
+        # by the random suffix, scrambling snapshot order
+        prev = [int(f.split("-")[0]) for f in os.listdir(mdir)
+                if f.endswith(".json")]
+        ms = max(int(time.time() * 1000),
+                 (max(prev) + 1) if prev else 0)
+        sid = f"{ms:013d}-{uuid.uuid4().hex[:8]}"
         tmp = os.path.join(mdir, f".{sid}.json.tmp")
         final = os.path.join(mdir, f"{sid}.json")
         with open(tmp, "w") as f:
