@@ -93,3 +93,86 @@ def test_streaming_dq_reports_per_batch(spark, shard_dir):
         assert by.loc[(0, "mean_w"), "value"] > 16
     finally:
         shutil.rmtree(out_root, ignore_errors=True)
+
+
+def test_stream_static_enrichment(spark, shard_dir):
+    """Stream-static broadcast join: every micro-batch row is
+    enriched from the dimension; unmatched keys keep LEFT nulls."""
+    import pandas as pd
+
+    from data_quality_check_spark.streaming.joins import stream_static_enrich
+
+    pq.write_table(pa.table({"k": [0, 1, 2, 0, 3], "v": list(range(5))}),
+                   os.path.join(shard_dir, "s0.parquet"))
+    stream = (spark.readStream.schema("k long, v long")
+              .parquet(shard_dir))
+    dim = spark.createDataFrame(
+        pd.DataFrame({"k": [0, 1, 2], "name": ["a", "b", "c"]}))
+    out_dir = tempfile.mkdtemp(prefix="dqc-sse-")
+    try:
+        q = (stream_static_enrich(stream, dim, "k")
+             .writeStream.format("parquet")
+             .option("path", f"{out_dir}/out")
+             .option("checkpointLocation", f"{out_dir}/ckpt")
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        rows = {(r.k, r.v): r.name
+                for r in spark.read.parquet(f"{out_dir}/out").collect()}
+        assert rows == {(0, 0): "a", (1, 1): "b", (2, 2): "c",
+                        (0, 3): "a", (3, 4): None}
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+
+
+def test_stream_stream_interval_join(spark, shard_dir):
+    """Watermarked stream-stream join: purchases match clicks of the
+    same user within the lookback interval only."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from data_quality_check_spark.streaming.joins import (
+        stream_stream_interval_join)
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0)
+
+    def m(minutes):
+        return t0 + dt.timedelta(minutes=minutes)
+
+    ldir = os.path.join(shard_dir, "l"); os.makedirs(ldir)
+    rdir = os.path.join(shard_dir, "r"); os.makedirs(rdir)
+    # write micro-second timestamps explicitly: pandas' default ns
+    # unit lands as a parquet INT64 Spark won't read as timestamp
+    pq.write_table(pa.table(
+        {"user": pa.array([1, 1, 2], pa.int64()),
+         "ts": pa.array([m(20), m(40), m(20)], pa.timestamp("us")),
+         "pid": pa.array([100, 101, 102], pa.int64())}),
+        f"{ldir}/0.parquet")
+    pq.write_table(pa.table(
+        {"user": pa.array([1, 1, 2], pa.int64()),
+         "ts": pa.array([m(15), m(25), m(0)], pa.timestamp("us")),
+         "cid": pa.array([7, 8, 9], pa.int64())}),
+        f"{rdir}/0.parquet")
+
+    left = spark.readStream.schema("user long, ts timestamp, pid long") \
+        .parquet(ldir)
+    right = spark.readStream.schema("user long, ts timestamp, cid long") \
+        .parquet(rdir)
+    out_dir = tempfile.mkdtemp(prefix="dqc-ssj-")
+    try:
+        q = (stream_stream_interval_join(left, right, "user", "ts",
+                                         interval="10 minutes")
+             .selectExpr("pid", "cid_r AS cid")
+             .writeStream.format("parquet")
+             .option("path", f"{out_dir}/out")
+             .option("checkpointLocation", f"{out_dir}/ckpt")
+             .trigger(availableNow=True).start())
+        q.awaitTermination(180)
+        got = {(r.pid, r.cid)
+               for r in spark.read.parquet(f"{out_dir}/out").collect()}
+        # pid 100 (12:20): clicks at 12:15 ok, 12:25 is in the future
+        # pid 101 (12:40): 12:25 is 15 min back -> outside interval
+        # pid 102 (12:20): user-2 click at 12:00 -> outside interval
+        assert got == {(100, 7)}
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
