@@ -53,8 +53,17 @@ def start_quality_stream(spark: SparkSession, in_path: str, out_root: str,
         if batch_df.isEmpty():
             return
         out = results_select(quality_frame(batch_df))
+        # idempotent sink: a blind append would double rows when a
+        # crashed micro-batch is REPLAYED from the checkpoint
+        # (foreachBatch is at-least-once); overwriting the batch's own
+        # partition makes the replay a no-op -> effectively
+        # exactly-once.  Writer-level option per the repo invariant
+        # (never rely on session conf).
         (out.withColumn("batch_id", F.lit(batch_id))
-            .write.mode("append").parquet(f"{out_root}/stream_results"))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(f"{out_root}/stream_results"))
 
     stream = read_image_stream(spark, in_path, max_files_per_trigger)
     return (

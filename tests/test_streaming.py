@@ -176,3 +176,31 @@ def test_stream_stream_interval_join(spark, shard_dir):
         assert got == {(100, 7)}
     finally:
         shutil.rmtree(out_dir, ignore_errors=True)
+
+
+def test_stream_restart_resumes_exactly_once(spark, shard_dir):
+    """Checkpointed restart: a second availableNow run with the SAME
+    checkpoint processes only shards that arrived after the first run
+    — no reprocessing, no duplicate verdicts — and a REPLAYED batch
+    is idempotent because each micro-batch overwrites its own
+    batch_id partition instead of blind-appending."""
+    pdf = IM.generate_pandas(0.001)
+    chunks = (pdf.iloc[:500], pdf.iloc[500:])
+    out_root = tempfile.mkdtemp(prefix="dqc-stream-restart-")
+    ckpt = os.path.join(out_root, "ckpt")
+    try:
+        for i, chunk in enumerate(chunks):
+            tbl = pa.Table.from_pandas(chunk, schema=IM.ARROW_SCHEMA,
+                                       preserve_index=False)
+            pq.write_table(tbl, os.path.join(shard_dir,
+                                             f"shard{i}.parquet"))
+            q = start_quality_stream(spark, shard_dir, out_root,
+                                     checkpoint_dir=ckpt,
+                                     max_files_per_trigger=1)
+            q.awaitTermination(120)
+            res = spark.read.parquet(f"{out_root}/stream_results")
+            n = res.count()
+            assert n == 500 * (i + 1), f"run {i}: {n} rows"
+            assert res.select("image_id").distinct().count() == n
+    finally:
+        shutil.rmtree(out_root, ignore_errors=True)
