@@ -1436,6 +1436,51 @@ SQL_TEXT_QUALITY_SCORE = (
 )
 
 
+def q_corpus_stats(spark, sf_dir):
+    """The corpus card: one single-pass aggregation producing the
+    summary every dataset release ships — row/token totals, language
+    mix, length distribution, duplicate rate (exact, by text hash),
+    mean quality.  One partial+final hash-agg shuffle regardless of
+    corpus size; every statistic is algebraic or a fixed-size sketch,
+    so the same job runs unchanged at 10^12 rows."""
+    d = _t(spark, sf_dir, "documents")
+    toks = _doc_tokens()
+    score = (0.4 * F.least(F.lit(1.0), F.length("text") / F.lit(200.0))
+             + 0.3 * _stop_ratio() + 0.3 * _distinct_ratio())
+    base = d.select(
+        "lang", "n_chars", F.size(toks).alias("__ntok"),
+        F.xxhash64("text").alias("__th"), score.alias("__q"))
+    return base.agg(
+        F.count("*").alias("n_docs"),
+        F.sum("__ntok").alias("total_tokens"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.round(F.sum((F.col("lang") == "en").cast("long"))
+                / F.count("*"), 6).alias("pct_en"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+        (F.count("*") - F.countDistinct("__th")).alias("n_exact_dups"),
+        F.round(F.avg("__q"), 6).alias("avg_quality"))
+
+
+SQL_CORPUS_STATS = (
+    "WITH b AS (SELECT lang, n_chars, "
+    "len(list_filter(string_split(text, ' '), t -> t != '')) AS ntok, "
+    "hash(text) AS th, "  # any hash works: only DISTINCTness matters
+    "0.4 * least(1.0, length(text) / 200.0) "
+    f"+ 0.3 * {_DOC_SR_SQL} + 0.3 * {_DOC_DR_SQL} AS q "
+    "FROM documents) "
+    "SELECT count(*) AS n_docs, CAST(sum(ntok) AS BIGINT) AS total_tokens, "
+    "count(DISTINCT lang) AS n_langs, "
+    "round(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) "
+    "/ CAST(count(*) AS DOUBLE), 6) AS pct_en, "
+    "round(avg(n_chars), 4) AS avg_chars, "
+    "min(n_chars) AS min_chars, max(n_chars) AS max_chars, "
+    "count(*) - count(DISTINCT th) AS n_exact_dups, "
+    "round(avg(q), 6) AS avg_quality FROM b"
+)
+
+
 def q_text_quality_tiers(spark, sf_dir):
     """Language-balanced quality tiering — the 'keep the best 30% of
     every language' corpus op (a global cut would eject low-resource
@@ -2572,6 +2617,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "text_fingerprint": (q_text_fingerprint, SQL_TEXT_FINGERPRINT),
     "text_langid_heuristic": (q_text_langid_heuristic, SQL_TEXT_LANGID_HEURISTIC),
     "text_quality_tiers": (q_text_quality_tiers, SQL_TEXT_QUALITY_TIERS),
+    "corpus_stats": (q_corpus_stats, SQL_CORPUS_STATS),
     "text_decontaminate": (q_text_decontaminate, SQL_TEXT_DECONTAMINATE),
     "text_repetition_signals": (
         q_text_repetition_signals, SQL_TEXT_REPETITION_SIGNALS),
