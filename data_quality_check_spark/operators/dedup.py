@@ -812,3 +812,32 @@ def incremental_dedup(batch: DataFrame, corpus: DataFrame,
                 .when(F.col("__bm").isNotNull(), F.lit("dup_in_batch"))
                 .otherwise(F.lit("new")).alias("status"),
                 F.coalesce("__cm", "__bm").alias("match_id")))
+
+
+def keepers_by_score(df: DataFrame, pairs: DataFrame, id_col: str,
+                     score_col: str) -> DataFrame:
+    """Score-based keeper policy: within each duplicate component keep
+    the member with the HIGHEST score (ties -> smallest id).
+
+    First-wins (min id) keeps whichever copy was crawled first;
+    real curation usually wants the best copy — longest caption,
+    highest quality score, best-resolution image — so the keeper is
+    the per-component argmax of a caller-supplied score column.
+    Returns one row per input id: (id, keeper_id, is_dup); singletons
+    keep themselves.  Cost: the components rounds plus ONE window
+    shuffle on the component key — the same class as the dup-rank
+    window the pipeline already pays."""
+    comp = connected_components(pairs)
+    scored = df.select(F.col(id_col).alias("id"),
+                       F.col(score_col).alias("__s"))
+    labeled = (scored.join(comp, scored.id == comp.node, "left")
+               .select("id",
+                       F.coalesce("component", F.col("id")).alias("__grp"),
+                       "__s"))
+    w = (Window.partitionBy("__grp")
+         .orderBy(F.desc("__s"), F.asc("id"))
+         .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+    return (labeled
+            .withColumn("keeper_id", F.first("id").over(w))
+            .select("id", "keeper_id",
+                    (F.col("keeper_id") != F.col("id")).alias("is_dup")))

@@ -1054,6 +1054,67 @@ FROM b LEFT JOIN cm ON b.doc_id = cm.doc_id
 """
 
 
+def q_dedup_keepers_quality(spark, sf_dir):
+    """Score-based keeper policy: near-dup components over the
+    bounded doc subset, keeping the HIGHEST-quality member per
+    cluster (ties -> smallest id) instead of first-wins
+    (operators/dedup.py::keepers_by_score).  DuckDB reproduces it
+    with the recursive-CTE components + a window argmax."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    pairs = dedup.jaccard_pairs_exact(d, "text", "doc_id", threshold=0.3)
+    score = F.round(
+        0.4 * F.least(F.lit(1.0), F.length("text") / F.lit(200.0))
+        + 0.3 * _stop_ratio() + 0.3 * _distinct_ratio(), 6)
+    scored = d.select("doc_id", score.alias("q"))
+    return dedup.keepers_by_score(scored, pairs, "doc_id", "q")
+
+
+SQL_DEDUP_KEEPERS_QUALITY = f"""
+WITH RECURSIVE t AS (
+  SELECT doc_id, text,
+         list_filter(string_split(lower(text), ' '), x -> x != '') AS toks
+  FROM documents WHERE doc_id < 200
+), g AS (
+  SELECT doc_id, text,
+    CASE WHEN len(toks) >= 3
+         THEN list_distinct(list_transform(range(1, len(toks) - 1),
+              i -> toks[i] || '_' || toks[i+1] || '_' || toks[i+2]))
+         ELSE [coalesce(array_to_string(toks, '_'), '')] END AS grams
+  FROM t
+), p AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM g a JOIN g b ON a.doc_id < b.doc_id
+  WHERE len(list_intersect(a.grams, b.grams))
+        / CAST(len(list_distinct(list_concat(a.grams, b.grams)))
+               AS DOUBLE) >= 0.3
+), e AS (
+  SELECT id_a AS src, id_b AS dst FROM p
+  UNION SELECT id_b, id_a FROM p
+), n AS (SELECT DISTINCT src AS node FROM e),
+reach(node, r) AS (
+  SELECT node, node FROM n
+  UNION
+  SELECT reach.node, e.dst FROM reach JOIN e ON reach.r = e.src
+), comp AS (
+  SELECT node, min(r) AS component FROM reach GROUP BY node
+), s AS (
+  SELECT doc_id,
+         round(0.4 * least(1.0, length(text) / 200.0)
+               + 0.3 * {_DOC_SR_SQL} + 0.3 * {_DOC_DR_SQL}, 6) AS q
+  FROM t
+), lab AS (
+  SELECT s.doc_id AS id, coalesce(comp.component, s.doc_id) AS grp, s.q
+  FROM s LEFT JOIN comp ON s.doc_id = comp.node
+)
+SELECT id,
+       first_value(id) OVER (PARTITION BY grp ORDER BY q DESC, id ASC)
+         AS keeper_id,
+       first_value(id) OVER (PARTITION BY grp ORDER BY q DESC, id ASC)
+         != id AS is_dup
+FROM lab
+"""
+
+
 def q_dedup_simhash_invariant(spark, sf_dir):
     """SQL-checked SimHash LOCALITY invariant (upgrades the
     engine-specific `dedup_simhash` from rows-only evidence): for
@@ -2603,6 +2664,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "dedup_jaccard_exact": (q_dedup_jaccard_exact, SQL_DEDUP_JACCARD_EXACT),
     "dedup_simhash_invariant": (q_dedup_simhash_invariant, SQL_DEDUP_SIMHASH_INVARIANT),
     "dedup_incremental": (q_dedup_incremental, SQL_DEDUP_INCREMENTAL),
+    "dedup_keepers_quality": (q_dedup_keepers_quality,
+                              SQL_DEDUP_KEEPERS_QUALITY),
     "dedup_minhash_recall": (q_dedup_minhash_recall, SQL_DEDUP_MINHASH_RECALL),
     "sim_topk_cosine": (q_sim_topk_cosine, SQL_SIM_TOPK_COSINE),
     "sim_lsh_topk": (q_sim_lsh_topk, SQL_SIM_LSH_TOPK),

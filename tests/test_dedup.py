@@ -360,3 +360,20 @@ def test_incremental_dedup_statuses(spark):
         20: ("new", None),
         25: ("dup_in_batch", 20),
     }
+
+
+def test_keepers_by_score_policy(spark):
+    """Quality-max keeper: cluster keeper is the highest-score member
+    (tie -> smallest id); singletons keep themselves; ids absent from
+    any pair are singletons even with low scores."""
+    scored = spark.createDataFrame(
+        [(1, 0.2), (2, 0.9), (3, 0.9), (4, 0.1), (9, 0.05)],
+        "doc_id long, q double")
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3)], "id_a long, id_b long")  # {1,2,3} one cluster
+    got = {r.id: (r.keeper_id, r.is_dup) for r in
+           dedup.keepers_by_score(scored, pairs, "doc_id", "q").collect()}
+    assert got == {
+        1: (2, True), 2: (2, False), 3: (2, True),  # 0.9 tie -> id 2
+        4: (4, False), 9: (9, False),
+    }
