@@ -320,3 +320,34 @@ def lsh_cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
         .filter(F.col("rk") <= k)
         .select("query_id", "neighbor_id", "cos", "rk")
     )
+
+
+def quantize_int8_report(df: DataFrame, vec_col: str = "embedding",
+                         id_col: str = "vec_id") -> DataFrame:
+    """Symmetric int8 scalar quantization of an embedding column —
+    the standard 4x storage compression before an ANN index is built
+    (float32 -> int8 + one float scale per vector) — reported as the
+    per-vector acceptance evidence instead of the payload: the scale,
+    and two guarantees checked as booleans (every element's
+    reconstruction error <= scale/2; cosine(original, dequantized)
+    >= 0.999, the bound under which ANN recall is unaffected).
+
+    Everything is a JVM higher-order expression over the array —
+    zero Python, zero shuffle; at 10^12 vectors this runs inside the
+    scan's codegen stage.  Booleans (not raw float errors) keep the
+    cross-engine check robust to last-ulp accumulation differences."""
+    v = _dvec(F.col(vec_col))
+    mabs = F.array_max(F.transform(v, F.abs))
+    scale = mabs / F.lit(127.0)
+    # zero vectors: scale 0, dequantized = original = all zeros
+    recon = F.when(mabs == 0, v).otherwise(
+        F.transform(v, lambda x: F.round(x / scale) * scale))
+    err_max = F.array_max(F.zip_with(v, recon,
+                                     lambda x, r: F.abs(x - r)))
+    cos = F.when(mabs == 0, F.lit(1.0)).otherwise(
+        _dot(v, recon) / (_norm(v) * _norm(recon)))
+    return df.select(
+        F.col(id_col),
+        F.round(scale, 6).alias("scale"),
+        (err_max <= scale / 2 + F.lit(1e-9)).alias("err_ok"),
+        (cos >= 0.999).alias("cos_ok"))

@@ -1368,6 +1368,45 @@ FROM documents d LEFT JOIN comp ON d.doc_id = comp.node
 """
 
 
+def q_embed_quantize_int8(spark, sf_dir):
+    """Int8 symmetric quantization acceptance report per embedding
+    (operators/similarity.py::quantize_int8_report): scale + the two
+    invariants every vector must satisfy (per-element reconstruction
+    error <= scale/2; cosine vs dequantized >= 0.999).  DuckDB
+    recomputes the identical report with list transforms."""
+    from .operators.similarity import quantize_int8_report
+    em = _t(spark, sf_dir, "embeddings")
+    return quantize_int8_report(em)
+
+
+SQL_EMBED_QUANTIZE_INT8 = """
+WITH b AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+         list_max(list_transform(embedding,
+                                 x -> abs(CAST(x AS DOUBLE)))) AS mabs
+  FROM embeddings
+), q AS (
+  SELECT vec_id, v, mabs, mabs / 127.0 AS scale,
+         CASE WHEN mabs = 0 THEN v
+              ELSE list_transform(v, x -> round(x / (mabs / 127.0))
+                                          * (mabs / 127.0)) END AS r
+  FROM b
+)
+SELECT vec_id, round(scale, 6) AS scale,
+       list_max(list_transform(list_zip(v, r),
+                t -> abs(CAST(t[1] AS DOUBLE) - CAST(t[2] AS DOUBLE))))
+         <= scale / 2 + 1e-9 AS err_ok,
+       CASE WHEN mabs = 0 THEN TRUE
+            ELSE list_sum(list_transform(list_zip(v, r),
+                   t -> CAST(t[1] AS DOUBLE) * CAST(t[2] AS DOUBLE)))
+                 / (sqrt(list_sum(list_transform(v, x -> x * x)))
+                    * sqrt(list_sum(list_transform(r, x -> x * x))))
+                 >= 0.999 END AS cos_ok
+FROM q
+"""
+
+
 def q_dedup_components(spark, sf_dir):
     """Near-dup pair resolution: connected components over the
     embedding near-dup graph (iterative min-label propagation) —
@@ -2673,6 +2712,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "dedup_embedding": (q_dedup_embedding, SQL_DEDUP_EMBEDDING),
     "dedup_embedding_lsh": (q_dedup_embedding_lsh, SQL_DEDUP_EMBEDDING_LSH),
     "dedup_components": (q_dedup_components, SQL_DEDUP_COMPONENTS),
+    "embed_quantize_int8": (q_embed_quantize_int8, SQL_EMBED_QUANTIZE_INT8),
     "dedup_components_star": (q_dedup_components_star, SQL_DEDUP_COMPONENTS),
     "dedup_text_pipeline": (q_dedup_text_pipeline, SQL_DEDUP_TEXT_PIPELINE),
     "text_tokens": (q_text_tokens, SQL_TEXT_TOKENS),

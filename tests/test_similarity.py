@@ -152,3 +152,29 @@ def test_embedding_near_dup_lsh_prunes_at_high_threshold(spark):
             .filter(F.col("id_a") < F.col("id_b"))
             .select("id_a", "id_b").distinct().count())
     assert cand / (n * (n - 1) / 2) <= 0.2, "LSH stopped pruning"
+
+
+def test_quantize_int8_report_invariants(spark):
+    """Int8 quantization acceptance: error bound and cosine hold on
+    normal vectors, the zero vector is accepted with scale 0, and a
+    numpy recomputation agrees with the reported scale."""
+    import numpy as np
+
+    from data_quality_check_spark.operators.similarity import (
+        quantize_int8_report)
+
+    rng = np.random.default_rng(7)
+    vecs = [rng.normal(size=16).astype("float32") for _ in range(20)]
+    vecs.append(np.zeros(16, dtype="float32"))
+    vecs.append(np.array([127.0] + [0.0] * 15, dtype="float32"))
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>")
+    got = {r.vec_id: r for r in quantize_int8_report(df).collect()}
+    assert len(got) == len(vecs)
+    for i, v in enumerate(vecs):
+        r = got[i]
+        assert r.err_ok and r.cos_ok, i
+        assert abs(r.scale - round(float(np.abs(v).max()) / 127.0, 6)) \
+            < 1e-9, i
+    assert got[len(vecs) - 2].scale == 0.0  # zero vector
