@@ -1536,6 +1536,57 @@ SQL_TEXT_QUALITY_SCORE = (
 )
 
 
+def q_text_tfidf_topk(spark, sf_dir):
+    """Characteristic terms per source by tf-idf (the classic corpus
+    exploration op): tf = term count within the source, idf =
+    ln(n_sources / sources containing the term), top-3 terms per
+    source with deterministic tiebreak.  Shuffle shape: one explode +
+    two hash aggregations on (source, token) / token and a top-k
+    window — every stage partial-aggregates map-side, so a 10^12-row
+    corpus shuffles counts, never token instances."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "source", F.explode(_doc_tokens()).alias("tok"))
+    tf = toks.groupBy("source", "tok").agg(F.count("*").alias("tf"))
+    n_src = d.select("source").distinct().count()
+    df_t = (tf.groupBy("tok")
+            .agg(F.countDistinct("source").alias("df")))
+    scored = (tf.join(df_t, "tok")
+              .withColumn("tfidf",
+                          F.round(F.col("tf")
+                                  * F.log(F.lit(float(n_src))
+                                          / F.col("df")), 6)))
+    w = Window.partitionBy("source").orderBy(
+        F.desc("tfidf"), F.asc("tok"))
+    return (scored.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= 3)
+            .select("source", "tok", "tf", "tfidf", "rk"))
+
+
+SQL_TEXT_TFIDF_TOPK = """
+WITH toks AS (
+  SELECT source, unnest(list_filter(string_split(text, ' '),
+                                    t -> t != '')) AS tok
+  FROM documents
+), tf AS (
+  SELECT source, tok, count(*) AS tf FROM toks GROUP BY 1, 2
+), dfx AS (
+  SELECT tok, count(DISTINCT source) AS df FROM tf GROUP BY 1
+), ns AS (
+  SELECT CAST(count(DISTINCT source) AS DOUBLE) AS n FROM documents
+), scored AS (
+  SELECT tf.source, tf.tok, tf.tf,
+         round(tf.tf * ln(ns.n / dfx.df), 6) AS tfidf
+  FROM tf JOIN dfx USING (tok) CROSS JOIN ns
+)
+SELECT source, tok, tf, tfidf, rk FROM (
+  SELECT *, row_number() OVER (PARTITION BY source
+            ORDER BY tfidf DESC, tok ASC) AS rk
+  FROM scored
+) WHERE rk <= 3
+"""
+
+
 def q_corpus_stats(spark, sf_dir):
     """The corpus card: one single-pass aggregation producing the
     summary every dataset release ships — row/token totals, language
@@ -2721,6 +2772,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "text_langid_heuristic": (q_text_langid_heuristic, SQL_TEXT_LANGID_HEURISTIC),
     "text_quality_tiers": (q_text_quality_tiers, SQL_TEXT_QUALITY_TIERS),
     "corpus_stats": (q_corpus_stats, SQL_CORPUS_STATS),
+    "text_tfidf_topk": (q_text_tfidf_topk, SQL_TEXT_TFIDF_TOPK),
     "text_decontaminate": (q_text_decontaminate, SQL_TEXT_DECONTAMINATE),
     "text_repetition_signals": (
         q_text_repetition_signals, SQL_TEXT_REPETITION_SIGNALS),
