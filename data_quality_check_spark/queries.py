@@ -1548,14 +1548,17 @@ def q_text_tfidf_topk(spark, sf_dir):
     toks = d.select(
         "source", F.explode(_doc_tokens()).alias("tok"))
     tf = toks.groupBy("source", "tok").agg(F.count("*").alias("tf"))
-    n_src = d.select("source").distinct().count()
+    # n_sources as a broadcast 1-row frame: stays lazy (no driver
+    # action at plan-build time), one tiny aggregate in the job
+    ns = d.agg(F.countDistinct("source").cast("double").alias("__n"))
     df_t = (tf.groupBy("tok")
             .agg(F.countDistinct("source").alias("df")))
     scored = (tf.join(df_t, "tok")
+              .crossJoin(F.broadcast(ns))
               .withColumn("tfidf",
                           F.round(F.col("tf")
-                                  * F.log(F.lit(float(n_src))
-                                          / F.col("df")), 6)))
+                                  * F.log(F.col("__n") / F.col("df")),
+                                  6)))
     w = Window.partitionBy("source").orderBy(
         F.desc("tfidf"), F.asc("tok"))
     return (scored.withColumn("rk", F.row_number().over(w))
