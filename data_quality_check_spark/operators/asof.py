@@ -17,8 +17,10 @@ This implementation is the single-shuffle union-window plan:
      equal timestamps order AFTER the left row and are invisible
      to it), union them aligned on (key, ts) + null-padded columns;
   2. one window `PARTITION BY key ORDER BY ts, side, seq` with
-     `last(value, ignorenulls=true) ROWS UNBOUNDED PRECEDING..CURRENT`
-     carries each right value forward to every later left row;
+     `last(struct(*values), ignorenulls=true) ROWS UNBOUNDED
+     PRECEDING..CURRENT` carries the latest right ROW (all value
+     columns together, NULL fields included) forward to every later
+     left row;
   3. keep side=1 rows.
 
 Exactly ONE shuffle (the window partitioning), shuffle volume =
@@ -39,6 +41,7 @@ from pyspark.sql import functions as F
 
 _SIDE = "__asof_side"
 _SEQ = "__asof_seq"
+_CARRY = "__asof_carry"
 
 
 def asof_join(left: DataFrame, right: DataFrame, key: str, ts: str,
@@ -67,6 +70,17 @@ def asof_join(left: DataFrame, right: DataFrame, key: str, ts: str,
     # (side 2 > 1) and so are excluded from its backward window
     w = (Window.partitionBy(key).orderBy(ts, _SIDE, _SEQ)
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    # Carry ALL value columns as ONE struct: per-column
+    # last(col, ignorenulls=True) would skip a right row whose value
+    # is legitimately NULL (carrying an older row's value forward) and
+    # could stitch the attached columns from DIFFERENT right rows.
+    # pandas merge_asof / DuckDB ASOF JOIN attach the whole latest
+    # row, NULL fields included — the struct is non-null for every
+    # right row even when all its fields are null, so last(ignorenulls)
+    # picks the latest matching ROW and we unpack its fields verbatim.
+    carry = F.when(F.col(_SIDE) != 1, F.struct(*value_cols))
+    u = u.withColumn(_CARRY, F.last(carry, ignorenulls=True).over(w))
+    picked = u.filter(F.col(_SIDE) == 1)
     for c in value_cols:
-        u = u.withColumn(c, F.last(c, ignorenulls=True).over(w))
-    return u.filter(F.col(_SIDE) == 1).drop(_SIDE, _SEQ)
+        picked = picked.withColumn(c, F.col(_CARRY)[c])
+    return picked.drop(_SIDE, _SEQ, _CARRY)

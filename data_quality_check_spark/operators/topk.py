@@ -49,7 +49,11 @@ def topk_per_group(df: DataFrame, group_col: str, order_col: str,
             [group_col, order_col, tb],
             ascending=[True, ascending, True], kind="mergesort",
             na_position="last")
-        yield allp.groupby(group_col, sort=False).head(k)
+        # dropna=False: the stage-2 window (and the SQL oracle's plain
+        # row_number() plan) treats a NULL group key as its own
+        # partition — pandas' default dropna=True would silently drop
+        # those rows here and break the exactness contract
+        yield allp.groupby(group_col, sort=False, dropna=False).head(k)
 
     pruned = df.mapInPandas(local_head, schema)
     order = (F.col(order_col).asc_nulls_last() if ascending

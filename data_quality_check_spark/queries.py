@@ -969,7 +969,10 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
     1.0 on the fixtures — so the output equals the brute-force pair
     set DuckDB computes (same oracle as dedup_jaccard_exact).  A
     prefilter regression that drops a true pair now fails the driver
-    compare."""
+    compare.  TRIAGE NOTE: this deliberately asserts probabilistic
+    candidate recall as value-exact — a contract failure here should
+    be triaged as possible fixture regeneration or hash-seed drift
+    FIRST, before assuming a pipeline regression."""
     d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
     out = dedup.ngram_jaccard_pairs(d, "text", "doc_id", threshold=0.3)
     return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
@@ -1172,7 +1175,11 @@ def q_dedup_minhash_recall(spark, sf_dir):
     asserts the verified pipeline output equals the exact pair set).
     False positives need no column here: the pipeline re-scores every
     candidate with the exact Jaccard before acting on it, so
-    structurally none survive verification."""
+    structurally none survive verification.  TRIAGE NOTE: the 0.95
+    floor is a deliberate tightening of a probabilistic guarantee — a
+    contract failure here should be triaged as possible fixture
+    regeneration or hash-seed drift FIRST, before assuming a pipeline
+    regression."""
     d = _t(spark, sf_dir, "documents")
     exact = dedup.jaccard_pairs_exact(
         d, "text", "doc_id", threshold=0.5).select("id_a", "id_b")
@@ -1331,7 +1338,11 @@ def q_dedup_text_pipeline(spark, sf_dir):
     (all-pairs word-3-gram Jaccard >= 0.5 -> recursive-CTE
     components -> first-wins).  A pipeline change that loses a true
     dup pair now fails the driver compare, not just
-    tests/test_dedup.py::test_text_pipeline_matches_exact."""
+    tests/test_dedup.py::test_text_pipeline_matches_exact.  TRIAGE
+    NOTE: this deliberately asserts probabilistic candidate recall as
+    value-exact — a contract failure here should be triaged as
+    possible fixture regeneration or hash-seed drift FIRST, before
+    assuming a pipeline regression."""
     d = _t(spark, sf_dir, "documents")
     return dedup.text_near_dup_keepers(d, "text", "doc_id", threshold=0.5)
 

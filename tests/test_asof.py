@@ -115,3 +115,25 @@ def test_asof_matches_pandas_merge_asof(spark):
         for lid in want:
             g, w = got[lid], want[lid]
             assert (g is None and pd.isna(w)) or g == w, (strict, lid, g, w)
+
+
+def test_asof_null_right_value_not_skipped(spark):
+    """A right row whose value is legitimately NULL must still win as
+    the latest match — per-column last(ignorenulls) would skip it and
+    carry an older row's value forward (ADVICE r2).  With multiple
+    value columns, ALL attached values must come from that single
+    latest right row."""
+    left = spark.createDataFrame([(1, 10, _ts(9))],
+                                 "lid long, k long, ts timestamp")
+    right = spark.createDataFrame(
+        [(10, _ts(3), 1.0, "old"), (10, _ts(8), None, "new")],
+        "k long, ts timestamp, v double, tag string")
+    out = asof_join(left, right, "k", "ts", ["v", "tag"]).collect()[0]
+    assert out["v"] is None and out["tag"] == "new"
+
+    # all-NULL latest row: still matched as a row, both fields NULL
+    right2 = spark.createDataFrame(
+        [(10, _ts(3), 1.0, "old"), (10, _ts(8), None, None)],
+        "k long, ts timestamp, v double, tag string")
+    out2 = asof_join(left, right2, "k", "ts", ["v", "tag"]).collect()[0]
+    assert out2["v"] is None and out2["tag"] is None

@@ -44,3 +44,23 @@ def test_group_smaller_than_k(spark):
         [(1, "a", 5.0), (2, "a", 3.0)], "id long, g string, v double")
     out = topk_per_group(df, "g", "v", k=10, tiebreak_col="id").toPandas()
     assert len(out) == 2 and sorted(out.rk) == [1, 2]
+
+
+def test_null_group_key_is_its_own_partition(spark):
+    """A NULL group key must survive the map-side prune: the stage-2
+    window (and the SQL oracle's plain row_number plan) treats NULL as
+    its own partition — pandas' groupby default dropna=True would
+    silently drop those rows in stage 1 (ADVICE r2)."""
+    from data_quality_check_spark.operators.topk import topk_per_group
+
+    df = spark.createDataFrame(
+        [(1, None, 5.0), (2, None, 9.0), (3, None, 7.0), (4, None, 1.0),
+         (5, "a", 2.0)],
+        "id long, g string, v double")
+    for parts in (1, 3):
+        out = (topk_per_group(df.repartition(parts), "g", "v", k=2,
+                              tiebreak_col="id")
+               .toPandas())
+        nulls = out[out.g.isna()].sort_values("rk")
+        assert list(nulls.id) == [2, 3] and list(nulls.rk) == [1, 2]
+        assert list(out[out.g == "a"].id) == [5]
