@@ -231,22 +231,40 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
                  lambda t: t != F.lit("")).alias("__toks"))
     base = tokd.select(F.col(id_col),
                        _gram_expr(F.col("__toks"), n).alias("grams"))
+    # Candidates are generated IDS-ONLY: gram arrays are the widest
+    # payload in the plan and must never ride the band explode /
+    # self-join (the pre-r3 form replicated them band_hashes x before
+    # dropDuplicates — at 100x data that multiplies shuffle volume by
+    # the band count).  Same candidate scheme as before (band_hashes
+    # independent min-hashes over the gram set, so per-pair candidate
+    # probability stays 1-(1-J)^band_hashes); grams are fetched after
+    # the fact by id join, pruned with a semi join to candidate ids
+    # first — the text_near_dup_keepers pattern.
     bucketed = base.select(
-        id_col, "grams",
+        F.col(id_col).alias("__id"),
         F.explode(F.array(*[
             F.array_min(F.transform("grams", lambda g, i=i: F.xxhash64(g, F.lit(i))))
             for i in range(band_hashes)
         ])).alias("bucket_hash"),
     )
-    pairs = (
+    cand = (
         bucketed.alias("a")
         .join(bucketed.alias("b"),
               (F.col("a.bucket_hash") == F.col("b.bucket_hash"))
-              & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
-        .select(F.col(f"a.{id_col}").alias("id_a"),
-                F.col(f"b.{id_col}").alias("id_b"),
-                F.col("a.grams").alias("ga"), F.col("b.grams").alias("gb"))
-        .dropDuplicates(["id_a", "id_b"])
+              & (F.col("a.__id") < F.col("b.__id")))
+        .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
+        .distinct()
+    )
+    cand_ids = (cand.select(F.col("id_a").alias("gid"))
+                .union(cand.select(F.col("id_b").alias("gid")))
+                .distinct())
+    grams = (base.select(F.col(id_col).alias("gid"), "grams")
+             .join(cand_ids, "gid", "left_semi"))
+    pairs = (
+        cand.join(grams.select(F.col("gid").alias("id_a"),
+                               F.col("grams").alias("ga")), "id_a")
+        .join(grams.select(F.col("gid").alias("id_b"),
+                           F.col("grams").alias("gb")), "id_b")
     )
     inter = F.size(F.array_intersect("ga", "gb")).cast("double")
     union = F.size(F.array_union("ga", "gb")).cast("double")

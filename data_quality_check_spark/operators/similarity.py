@@ -220,19 +220,22 @@ def _banded_sigs(df: DataFrame, id_alias: str, vec_alias: str,
 
 
 def embedding_near_dups(df: DataFrame, threshold: float = 0.25,
-                        bits: int = 0, bands: int = 16, dim: int = 64,
+                        bits: int = 8, bands: int = 16, dim: int = 64,
                         id_col: str = "vec_id",
                         vec_col: str = "embedding",
-                        center_lsh: bool = False) -> DataFrame:
+                        center_lsh: bool = False,
+                        exact: bool = False) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: all (a, b) with
-    cos(a, b) >= threshold and a < b.  bits=0 compares all pairs
-    (exact — ONLY for bounded corpora / recall measurement); bits>0 is
-    the 10^12-scale path: banded random-hyperplane LSH generates
-    candidates from matching (band, signature) buckets, pairs are
-    scored once, near-threshold recall is tuned via (bits, bands).
-    For a true near-dup threshold (>= 0.9) use the default
-    bits=8/bands=16 (measured: recall ~1.0 while pruning ~94% of
-    random pairs); for loose thresholds LSH fundamentally cannot
+    cos(a, b) >= threshold and a < b.  The DEFAULT is the 10^12-scale
+    path: banded random-hyperplane LSH generates candidates from
+    matching (band, signature) buckets, pairs are scored once,
+    near-threshold recall is tuned via (bits, bands).  The quadratic
+    all-pairs crossJoin (exact — ONLY for bounded corpora / recall
+    measurement) must be requested EXPLICITLY with ``exact=True``; a
+    caller can no longer get a 10^12-row cartesian product by
+    omission.  For a true near-dup threshold (>= 0.9) the default
+    bits=8/bands=16 measures recall ~1.0 while pruning ~94% of
+    random pairs; for loose thresholds LSH fundamentally cannot
     prune much — see tests/test_similarity.py.
 
     `center_lsh=True` buckets on per-vector MEAN-CENTERED copies while
@@ -244,7 +247,11 @@ def embedding_near_dups(df: DataFrame, threshold: float = 0.25,
     track the discriminative spatial structure.  Identical vectors
     center identically, so exact-dup recall is unaffected."""
     df = _widen(df)  # a small single-file corpus scans as ONE task
-    if bits > 0:
+    if not exact and bits <= 0:
+        raise ValueError(
+            "bits must be > 0 for the LSH path; pass exact=True to "
+            "explicitly request the quadratic all-pairs comparison")
+    if not exact:
         # candidates first, vectors later: only (id_a, id_b, band,
         # sig) travels through the band self-join, and a pair
         # colliding in many bands is scored ONCE — at a loose

@@ -1309,7 +1309,7 @@ SQL_SIM_IVF_TOPK = (
 def q_dedup_embedding(spark, sf_dir):
     from .operators.similarity import embedding_near_dups
     em = _t(spark, sf_dir, "embeddings")
-    return embedding_near_dups(em, threshold=0.25)
+    return embedding_near_dups(em, threshold=0.25, exact=True)
 
 
 SQL_DEDUP_EMBEDDING = """
@@ -1425,7 +1425,7 @@ def q_dedup_components(spark, sf_dir):
     reachable id."""
     from .operators.similarity import embedding_near_dups
     em = _t(spark, sf_dir, "embeddings")
-    pairs = embedding_near_dups(em, threshold=0.25)
+    pairs = embedding_near_dups(em, threshold=0.25, exact=True)
     return dedup.connected_components(pairs)
 
 
@@ -1463,7 +1463,7 @@ def q_dedup_components_star(spark, sf_dir):
     recursive-CTE oracle."""
     from .operators.similarity import embedding_near_dups
     em = _t(spark, sf_dir, "embeddings")
-    pairs = embedding_near_dups(em, threshold=0.25)
+    pairs = embedding_near_dups(em, threshold=0.25, exact=True)
     return dedup.connected_components_star(pairs)
 
 
@@ -1479,7 +1479,8 @@ def q_dedup_embedding_lsh(spark, sf_dir):
     a nonzero count vs the oracle's literal 0."""
     from .operators.similarity import embedding_near_dups
     em = _t(spark, sf_dir, "embeddings")
-    exact = embedding_near_dups(em, threshold=0.25).select("id_a", "id_b")
+    exact = embedding_near_dups(em, threshold=0.25,
+                                exact=True).select("id_a", "id_b")
     lsh = (embedding_near_dups(em, threshold=0.25, bits=2, bands=16)
            .select("id_a", "id_b"))
     n_hit = (exact.join(lsh, ["id_a", "id_b"])

@@ -133,3 +133,25 @@ def test_catalog_time_travel(spark, tmp_path):
     assert {(r.bucket, r.v)
             for r in cat.read_table_at("results", s2).collect()} \
         == {(0, "A"), (1, "b")}
+
+
+def test_ngram_jaccard_band_join_is_ids_only(spark):
+    """Candidate generation for ngram_jaccard_pairs must be ids-only:
+    gram arrays (the widest payload in the plan) may appear in the
+    post-candidate fetch joins, but never in any operator that also
+    carries the band bucket_hash — the pre-r3 form replicated grams
+    band_hashes x through the band self-join."""
+    from data_quality_check_spark.operators import dedup
+
+    d = (spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+         .filter(F.col("doc_id") < 200))
+    out = dedup.ngram_jaccard_pairs(d, "text", "doc_id", threshold=0.3)
+    plan = _plan(out)
+    band_lines = [ln for ln in plan.splitlines()
+                  if "bucket_hash#" in ln
+                  and ("Exchange" in ln or "Join" in ln)]
+    assert band_lines, "band join disappeared from the plan"
+    # the Generate that COMPUTES bucket_hash from grams is fine; what
+    # must never happen is grams riding a shuffle or join keyed on it
+    for ln in band_lines:
+        assert "grams#" not in ln, ln

@@ -65,7 +65,7 @@ def test_lsh_results_subset_of_corpus(spark):
 
 def test_near_dups_symmetric_threshold(spark):
     em = _emb(spark).filter(F.col("vec_id") < 100)
-    pairs = embedding_near_dups(em, threshold=0.25).toPandas()
+    pairs = embedding_near_dups(em, threshold=0.25, exact=True).toPandas()
     assert (pairs.id_a < pairs.id_b).all()
     assert (pairs.cos >= 0.25).all()
 
@@ -124,7 +124,7 @@ def test_embedding_near_dup_lsh_recall_fixture(spark):
     r1 ask #3)."""
     em = _emb(spark)
     ex = {(r["id_a"], r["id_b"])
-          for r in embedding_near_dups(em, 0.25).collect()}
+          for r in embedding_near_dups(em, 0.25, exact=True).collect()}
     got = {(r["id_a"], r["id_b"])
            for r in embedding_near_dups(em, 0.25, bits=2, bands=16).collect()}
     assert len(ex) > 0
@@ -139,7 +139,7 @@ def test_embedding_near_dup_lsh_prunes_at_high_threshold(spark):
 
     cl = _clustered(spark)
     ex = {(r["id_a"], r["id_b"])
-          for r in embedding_near_dups(cl, 0.9).collect()}
+          for r in embedding_near_dups(cl, 0.9, exact=True).collect()}
     got = {(r["id_a"], r["id_b"])
            for r in embedding_near_dups(cl, 0.9, bits=8, bands=16).collect()}
     assert len(ex) >= 500
@@ -178,3 +178,19 @@ def test_quantize_int8_report_invariants(spark):
         assert abs(r.scale - round(float(np.abs(v).max()) / 127.0, 6)) \
             < 1e-9, i
     assert got[len(vecs) - 2].scale == 0.0  # zero vector
+
+
+def test_embedding_near_dups_default_is_lsh_not_cartesian(spark):
+    """The scale-safe LSH path must be the DEFAULT (VERDICT r2): no
+    caller gets a crossJoin by omission, and bits=0 without an
+    explicit exact=True raises instead of going quadratic."""
+    import pytest as _pytest
+
+    em = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet").limit(200)
+    plan = (embedding_near_dups(em, threshold=0.9)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    with _pytest.raises(ValueError, match="exact=True"):
+        embedding_near_dups(em, threshold=0.9, bits=0)
