@@ -377,3 +377,34 @@ def test_keepers_by_score_policy(spark):
         1: (2, True), 2: (2, False), 3: (2, True),  # 0.9 tie -> id 2
         4: (4, False), 9: (9, False),
     }
+
+
+def test_star_pre_contract_parity(spark):
+    """The min-contraction pre-round must not change components: same
+    output as the uncontracted star loop and as label propagation, on
+    a graph mixing a dense clique (the case contraction accelerates),
+    a long path (the case star rounds exist for), and singleton
+    self-loops."""
+    from data_quality_check_spark.operators.dedup import (
+        connected_components, connected_components_star)
+
+    edges = []
+    # dense clique 0..29
+    edges += [(i, j) for i in range(30) for j in range(i + 1, 30)]
+    # long path 100..140
+    edges += [(i, i + 1) for i in range(100, 140)]
+    # two-node component + a self-loop singleton
+    edges += [(200, 201), (300, 300)]
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+
+    want = {(r.node, r.component)
+            for r in connected_components(df, max_iter=60).collect()}
+    got_star = {(r.node, r.component)
+                for r in connected_components_star(df).collect()}
+    got_plain = {(r.node, r.component)
+                 for r in connected_components_star(
+                     df, pre_contract=False).collect()}
+    assert got_star == got_plain == want
+    comp = dict(got_star)
+    assert comp[29] == 0 and comp[139] == 100 and comp[201] == 200
+    assert comp[300] == 300
