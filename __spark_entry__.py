@@ -43,6 +43,11 @@ def oracle_sql() -> dict[str, str]:
     from data_quality_check_spark.sources import images as IM
 
     # several oracles read the generated images parquet by path at
-    # the driver's comparison scale — make sure it exists
+    # the driver's comparison scale — make sure it exists, along with
+    # the numpy-oracle expected-values fixtures for the multimodal pin
+    from data_quality_check_spark.operators.multimodal import (
+        expected_fixtures)
+
     IM.ensure_images(0.01)
+    expected_fixtures(0.01)
     return {k: sql for k, (_fn, sql) in REGISTRY.items() if sql is not None}

@@ -160,6 +160,104 @@ def resize_images(images: DataFrame, tw: int = 32, th: int = 32,
         run, RESIZE_DDL)
 
 
+_Q6 = __import__("decimal").Decimal("0.000001")
+
+
+def _round6(v) -> float | None:
+    """Replicate Spark's round(double, 6) exactly: BigDecimal.valueOf
+    uses the double's SHORTEST decimal repr (== Python repr) and
+    rounds HALF_UP — binary-value rounding (numpy/DuckDB round) can
+    disagree on ties, which the driver's exact float compare would
+    flag."""
+    import decimal
+
+    if v is None:
+        return None
+    f = float(v)
+    if f != f:  # NaN
+        return None
+    return float(decimal.Decimal(repr(f)).quantize(
+        _Q6, rounding=decimal.ROUND_HALF_UP))
+
+
+def expected_fixtures(sf: float, root: str = "/root/repo/data") -> tuple[str, str]:
+    """Driver-side numpy oracle for the multimodal value pin: decode
+    every image of the deterministic corpus WITHOUT Spark (plain
+    Python loop over generate_pandas) and write the expected
+    features/resize outputs as parquet, so the DuckDB oracle for
+    multimodal_features / multimodal_resize can SELECT literal
+    expected values — graduating both keys from rows-only to
+    value-checked.  Shares the decode/embedding/resize kernels with
+    the Spark path by design (the repo-wide shared-kernel invariant);
+    what the pin verifies is the Spark-side plumbing: Arrow batch
+    round-trips, mapInPandas chunking, schema, and null paths.
+
+    Generate-once cache like images_sf*.parquet — DELETE the mm_*
+    caches after touching sources/images.py or kernels/codecs.py."""
+    import hashlib
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    feat_path = os.path.join(root, f"mm_features_sf{sf:g}.parquet")
+    rez_path = os.path.join(root, f"mm_resize_sf{sf:g}.parquet")
+    if os.path.exists(feat_path) and os.path.exists(rez_path):
+        return feat_path, rez_path
+
+    from ..kernels import codecs
+    from ..sources.images import generate_pandas
+
+    os.makedirs(root, exist_ok=True)
+    pdf = generate_pandas(sf)
+    frows: list[dict] = []
+    rrows: list[dict] = []
+    for iid, blob, fmt, w, h in zip(pdf["image_id"], pdf["bytes"],
+                                    pdf["fmt"], pdf["w"], pdf["h"]):
+        frec: dict = {
+            "image_id": iid,
+            "n_bytes": len(blob) if blob is not None else 0,
+            "decoded": False,
+            "mean_r": None, "mean_g": None, "mean_b": None,
+            **{f"emb_{i:02d}": None for i in range(EMB_DIM)},
+        }
+        rrec: dict = {"image_id": iid, "decoded": False, "rw": 16,
+                      "rh": 16, "resized_sha256": "", "mean_gray": None}
+        try:
+            pix = codecs.decode(blob, fmt, int(w), int(h))
+        except Exception:
+            pix = None
+        if pix is not None:
+            means = (pix.sum(axis=(0, 1), dtype=np.int64)
+                     / float(pix.shape[0] * pix.shape[1]))
+            emb = _fake_embedding(pix)
+            frec.update(decoded=True,
+                        mean_r=_round6(means[0]), mean_g=_round6(means[1]),
+                        mean_b=_round6(means[2]))
+            for i in range(EMB_DIM):
+                # float32 -> float64 widening is exact on both sides
+                frec[f"emb_{i:02d}"] = _round6(float(emb[i]))
+            small = np.ascontiguousarray(resize_nearest(pix, 16, 16))
+            rrec.update(
+                decoded=True,
+                resized_sha256=hashlib.sha256(small.tobytes()).hexdigest(),
+                mean_gray=_round6(small.sum(dtype=np.int64) / small.size))
+        frows.append(frec)
+        rrows.append(rrec)
+
+    fpdf = pd.DataFrame(frows)
+    rpdf = pd.DataFrame(rrows)
+    fpdf["n_bytes"] = fpdf["n_bytes"].astype("int32")
+    rpdf["rw"] = rpdf["rw"].astype("int32")
+    rpdf["rh"] = rpdf["rh"].astype("int32")
+    for path, frame in ((feat_path, fpdf), (rez_path, rpdf)):
+        tmp = path + ".tmp"
+        pq.write_table(pa.Table.from_pandas(frame, preserve_index=False),
+                       tmp)
+        os.replace(tmp, path)
+    return feat_path, rez_path
+
+
 def decode_audio_stub(*_args, **_kwargs):
     raise NotImplementedError(
         "audio decode requires libsndfile/ffmpeg, unavailable in this "

@@ -1928,19 +1928,30 @@ FROM (
 
 
 def q_multimodal_features(spark, sf_dir):
-    from .operators.multimodal import extract_features
+    """Decode + feature extraction, VALUE-CHECKED against a literal
+    expected-values parquet computed by the driver-side numpy oracle
+    (operators/multimodal.py::expected_fixtures — DuckDB cannot
+    decode images, so the oracle decodes them in plain Python and the
+    SQL SELECTs the pinned result).  The embedding is emitted as 16
+    rounded double columns, not a csv string: Java and Python format
+    doubles differently (scientific-notation thresholds), while the
+    rounded NUMERIC values are bit-identical by construction."""
+    from .operators.multimodal import EMB_DIM, extract_features
     out = extract_features(_images(spark, sf_dir))
-    # embedding array -> rounded csv string (driver canonicalizer
-    # needs scalar cells); means rounded for cross-run stability
-    emb_str = F.concat_ws(",", F.transform(
-        "embedding", lambda x: F.round(x.cast("double"), 6).cast("string")))
+    emb_cols = [F.round(F.col("embedding")[i].cast("double"), 6)
+                .alias(f"emb_{i:02d}") for i in range(EMB_DIM)]
     return out.select(
         "image_id", "n_bytes", "decoded",
         F.round("mean_r", 6).alias("mean_r"),
         F.round("mean_g", 6).alias("mean_g"),
         F.round("mean_b", 6).alias("mean_b"),
-        emb_str.alias("embedding_csv"),
+        *emb_cols,
     )
+
+
+SQL_MULTIMODAL_FEATURES = (
+    "SELECT * FROM '/root/repo/data/mm_features_sf0.01.parquet'"
+)
 
 
 def q_multimodal_near_dups(spark, sf_dir):
@@ -1970,15 +1981,23 @@ def q_multimodal_near_dups(spark, sf_dir):
 
 def q_multimodal_resize(spark, sf_dir):
     """Decode -> nearest-neighbor thumbnail -> sha256 digest + exact
-    grayscale mean (operators/multimodal.py::resize_images).  Digest
-    pins every resized pixel byte-exactly, so the rows-only check is
-    value-stable across runs; pytest checks resize parity vs a pure
-    numpy oracle."""
+    grayscale mean (operators/multimodal.py::resize_images).  The
+    digest pins every resized pixel byte-exactly, VALUE-CHECKED
+    against the numpy-oracle fixture parquet (see
+    q_multimodal_features); undecodable rows coalesce the digest to ''
+    so the string column never carries engine-dependent nulls."""
     from .operators.multimodal import resize_images
 
     out = resize_images(_images(spark, sf_dir), tw=16, th=16)
-    return out.select("image_id", "decoded", "rw", "rh", "resized_sha256",
+    return out.select("image_id", "decoded", "rw", "rh",
+                      F.coalesce("resized_sha256", F.lit(""))
+                      .alias("resized_sha256"),
                       F.round("mean_gray", 6).alias("mean_gray"))
+
+
+SQL_MULTIMODAL_RESIZE = (
+    "SELECT * FROM '/root/repo/data/mm_resize_sf0.01.parquet'"
+)
 
 
 def q_join_outer(spark, sf_dir):
@@ -2797,9 +2816,9 @@ _ALL_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | No
     "sample_split": (q_sample_split, SQL_SAMPLE_SPLIT),
     "pack_token_bins": (q_pack_token_bins, SQL_PACK_TOKEN_BINS),
     "scrub_regex_sql": (q_scrub_regex_sql, SQL_SCRUB_REGEX),
-    "multimodal_features": (q_multimodal_features, None),
+    "multimodal_features": (q_multimodal_features, SQL_MULTIMODAL_FEATURES),
     "multimodal_near_dups": (q_multimodal_near_dups, None),
-    "multimodal_resize": (q_multimodal_resize, None),
+    "multimodal_resize": (q_multimodal_resize, SQL_MULTIMODAL_RESIZE),
     # images-table SQL-checked keys (DuckDB reads the generated
     # parquet by path at the driver's sf=0.01)
     "win_dup_rank_images": (q_win_dup_rank_images, SQL_WIN_DUP_RANK_IMAGES),

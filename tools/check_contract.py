@@ -66,6 +66,11 @@ def main() -> int:
     from data_quality_check_spark.session import get_spark
 
     spark = get_spark(master="local[8]", shuffle_partitions=8)
+    # the multimodal oracles SELECT from the numpy-oracle fixture
+    # parquet at the driver's compare scale — generate-once cache
+    from data_quality_check_spark.operators.multimodal import (
+        expected_fixtures)
+    expected_fixtures(0.01)
     con = duckdb.connect()
     for t in TABLES:
         p = os.path.join(sf_dir, f"{t}.parquet")
