@@ -224,3 +224,41 @@ def mixture_sample(df: DataFrame, group_col: str, id_col: str,
     return (df.withColumn("sample_key", hx)
             .withColumn("rate_bound", bound)
             .filter(F.col("sample_key") < F.col("rate_bound")))
+
+
+def boilerplate_fraction(df: DataFrame, text_col: str = "text",
+                         id_col: str = "doc_id", n: int = 5,
+                         min_doc_freq: int = 3) -> DataFrame:
+    """Boilerplate detector (the CCNet/RefinedWeb 'shared-paragraph'
+    signal at n-gram granularity): for every doc, the fraction of its
+    DISTINCT word n-grams that appear in >= min_doc_freq documents.
+    A high fraction marks template/boilerplate-heavy docs (nav bars,
+    license footers, mirrored articles) that slip past per-doc
+    repetition rules because the repetition is ACROSS docs.
+
+    Returns (id, n_grams, n_boiler, boiler_frac) — one row per doc
+    with >= 1 gram; boiler_frac rounded 6 for contract stability.
+
+    Scale: distinct grams per doc first (array_distinct caps a doc's
+    contribution at its vocabulary), explode to (id, gram), ONE
+    groupBy(gram) for document frequency, then re-join the frequency
+    onto the exploded pairs and aggregate per doc.  Grams cross the
+    two shuffles as strings here because the DuckDB oracle must group
+    identically; the 10^12-row variant projects xxhash64(gram) before
+    the exchanges (64-bit keys, ~1e-10 collision odds at 10^9 distinct
+    grams) — same plan shape, 10x narrower shuffle rows."""
+    toks = df.select(F.col(id_col).alias("id"),
+                     _toks(text_col).alias("__toks"))
+    grams = (toks.select("id", F.explode(
+        F.array_distinct(_word_ngrams("__toks", n))).alias("gram")))
+    dfreq = grams.groupBy("gram").agg(
+        F.countDistinct("id").alias("__df"))
+    per_doc = (grams.join(dfreq, "gram")
+               .groupBy("id").agg(
+                   F.count("*").alias("n_grams"),
+                   F.sum((F.col("__df") >= min_doc_freq).cast("long"))
+                   .alias("n_boiler")))
+    return per_doc.select(
+        "id", "n_grams", "n_boiler",
+        F.round(F.col("n_boiler") / F.col("n_grams"), 6)
+        .alias("boiler_frac"))

@@ -1,0 +1,154 @@
+"""Table-level data-quality ANALYZERS — the multi-table / multi-pass
+complements to api.Suite's single-pass row checks (the reference's
+namesake capability, /root/reference/README.md:2: "test Data Quality
+for Big Size data within seconds").
+
+Four production-grade checks a 100 TB lakehouse DQ job runs nightly:
+
+  - referential_integrity: orphaned foreign keys across tables;
+  - distribution_drift_psi: population-stability index between a
+    baseline and a current population of the same column;
+  - iqr_outliers: per-group Tukey-fence outlier counts on exact
+    interpolated quartiles;
+  - freshness: per-group ingestion lag against the table's watermark.
+
+Scale notes per function docstring; every one is expressed in
+whole-stage-codegen DataFrame ops (no UDFs) and shuffles only keys +
+counters, so the cost model is one scan + one small-keyed exchange
+each.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def referential_integrity(child: DataFrame, parent: DataFrame,
+                          fk: str, pk: str,
+                          child_name: str = "child") -> DataFrame:
+    """Orphaned-FK report: one row (relation, total, orphans,
+    null_fks, ok) for `child.fk -> parent.pk`.
+
+    NULL fks are reported separately (SQL semantics: NULL never
+    matches, but a nullable FK is usually legal) — `orphans` counts
+    only non-null fks with no parent.
+
+    Scale: the parent side projects to its pk ONLY and is distinct-ed
+    before the join, so a 10^12-row child joins a |parent keys|-sized
+    build side (broadcast when small, shuffle-hash otherwise — AQE
+    picks); the child never shuffles its payload, only (fk) + the
+    aggregation counters."""
+    pkeys = parent.select(F.col(pk).alias("__pk")).distinct()
+    j = (child.select(F.col(fk).alias("__fk"))
+         .join(pkeys, F.col("__fk") == F.col("__pk"), "left"))
+    return j.agg(
+        F.lit(child_name).alias("relation"),
+        F.count(F.lit(1)).alias("total"),
+        F.sum((F.col("__fk").isNotNull() & F.col("__pk").isNull())
+              .cast("long")).alias("orphans"),
+        F.sum(F.col("__fk").isNull().cast("long")).alias("null_fks"),
+    ).withColumn("ok", F.col("orphans") == 0)
+
+
+def distribution_drift_psi(df: DataFrame, col: str, side_col,
+                           bins: int = 10, eps: float = 1e-6) -> DataFrame:
+    """Population Stability Index between the two populations selected
+    by boolean `side_col` (True = baseline, False = current) over
+    equal-width bins of `col`'s GLOBAL [min, max].
+
+    Returns one row per bin: (bin, n_base, n_curr, pct_base, pct_curr,
+    psi_term) with psi_term = (pb - pc) * ln((pb+eps)/(pc+eps)) — the
+    standard epsilon-smoothed form so empty bins contribute a finite
+    term; sum(psi_term) is the PSI (> 0.2 conventionally = drift).
+
+    Scale: two scans' worth of work fused into one — the global
+    min/max is a broadcast one-row aggregate joined below the binning
+    projection (no driver collect, stays one lazy plan), then ONE
+    groupBy on (bin) with conditional counters; shuffle volume =
+    `bins` rows."""
+    mm = df.agg(F.min(col).alias("__mn"), F.max(col).alias("__mx"))
+    binned = (df.select(F.col(col).alias("__v"),
+                        F.when(side_col, True).otherwise(False)
+                        .alias("__base"))
+              .filter(F.col("__v").isNotNull())
+              .crossJoin(F.broadcast(mm))
+              .select(
+                  F.when(F.col("__mx") == F.col("__mn"), F.lit(0))
+                  .otherwise(F.least(
+                      F.lit(bins - 1),
+                      F.floor((F.col("__v") - F.col("__mn"))
+                              / (F.col("__mx") - F.col("__mn")) * bins)
+                      .cast("int"))).alias("bin"),
+                  "__base"))
+    counts = binned.groupBy("bin").agg(
+        F.sum(F.col("__base").cast("long")).alias("n_base"),
+        F.sum((~F.col("__base")).cast("long")).alias("n_curr"))
+    tot = counts.agg(F.sum("n_base").alias("__tb"),
+                     F.sum("n_curr").alias("__tc"))
+    pb = F.col("n_base") / F.col("__tb")
+    pc = F.col("n_curr") / F.col("__tc")
+    return (counts.crossJoin(F.broadcast(tot))
+            .select("bin", "n_base", "n_curr",
+                    F.round(pb, 6).alias("pct_base"),
+                    F.round(pc, 6).alias("pct_curr"),
+                    F.round((pb - pc) * F.log((pb + eps) / (pc + eps)), 6)
+                    .alias("psi_term")))
+
+
+def iqr_outliers(df: DataFrame, col: str, group_col: str,
+                 k: float = 1.5) -> DataFrame:
+    """Per-group Tukey-fence outlier report: exact interpolated Q1/Q3
+    (Spark `percentile` == SQL quantile_cont), fences at
+    [q1 - k*iqr, q3 + k*iqr], one row per group with the outlier
+    count.
+
+    Scale: ONE shuffle on the group key computing q1/q3 via the
+    percentile aggregate, then a broadcast of the per-group fences
+    back onto the scan for the count — expressed here as a self-join
+    on the group key with the fence side aggregated first, which AQE
+    broadcasts when |groups| is small (always, for sane group
+    cardinalities).  Exact percentiles hold reducer state O(group
+    rows) — swap percentile_approx in if a single group outgrows an
+    executor (documented trade: approximate fences)."""
+    q = df.groupBy(group_col).agg(
+        F.percentile(col, 0.25).alias("__q1"),
+        F.percentile(col, 0.75).alias("__q3"))
+    fences = q.select(
+        group_col,
+        (F.col("__q1") - k * (F.col("__q3") - F.col("__q1"))).alias("__lo"),
+        (F.col("__q3") + k * (F.col("__q3") - F.col("__q1"))).alias("__hi"))
+    j = df.select(group_col, F.col(col).alias("__v")).join(
+        F.broadcast(fences), group_col)
+    return (j.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("total"),
+        F.sum(((F.col("__v") < F.col("__lo"))
+               | (F.col("__v") > F.col("__hi"))).cast("long"))
+        .alias("outliers"),
+        F.round(F.first("__lo"), 6).alias("fence_lo"),
+        F.round(F.first("__hi"), 6).alias("fence_hi")))
+
+
+def freshness(df: DataFrame, ts_col: str, group_col: str,
+              max_lag_seconds: float) -> DataFrame:
+    """Per-group ingestion-lag report against the table watermark
+    (the global max timestamp): one row per group with its latest
+    timestamp, lag in seconds, and the stale flag.
+
+    Scale: one groupBy(max) shuffle of (group, ts) pairs + a
+    broadcast one-row global max; no payload columns ever enter the
+    plan."""
+    grp = df.groupBy(group_col).agg(F.max(ts_col).alias("latest"))
+    wm = df.agg(F.max(ts_col).alias("__wm"))
+    # exact integer microsecond difference, then ONE division: works
+    # for TIMESTAMP and TIMESTAMP_NTZ alike (neither casts to a
+    # numeric directly), is timezone-free, and both engines compute
+    # the identical double from the identical int64 — computing
+    # epoch(a) - epoch(b) instead would round twice at the edge of
+    # double's microsecond representability (~1e9 s * 1e-6)
+    lag_us = F.expr("timestampdiff(MICROSECOND, latest, __wm)")
+    lag = lag_us.cast("double") / F.lit(1000000.0)
+    return (grp.crossJoin(F.broadcast(wm))
+            .select(group_col, "latest",
+                    lag.alias("lag_seconds"),
+                    (lag > max_lag_seconds).alias("stale")))

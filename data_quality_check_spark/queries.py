@@ -2338,6 +2338,300 @@ FROM lineitem
 """
 
 
+def q_dq_referential(spark, sf_dir):
+    """Referential-integrity analyzer (operators/dq.py): orphaned-FK
+    report for two relations of the star schema, unioned into one
+    output frame."""
+    from .operators.dq import referential_integrity
+
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    a = referential_integrity(o, c, "o_custkey", "c_custkey",
+                              "orders.o_custkey->customer")
+    b = referential_integrity(li, p, "l_partkey", "p_partkey",
+                              "lineitem.l_partkey->part")
+    return a.unionByName(b)
+
+
+SQL_DQ_REFERENTIAL = """
+SELECT 'orders.o_custkey->customer' AS relation,
+  CAST(count(*) AS BIGINT) AS total,
+  CAST(sum(CASE WHEN o.o_custkey IS NOT NULL AND c.c_custkey IS NULL
+            THEN 1 ELSE 0 END) AS BIGINT) AS orphans,
+  CAST(sum(CASE WHEN o.o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+    AS null_fks,
+  sum(CASE WHEN o.o_custkey IS NOT NULL AND c.c_custkey IS NULL
+       THEN 1 ELSE 0 END) = 0 AS ok
+FROM orders o
+LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+  ON o.o_custkey = c.c_custkey
+UNION ALL
+SELECT 'lineitem.l_partkey->part' AS relation,
+  CAST(count(*) AS BIGINT) AS total,
+  CAST(sum(CASE WHEN l.l_partkey IS NOT NULL AND p.p_partkey IS NULL
+            THEN 1 ELSE 0 END) AS BIGINT) AS orphans,
+  CAST(sum(CASE WHEN l.l_partkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+    AS null_fks,
+  sum(CASE WHEN l.l_partkey IS NOT NULL AND p.p_partkey IS NULL
+       THEN 1 ELSE 0 END) = 0 AS ok
+FROM lineitem l
+LEFT JOIN (SELECT DISTINCT p_partkey FROM part) p
+  ON l.l_partkey = p.p_partkey
+"""
+
+
+def q_dq_drift_psi(spark, sf_dir):
+    """Population-Stability-Index drift analyzer over the events
+    stream: even event_ids are the baseline population, odd the
+    current (a deterministic split that exercises the full binning +
+    epsilon-smoothed PSI math; production callers pass a time
+    predicate as side_col)."""
+    from .operators.dq import distribution_drift_psi
+
+    e = _t(spark, sf_dir, "events")
+    return distribution_drift_psi(
+        e, "value", F.col("event_id") % 2 == 0, bins=10)
+
+
+SQL_DQ_DRIFT_PSI = """
+WITH v AS (
+  SELECT value AS val, (event_id % 2 = 0) AS base
+  FROM events WHERE value IS NOT NULL
+), mm AS (SELECT min(val) AS mn, max(val) AS mx FROM v),
+b AS (
+  SELECT CASE WHEN mx = mn THEN 0
+              ELSE least(9, CAST(floor((val - mn) / (mx - mn) * 10)
+                               AS INT)) END AS bin,
+         base
+  FROM v, mm
+), c AS (
+  SELECT bin,
+    CAST(sum(CASE WHEN base THEN 1 ELSE 0 END) AS BIGINT) AS n_base,
+    CAST(sum(CASE WHEN NOT base THEN 1 ELSE 0 END) AS BIGINT) AS n_curr
+  FROM b GROUP BY bin
+), t AS (
+  SELECT CAST(sum(n_base) AS DOUBLE) AS tb,
+         CAST(sum(n_curr) AS DOUBLE) AS tc FROM c
+)
+SELECT bin, n_base, n_curr,
+  round(n_base / tb, 6) AS pct_base,
+  round(n_curr / tc, 6) AS pct_curr,
+  round((n_base / tb - n_curr / tc)
+        * ln((n_base / tb + 1e-6) / (n_curr / tc + 1e-6)), 6) AS psi_term
+FROM c, t
+"""
+
+
+def q_dq_outliers(spark, sf_dir):
+    """Per-group Tukey-fence outlier analyzer on exact interpolated
+    quartiles (events.value by event_type)."""
+    from .operators.dq import iqr_outliers
+
+    return iqr_outliers(_t(spark, sf_dir, "events"), "value",
+                        "event_type", k=1.5)
+
+
+SQL_DQ_OUTLIERS = """
+WITH q AS (
+  SELECT event_type,
+         quantile_cont(value, 0.25) AS q1,
+         quantile_cont(value, 0.75) AS q3
+  FROM events GROUP BY event_type
+), f AS (
+  SELECT event_type, q1 - 1.5 * (q3 - q1) AS lo, q3 + 1.5 * (q3 - q1) AS hi
+  FROM q
+)
+SELECT e.event_type,
+  CAST(count(*) AS BIGINT) AS total,
+  CAST(sum(CASE WHEN e.value < f.lo OR e.value > f.hi THEN 1 ELSE 0 END)
+       AS BIGINT) AS outliers,
+  round(f.lo, 6) AS fence_lo,
+  round(f.hi, 6) AS fence_hi
+FROM events e JOIN f USING (event_type)
+GROUP BY e.event_type, f.lo, f.hi
+"""
+
+
+def q_dq_freshness(spark, sf_dir):
+    """Per-group ingestion-lag analyzer against the table watermark
+    (events.ts by event_type, 1h staleness threshold)."""
+    from .operators.dq import freshness
+
+    return freshness(_t(spark, sf_dir, "events"), "ts", "event_type",
+                     max_lag_seconds=3600.0)
+
+
+SQL_DQ_FRESHNESS = """
+WITH g AS (SELECT event_type, max(ts) AS latest FROM events
+           GROUP BY event_type),
+w AS (SELECT max(ts) AS wm FROM events)
+SELECT event_type, latest,
+  CAST(date_diff('microsecond', latest, wm) AS DOUBLE) / 1000000.0
+    AS lag_seconds,
+  (CAST(date_diff('microsecond', latest, wm) AS DOUBLE) / 1000000.0)
+    > 3600 AS stale
+FROM g, w
+"""
+
+
+def q_merge_upsert(spark, sf_dir):
+    """SCD-1 MERGE (operators/cdc.py): a delta batch of repriced
+    orders (even keys, totalprice doubled — x2 is exact in binary on
+    BOTH engines, so no cross-engine rounding tie can occur) merged
+    into a target snapshot (keys not divisible by 3)."""
+    from .operators.cdc import merge_upsert
+
+    o = _t(spark, sf_dir, "orders")
+    target = (o.filter(F.col("o_orderkey") % 3 != 0)
+              .select("o_orderkey", "o_totalprice", "o_orderstatus"))
+    source = (o.filter(F.col("o_orderkey") % 2 == 0)
+              .select("o_orderkey",
+                      (F.col("o_totalprice") * 2).alias("o_totalprice"),
+                      "o_orderstatus"))
+    return merge_upsert(target, source, "o_orderkey",
+                        ["o_totalprice", "o_orderstatus"])
+
+
+SQL_MERGE_UPSERT = """
+WITH t AS (
+  SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders
+  WHERE o_orderkey % 3 <> 0
+), s AS (
+  SELECT o_orderkey, o_totalprice * 2 AS o_totalprice, o_orderstatus
+  FROM orders WHERE o_orderkey % 2 = 0
+)
+SELECT coalesce(t.o_orderkey, s.o_orderkey) AS o_orderkey,
+  CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_totalprice
+       ELSE t.o_totalprice END AS o_totalprice,
+  CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_orderstatus
+       ELSE t.o_orderstatus END AS o_orderstatus,
+  CASE WHEN t.o_orderkey IS NULL THEN 'insert'
+       WHEN s.o_orderkey IS NULL THEN 'keep'
+       ELSE 'update' END AS action
+FROM t FULL OUTER JOIN s ON t.o_orderkey = s.o_orderkey
+"""
+
+
+def q_table_diff(spark, sf_dir):
+    """Snapshot diff / CDC read (operators/cdc.py): old = keys not
+    divisible by 7; new = keys not divisible by 5, with totalprice
+    doubled where key % 11 = 0 — yields all three change kinds."""
+    from .operators.cdc import table_diff
+
+    o = _t(spark, sf_dir, "orders")
+    old = (o.filter(F.col("o_orderkey") % 7 != 0)
+           .select("o_orderkey", "o_orderstatus", "o_totalprice"))
+    new = (o.filter(F.col("o_orderkey") % 5 != 0)
+           .select("o_orderkey", "o_orderstatus",
+                   F.when(F.col("o_orderkey") % 11 == 0,
+                          F.col("o_totalprice") * 2)
+                   .otherwise(F.col("o_totalprice"))
+                   .alias("o_totalprice")))
+    return table_diff(old, new, "o_orderkey",
+                      ["o_orderstatus", "o_totalprice"])
+
+
+SQL_TABLE_DIFF = """
+WITH o AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+  WHERE o_orderkey % 7 <> 0
+), n AS (
+  SELECT o_orderkey, o_orderstatus,
+    CASE WHEN o_orderkey % 11 = 0 THEN o_totalprice * 2
+         ELSE o_totalprice END AS o_totalprice
+  FROM orders WHERE o_orderkey % 5 <> 0
+)
+SELECT coalesce(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+  o.o_orderstatus AS old_o_orderstatus,
+  o.o_totalprice AS old_o_totalprice,
+  n.o_orderstatus AS new_o_orderstatus,
+  n.o_totalprice AS new_o_totalprice,
+  CASE WHEN o.o_orderkey IS NULL THEN 'added'
+       WHEN n.o_orderkey IS NULL THEN 'removed'
+       WHEN NOT (o.o_orderstatus IS NOT DISTINCT FROM n.o_orderstatus
+                 AND o.o_totalprice IS NOT DISTINCT FROM n.o_totalprice)
+       THEN 'changed' END AS change
+FROM o FULL OUTER JOIN n ON o.o_orderkey = n.o_orderkey
+WHERE CASE WHEN o.o_orderkey IS NULL THEN 'added'
+           WHEN n.o_orderkey IS NULL THEN 'removed'
+           WHEN NOT (o.o_orderstatus IS NOT DISTINCT FROM n.o_orderstatus
+                     AND o.o_totalprice IS NOT DISTINCT FROM n.o_totalprice)
+           THEN 'changed' END IS NOT NULL
+"""
+
+
+def q_text_boilerplate(spark, sf_dir):
+    """Cross-doc boilerplate fraction (operators/corpus.py::
+    boilerplate_fraction): per doc, the share of its distinct word
+    5-grams appearing in >= 3 documents."""
+    from .operators.corpus import boilerplate_fraction
+
+    return boilerplate_fraction(_t(spark, sf_dir, "documents"),
+                                "text", "doc_id", n=5, min_doc_freq=3)
+
+
+SQL_TEXT_BOILERPLATE = """
+WITH t AS (
+  SELECT doc_id AS id,
+         list_filter(string_split(text, ' '), x -> x != '') AS toks
+  FROM documents
+), g AS (
+  SELECT id, unnest(list_distinct(
+    CASE WHEN len(toks) >= 5
+         THEN list_transform(range(1, len(toks) - 3),
+              i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                   || ' ' || toks[i+3] || ' ' || toks[i+4])
+         ELSE [] END)) AS gram
+  FROM t
+), dfreq AS (
+  SELECT gram, count(DISTINCT id) AS df FROM g GROUP BY gram
+)
+SELECT g.id AS id,
+  CAST(count(*) AS BIGINT) AS n_grams,
+  CAST(sum(CASE WHEN dfreq.df >= 3 THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_boiler,
+  round(sum(CASE WHEN dfreq.df >= 3 THEN 1 ELSE 0 END)
+        / CAST(count(*) AS DOUBLE), 6) AS boiler_frac
+FROM g JOIN dfreq USING (gram)
+GROUP BY g.id
+"""
+
+
+def q_agg_approx_quantiles(spark, sf_dir):
+    """Approximate-quantile sketch (percentile_approx, rank-error
+    <= 1/accuracy) with the accuracy-invariant-boolean oracle pattern
+    (same as agg_approx_distinct / agg_hll_sketch): the approx value
+    must land inside the exact interpolated [q-0.002, q+0.002]
+    quantile band — 20x the guaranteed rank error at accuracy=10000 —
+    and DuckDB asserts the literal TRUE plus the exact p50 it CAN
+    compute."""
+    li = _t(spark, sf_dir, "lineitem")
+    row = li.agg(
+        F.percentile_approx("l_extendedprice", [0.25, 0.5, 0.9], 10000)
+        .alias("ap"),
+        F.percentile("l_extendedprice",
+                     F.array(*[F.lit(v) for v in
+                               (0.248, 0.252, 0.498, 0.502,
+                                0.898, 0.902, 0.5)])).alias("ex"))
+    return row.select(
+        ((F.col("ap")[0] >= F.col("ex")[0])
+         & (F.col("ap")[0] <= F.col("ex")[1])).alias("q25_ok"),
+        ((F.col("ap")[1] >= F.col("ex")[2])
+         & (F.col("ap")[1] <= F.col("ex")[3])).alias("q50_ok"),
+        ((F.col("ap")[2] >= F.col("ex")[4])
+         & (F.col("ap")[2] <= F.col("ex")[5])).alias("q90_ok"),
+        F.round(F.col("ex")[6], 6).alias("p50_exact"))
+
+
+SQL_AGG_APPROX_QUANTILES = """
+SELECT TRUE AS q25_ok, TRUE AS q50_ok, TRUE AS q90_ok,
+  round(quantile_cont(l_extendedprice, 0.5), 6) AS p50_exact
+FROM lineitem
+"""
+
+
 # ---------------------------------------------------------------------------
 # Images-table queries with DuckDB oracles: DuckDB reads the
 # deterministic generated parquet directly by path.  The driver
@@ -2847,6 +3141,18 @@ _ALL_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | No
     "agg_pivot": (q_agg_pivot, SQL_AGG_PIVOT),
     "fn_explode": (q_fn_explode, SQL_FN_EXPLODE),
     "fn_bitwise": (q_fn_bitwise, SQL_FN_BITWISE),
+    # table-level DQ analyzers (operators/dq.py)
+    "dq_referential": (q_dq_referential, SQL_DQ_REFERENTIAL),
+    "dq_drift_psi": (q_dq_drift_psi, SQL_DQ_DRIFT_PSI),
+    "dq_outliers": (q_dq_outliers, SQL_DQ_OUTLIERS),
+    "dq_freshness": (q_dq_freshness, SQL_DQ_FRESHNESS),
+    # lakehouse change-data ops (operators/cdc.py)
+    "merge_upsert": (q_merge_upsert, SQL_MERGE_UPSERT),
+    "table_diff": (q_table_diff, SQL_TABLE_DIFF),
+    # corpus boilerplate + quantile sketch
+    "text_boilerplate": (q_text_boilerplate, SQL_TEXT_BOILERPLATE),
+    "agg_approx_quantiles": (q_agg_approx_quantiles,
+                             SQL_AGG_APPROX_QUANTILES),
 }
 
 # The driver verifies the FIRST 50 registry keys in insertion order
