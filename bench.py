@@ -37,6 +37,8 @@ HEADLINE_KEYS = [
     "dedup_phash_hamming_distinct",
     "dedup_crossmodal",
     "join_asof",
+    "dedup_image_pipeline",
+    "dq_drift_psi",
 ]
 
 

@@ -34,3 +34,68 @@ def start_dq_stream(spark: SparkSession, in_path: str, schema_ddl: str,
             .foreachBatch(process)
             .option("checkpointLocation", checkpoint_dir)
             .trigger(availableNow=True))
+
+
+def start_drift_stream(spark: SparkSession, in_path: str,
+                       schema_ddl: str, baseline, col: str,
+                       catalog, checkpoint_dir: str,
+                       table: str = "drift_reports", bins: int = 10,
+                       eps: float = 1e-6, psi_threshold: float = 0.2,
+                       max_files_per_trigger: int = 4):
+    """Streaming distribution-drift monitor: per micro-batch, the PSI
+    of `col` against a STATIC baseline distribution (the production
+    'model input drift' monitor — the batch twin is
+    operators/dq.py::distribution_drift_psi).
+
+    The baseline is summarized ONCE, driver-side, into `bins`+2
+    numbers (equal-width bin fractions over the baseline's [min,
+    max]); each micro-batch is binned with the SAME frozen edges and
+    compared — one aggregation pass per trigger, state = none (the
+    baseline summary is closed over, a few hundred bytes).  Batches
+    are logged, not gated; a gating variant raises in process()."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    mm = baseline.agg(F.min(col).alias("mn"),
+                      F.max(col).alias("mx")).collect()[0]
+    mn, mx = float(mm["mn"]), float(mm["mx"])
+
+    def _bin_expr():
+        if mx == mn:
+            return F.lit(0)
+        return F.least(F.lit(bins - 1),
+                       F.floor((F.col(col) - F.lit(mn))
+                               / F.lit(mx - mn) * bins).cast("int"))
+
+    def _fractions(df: DataFrame) -> tuple[list[float], int]:
+        rows = (df.filter(F.col(col).isNotNull())
+                .select(_bin_expr().alias("b"))
+                .groupBy("b").count().collect())
+        # out-of-baseline-range batch values clamp into the edge bins
+        counts = [0] * bins
+        for r in rows:
+            counts[min(max(int(r["b"]), 0), bins - 1)] += r["count"]
+        total = sum(counts)
+        return ([c / total if total else 0.0 for c in counts], total)
+
+    base_frac, _ = _fractions(baseline)
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        cur_frac, n = _fractions(batch_df)
+        if n == 0:
+            return
+        psi = sum((pb - pc) * math.log((pb + eps) / (pc + eps))
+                  for pb, pc in zip(base_frac, cur_frac))
+        catalog.append_rows(table, [{
+            "batch_id": batch_id, "n_rows": n,
+            "psi": round(psi, 6), "drift": psi > psi_threshold,
+        }])
+
+    stream = (spark.readStream.schema(schema_ddl)
+              .option("maxFilesPerTrigger", max_files_per_trigger)
+              .parquet(in_path))
+    return (stream.writeStream
+            .foreachBatch(process)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True))

@@ -204,3 +204,49 @@ def test_stream_restart_resumes_exactly_once(spark, shard_dir):
             assert res.select("image_id").distinct().count() == n
     finally:
         shutil.rmtree(out_root, ignore_errors=True)
+
+
+def test_streaming_drift_monitor(spark, shard_dir):
+    """Per-micro-batch PSI vs a frozen baseline: an identically
+    distributed shard reports ~0 PSI, a shifted shard crosses the 0.2
+    drift threshold; bin edges come from the BASELINE only."""
+    import numpy as np
+    import pandas as pd
+
+    from data_quality_check_spark.plans.catalog import LocalParquetCatalog
+    from data_quality_check_spark.streaming.dq import start_drift_stream
+
+    rng = np.random.default_rng(7)
+    base_vals = rng.normal(50.0, 5.0, 4000)
+    base_pdf = pd.DataFrame({"event_id": np.arange(4000),
+                             "value": base_vals})
+    # shard 0: same distribution (fresh draws); shard 1: shifted +30
+    same = pd.DataFrame({"event_id": np.arange(4000, 6000),
+                         "value": rng.normal(50.0, 5.0, 2000)})
+    shifted = pd.DataFrame({"event_id": np.arange(6000, 8000),
+                            "value": rng.normal(80.0, 5.0, 2000)})
+    pq.write_table(pa.Table.from_pandas(same, preserve_index=False),
+                   os.path.join(shard_dir, "in_shard0.parquet"))
+    pq.write_table(pa.Table.from_pandas(shifted, preserve_index=False),
+                   os.path.join(shard_dir, "in_shard1.parquet"))
+
+    baseline = spark.createDataFrame(base_pdf)
+    out_root = tempfile.mkdtemp(prefix="dqc-drift-out-")
+    try:
+        cat = LocalParquetCatalog(spark, out_root)
+        q = start_drift_stream(
+            spark, shard_dir, "event_id long, value double",
+            baseline, "value", cat,
+            checkpoint_dir=os.path.join(out_root, "ckpt"),
+            max_files_per_trigger=1).start()
+        q.awaitTermination(120)
+        rows = {r["batch_id"]: r for r in
+                cat.read_table("drift_reports").collect()}
+        psis = sorted(r["psi"] for r in rows.values())
+        assert len(rows) == 2
+        assert psis[0] < 0.05          # same-distribution batch
+        assert psis[1] > 0.2           # shifted batch flagged
+        flagged = [r for r in rows.values() if r["drift"]]
+        assert len(flagged) == 1 and flagged[0]["psi"] == psis[1]
+    finally:
+        shutil.rmtree(out_root, ignore_errors=True)
