@@ -262,3 +262,68 @@ def boilerplate_fraction(df: DataFrame, text_col: str = "text",
         "id", "n_grams", "n_boiler",
         F.round(F.col("n_boiler") / F.col("n_grams"), 6)
         .alias("boiler_frac"))
+
+
+def word_entropy(df: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id") -> DataFrame:
+    """Per-doc Shannon entropy of the word distribution (a gibberish
+    and templated-text signal: natural prose sits in a band, repeated
+    boilerplate falls below it, random token soup rises above it).
+    entropy = ln(n) - sum(c*ln(c))/n over per-doc word counts c.
+
+    Returns (id, n_tokens, entropy) — docs with zero tokens emit no
+    row.  Scale: explode to (id, word) -> two groupBys; shuffle rows
+    = token count, the same volume class as the tf-idf operator.  At
+    the 100 TB tier this moves into the fused Arrow UDF (one pass,
+    no shuffle) — this declarative twin exists for the oracle and
+    for ad-hoc SQL users."""
+    toks = df.select(F.col(id_col).alias("id"),
+                     _toks(text_col).alias("__toks"))
+    words = toks.select("id", F.explode("__toks").alias("w"))
+    wc = words.groupBy("id", "w").agg(F.count("*").alias("c"))
+    return (wc.groupBy("id").agg(
+        F.sum("c").alias("__n"),
+        F.sum(F.col("c") * F.log("c")).alias("__clnc"))
+        .select("id", F.col("__n").alias("n_tokens"),
+                F.round(F.log("__n") - F.col("__clnc") / F.col("__n"), 6)
+                .alias("entropy")))
+
+
+def source_overlap(df: DataFrame, text_col: str = "text",
+                   source_col: str = "source", n: int = 3) -> DataFrame:
+    """Corpus-level content overlap between sources: exact Jaccard of
+    the sources' word-n-gram SETS, one row per source pair that
+    shares at least one gram (src_a < src_b).  The release-audit
+    question 'how much of source B is already in source A?' before
+    mixing corpora.
+
+    Scale: the per-source distinct gram set is dictionary-sized
+    (shared vocabulary saturates), so the gram self-join is over two
+    deduplicated dictionary tables and every aggregate is counts-only.
+    For 10^12-doc corpora swap the exact sets for per-source MinHash
+    signatures (operators/dedup.py::minhash_signatures) — same
+    output schema, sketch-sized state."""
+    toks = df.select(F.col(source_col).alias("src"),
+                     _toks(text_col).alias("__toks"))
+    g = (toks.select("src", F.explode(
+        F.array_distinct(_word_ngrams("__toks", n))).alias("gram"))
+         .distinct())
+    sizes = g.groupBy("src").agg(F.count("*").alias("sz"))
+    inter = (g.alias("a")
+             .join(g.alias("b"),
+                   (F.col("a.gram") == F.col("b.gram"))
+                   & (F.col("a.src") < F.col("b.src")))
+             .groupBy(F.col("a.src").alias("src_a"),
+                      F.col("b.src").alias("src_b"))
+             .agg(F.count("*").alias("n_common")))
+    return (inter
+            .join(sizes.select(F.col("src").alias("src_a"),
+                               F.col("sz").alias("__sa")), "src_a")
+            .join(sizes.select(F.col("src").alias("src_b"),
+                               F.col("sz").alias("__sb")), "src_b")
+            .select("src_a", "src_b", "n_common",
+                    (F.col("__sa") + F.col("__sb") - F.col("n_common"))
+                    .alias("n_union"),
+                    F.round(F.col("n_common")
+                            / (F.col("__sa") + F.col("__sb")
+                               - F.col("n_common")), 6).alias("jaccard")))

@@ -2632,6 +2632,70 @@ FROM lineitem
 """
 
 
+def q_text_word_entropy(spark, sf_dir):
+    """Per-doc word-distribution Shannon entropy
+    (operators/corpus.py::word_entropy)."""
+    from .operators.corpus import word_entropy
+
+    return word_entropy(_t(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+SQL_TEXT_WORD_ENTROPY = """
+WITH w AS (
+  SELECT doc_id AS id,
+         unnest(list_filter(string_split(text, ' '), x -> x != '')) AS w
+  FROM documents
+), wc AS (
+  SELECT id, w, count(*) AS c FROM w GROUP BY id, w
+)
+SELECT id, CAST(sum(c) AS BIGINT) AS n_tokens,
+  round(ln(CAST(sum(c) AS DOUBLE))
+        - sum(c * ln(CAST(c AS DOUBLE))) / sum(c), 6) AS entropy
+FROM wc GROUP BY id
+"""
+
+
+def q_corpus_source_overlap(spark, sf_dir):
+    """Exact word-3-gram Jaccard between source corpora
+    (operators/corpus.py::source_overlap)."""
+    from .operators.corpus import source_overlap
+
+    return source_overlap(_t(spark, sf_dir, "documents"), "text",
+                          "source", n=3)
+
+
+SQL_CORPUS_SOURCE_OVERLAP = """
+WITH t AS (
+  SELECT source AS src,
+         list_filter(string_split(text, ' '), x -> x != '') AS toks
+  FROM documents
+), g AS (
+  -- short docs contribute NO grams (operators/corpus.py::_word_ngrams
+  -- emits an empty array below n tokens, unlike dedup's _gram_expr)
+  SELECT DISTINCT src, unnest(
+    CASE WHEN len(toks) >= 3
+         THEN list_distinct(list_transform(range(1, len(toks) - 1),
+              i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+         ELSE CAST([] AS VARCHAR[]) END) AS gram
+  FROM t
+), sizes AS (
+  SELECT src, count(*) AS sz FROM g GROUP BY src
+), inter AS (
+  SELECT a.src AS src_a, b.src AS src_b,
+         CAST(count(*) AS BIGINT) AS n_common
+  FROM g a JOIN g b ON a.gram = b.gram AND a.src < b.src
+  GROUP BY a.src, b.src
+)
+SELECT src_a, src_b, n_common,
+  CAST(sa.sz + sb.sz - n_common AS BIGINT) AS n_union,
+  round(n_common / CAST(sa.sz + sb.sz - n_common AS DOUBLE), 6)
+    AS jaccard
+FROM inter
+JOIN sizes sa ON sa.src = inter.src_a
+JOIN sizes sb ON sb.src = inter.src_b
+"""
+
+
 # ---------------------------------------------------------------------------
 # Images-table queries with DuckDB oracles: DuckDB reads the
 # deterministic generated parquet directly by path.  The driver
@@ -3153,6 +3217,9 @@ _ALL_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | No
     "text_boilerplate": (q_text_boilerplate, SQL_TEXT_BOILERPLATE),
     "agg_approx_quantiles": (q_agg_approx_quantiles,
                              SQL_AGG_APPROX_QUANTILES),
+    "text_word_entropy": (q_text_word_entropy, SQL_TEXT_WORD_ENTROPY),
+    "corpus_source_overlap": (q_corpus_source_overlap,
+                              SQL_CORPUS_SOURCE_OVERLAP),
 }
 
 # The driver verifies the FIRST 50 registry keys in insertion order
