@@ -65,3 +65,33 @@ def test_run_dq_unknown_kind(spark):
 
     with pytest.raises(SystemExit):
         run_dq.build_suite([{"kind": "nope"}])
+
+
+def test_run_analyzers_job(spark):
+    from jobs import run_analyzers
+
+    rows, ok = run_analyzers.run(
+        spark, "referential", "/root/testdata/sf0.001/orders.parquet",
+        fk="o_custkey",
+        parent_path="/root/testdata/sf0.001/customer.parquet",
+        pk="c_custkey")
+    assert ok and rows[0]["orphans"] == 0
+
+    rows, ok = run_analyzers.run(
+        spark, "drift", "/root/testdata/sf0.001/events.parquet",
+        column="value", baseline_predicate="event_id % 2 = 0")
+    assert ok  # same-table halves: no drift
+    assert abs(sum(r["psi_term"] for r in rows)) < 0.2
+
+    rows, ok = run_analyzers.run(
+        spark, "outliers", "/root/testdata/sf0.001/events.parquet",
+        column="value", group="event_type")
+    assert ok and all(r["total"] > 0 for r in rows)
+
+    rows, ok = run_analyzers.run(
+        spark, "freshness", "/root/testdata/sf0.001/events.parquet",
+        group="event_type", max_lag_seconds=1.0)
+    assert not ok  # 1s threshold: some event type is always stale
+
+    with pytest.raises(ValueError, match="unknown analyzer"):
+        run_analyzers.run(spark, "nope", "/root/testdata/sf0.001/events.parquet")
