@@ -141,6 +141,37 @@ def main() -> None:
         f"level; the key itself is a pure Project expression.",
     ))
 
+    # 9. ngram Jaccard: candidates are ids-only through the band join
+    nj = REGISTRY["dedup_ngram_jaccard"][0](spark, sf_dir)
+    p = plan_of(nj)
+    band_carry = [ln for ln in p.splitlines()
+                  if "bucket_hash#" in ln
+                  and ("Exchange" in ln or "Join" in ln)
+                  and "grams#" in ln]
+    sections.append((
+        "ids-only n-gram Jaccard candidates (dedup_ngram_jaccard)",
+        p,
+        f"Band-join operators carrying gram arrays: {len(band_carry)} "
+        f"(must be 0 — the widest payload never rides the "
+        f"band_hashes-way explode/self-join; grams are fetched "
+        f"afterwards by left-semi-pruned id joins, the "
+        f"text_near_dup_keepers pattern; asserted in "
+        f"tests/test_plans.py::test_ngram_jaccard_band_join_is_ids_only).",
+    ))
+
+    # 10. PSI drift analyzer: broadcast one-row min/max, bins-row shuffle
+    dp = REGISTRY["dq_drift_psi"][0](spark, sf_dir)
+    p = plan_of(dp)
+    sections.append((
+        "PSI drift analyzer (dq_drift_psi)",
+        p,
+        f"BroadcastNestedLoopJoin count: "
+        f"{p.count('BroadcastNestedLoopJoin')} — every cross join in "
+        f"this plan is a broadcast ONE-ROW scalar attach (global "
+        f"min/max, then side totals); the only hashpartitioning "
+        f"exchange is the bins-row groupBy.",
+    ))
+
     os.makedirs("BENCH", exist_ok=True)
     with open("BENCH/PLANS.md", "w") as f:
         f.write("# BENCH/PLANS.md — captured physical plans\n\n"
