@@ -47,7 +47,10 @@ def oracle_sql() -> dict[str, str]:
     # the numpy-oracle expected-values fixtures for the multimodal pin
     from data_quality_check_spark.operators.multimodal import (
         expected_fixtures)
+    from data_quality_check_spark.oracle_fixtures import (
+        ensure_label_fixtures)
 
     IM.ensure_images(0.01)
     expected_fixtures(0.01)
+    ensure_label_fixtures(0.01)
     return {k: sql for k, (_fn, sql) in REGISTRY.items() if sql is not None}

@@ -3078,6 +3078,26 @@ FROM {IMAGES_SF001}
 """
 
 
+
+# Expected-label fixtures (data_quality_check_spark/oracle_fixtures.py):
+# the pure-pandas reference oracle's outputs pinned as parquet, so the
+# UDF-dependent keys are value-checked against the single-process
+# reference instead of rows-only (DuckDB cannot run the kernels).
+SQL_UDF_LANGID = "SELECT * FROM '/root/repo/data/doc_langid_sf0.01.parquet'"
+SQL_UDF_PPL = "SELECT * FROM '/root/repo/data/doc_ppl_sf0.01.parquet'"
+SQL_UDF_SCRUB = "SELECT * FROM '/root/repo/data/doc_scrub_sf0.01.parquet'"
+SQL_UDF_DECODE = "SELECT * FROM '/root/repo/data/decode_sf0.01.parquet'"
+SQL_KEEP_DECISION_IMAGES = (
+    "SELECT * FROM '/root/repo/data/labels_sf0.01.parquet'"
+)
+SQL_AGG_BUCKET_METRICS = """
+SELECT bucket, CAST(count(*) AS BIGINT) AS n_rows,
+  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_keep
+FROM '/root/repo/data/labels_sf0.01.parquet'
+GROUP BY bucket
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -3095,14 +3115,15 @@ _ALL_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | No
     "rule_stopword_symbol": (q_rule_stopword_symbol, SQL_RULE_STOPWORD_SYMBOL),
     "keep_decision": (q_keep_decision, SQL_KEEP_DECISION),
     # UDF surface
-    "udf_langid": (q_udf_langid, None),
-    "udf_perplexity": (q_udf_perplexity, None),
-    "udf_scrub": (q_udf_scrub, None),
-    "udf_decode": (q_udf_decode, None),
-    "keep_decision_images": (q_keep_decision_images, None),
+    "udf_langid": (q_udf_langid, SQL_UDF_LANGID),
+    "udf_perplexity": (q_udf_perplexity, SQL_UDF_PPL),
+    "udf_scrub": (q_udf_scrub, SQL_UDF_SCRUB),
+    "udf_decode": (q_udf_decode, SQL_UDF_DECODE),
+    "keep_decision_images": (q_keep_decision_images,
+                              SQL_KEEP_DECISION_IMAGES),
     # aggregations
     "agg_pricing_summary": (q_agg_pricing_summary, SQL_AGG_PRICING_SUMMARY),
-    "agg_bucket_metrics": (q_agg_bucket_metrics, None),
+    "agg_bucket_metrics": (q_agg_bucket_metrics, SQL_AGG_BUCKET_METRICS),
     "agg_f1": (q_agg_f1, SQL_AGG_F1),
     "agg_distinct": (q_agg_distinct, SQL_AGG_DISTINCT),
     "agg_rollup": (q_agg_rollup, SQL_AGG_ROLLUP),

@@ -70,7 +70,10 @@ def main() -> int:
     # parquet at the driver's compare scale — generate-once cache
     from data_quality_check_spark.operators.multimodal import (
         expected_fixtures)
+    from data_quality_check_spark.oracle_fixtures import (
+        ensure_label_fixtures)
     expected_fixtures(0.01)
+    ensure_label_fixtures(0.01)
     con = duckdb.connect()
     for t in TABLES:
         p = os.path.join(sf_dir, f"{t}.parquet")
