@@ -190,6 +190,171 @@ def repetition_signals(df: DataFrame, text_col: str = "text",
         F.round(_longest_equal_run("__sb") / nb, 6).alias("top_bigram_frac"))
 
 
+def dup_spans(df: DataFrame, text_col: str = "text",
+              id_col: str = "doc_id", n: int = 5,
+              min_docs: int = 2) -> DataFrame:
+    """Cross-document duplicated-span coverage (the word-n-gram form
+    of Lee et al. 2022 'Deduplicating Training Data Makes Language
+    Models Better' substring-dup statistics): for each doc, how many
+    of its n-gram start positions carry a gram that appears in
+    >= min_docs documents corpus-wide, and how many of its TOKENS are
+    covered by at least one such duplicated gram (overlapping spans
+    merged via the classic sorted-interval-union identity:
+    covered = sum over sorted starts p of min(n, next_p - p)).
+
+    Returns one row per doc with >= 1 gram: (id, n_tokens,
+    n_positions, n_dup_positions, dup_covered, dup_frac).
+
+    Scale: positions explode to (id, pos, gram) once; ONE groupBy on
+    the gram string for document frequency (grams stay strings so the
+    DuckDB oracle groups identically; the 10^12-row variant projects
+    xxhash64(gram) before the exchange, same plan shape); the
+    duplicated dictionary comes back as a LEFT SEMI join, so only
+    (id, pos) int pairs reach the per-doc window + aggregate."""
+    toks = df.select(F.col(id_col).alias("id"),
+                     _toks(text_col).alias("__toks"))
+    base = (toks.select("id", F.size("__toks").cast("long")
+                        .alias("n_tokens"))
+            .filter(F.col("n_tokens") >= n)
+            .select("id", "n_tokens",
+                    (F.col("n_tokens") - (n - 1)).alias("n_positions")))
+    pg = (toks
+          .select("id", F.posexplode(_word_ngrams("__toks", n)))
+          .select("id", (F.col("pos") + 1).alias("pos"),
+                  F.col("col").alias("gram")))
+    dup = (pg.groupBy("gram")
+           .agg(F.countDistinct("id").alias("__df"))
+           .filter(F.col("__df") >= min_docs)
+           .select("gram"))
+    dpos = pg.join(dup, "gram", "left_semi").select("id", "pos")
+    w = Window.partitionBy("id").orderBy("pos")
+    cov = F.coalesce(
+        F.least(F.lit(n), F.lead("pos").over(w) - F.col("pos")),
+        F.lit(n))
+    per_doc = (dpos.withColumn("__cov", cov)
+               .groupBy("id")
+               .agg(F.count("*").alias("n_dup_positions"),
+                    F.sum("__cov").alias("dup_covered")))
+    return (base.join(per_doc, "id", "left")
+            .fillna({"n_dup_positions": 0, "dup_covered": 0})
+            .select("id", "n_tokens", "n_positions",
+                    "n_dup_positions", "dup_covered",
+                    F.round(F.col("dup_covered") / F.col("n_tokens"), 6)
+                    .alias("dup_frac")))
+
+
+def bloom_decontaminate(train: DataFrame, eval_df: DataFrame,
+                        text_col: str = "text", id_col: str = "doc_id",
+                        n: int = 4, m_bits: int = 1 << 20,
+                        n_hashes: int = 3) -> DataFrame:
+    """Bloom-filter decontamination — the scale path of
+    `decontaminate` for eval sets too large to broadcast as an exact
+    gram dictionary: the eval set is folded into an m_bits Bloom
+    bitset (n_hashes xxhash64 probes per gram), stored as m_bits/64
+    packed int64 words built with ONE bit_or aggregation.  Train
+    grams test membership via n_hashes broadcast joins against the
+    word table — never against the gram dictionary itself.
+
+    Returns (id, n_grams, n_bloom_hits, bloom_contaminated) per
+    training doc.  Bloom guarantees: NO false negatives (every doc
+    `decontaminate` flags is flagged here); false-positive rate
+    ~ (1 - e^(-n_hashes * n_grams_eval / m_bits))^n_hashes per gram
+    (defaults: < 1e-5 up to ~10^5 eval grams).
+
+    Scale: the bitset is <= m_bits/64 rows (16 Ki at the default)
+    REGARDLESS of eval-set size — the whole point vs the exact
+    dictionary, whose broadcast grows with the eval set.  The train
+    side stays map-side until the per-doc aggregation, exactly like
+    `decontaminate`."""
+    ev = (eval_df
+          .select(_toks(text_col).alias("__w"))
+          .select(F.explode(_word_ngrams("__w", n)).alias("gram"))
+          .distinct())
+    idx = [F.pmod(F.xxhash64(F.col("gram"), F.lit(j)), F.lit(m_bits))
+           for j in range(n_hashes)]
+    bitset = (ev
+              .select(F.explode(F.array(*idx)).alias("idx"))
+              .select(F.floor(F.col("idx") / 64).alias("word_i"),
+                      F.expr("shiftleft(1L, CAST(idx % 64 AS INT))")
+                      .alias("__bit"))
+              .groupBy("word_i")
+              .agg(F.bit_or("__bit").alias("word")))
+    grams = (train
+             .select(F.col(id_col).alias("id"),
+                     _toks(text_col).alias("__w"))
+             .select("id", F.array_distinct(
+                 _word_ngrams("__w", n)).alias("__g")))
+    base = grams.select("id", F.size("__g").alias("n_grams"))
+    probes = grams.select("id", F.explode("__g").alias("gram"))
+    hit = F.lit(True)
+    for j in range(n_hashes):
+        ix = F.pmod(F.xxhash64(F.col("gram"), F.lit(j)), F.lit(m_bits))
+        probes = (probes
+                  .withColumn("__ix", ix)
+                  .withColumn(f"__w{j}", F.floor(F.col("__ix") / 64))
+                  .withColumn(f"__b{j}", F.expr(
+                      "shiftleft(1L, CAST(__ix % 64 AS INT))"))
+                  .drop("__ix"))
+        bw = F.broadcast(bitset.select(
+            F.col("word_i").alias(f"__w{j}"),
+            F.col("word").alias(f"__word{j}")))
+        probes = probes.join(bw, f"__w{j}", "left")
+        hit = hit & (F.coalesce(F.col(f"__word{j}"), F.lit(0))
+                     .bitwiseAND(F.col(f"__b{j}")) != 0)
+    hits = (probes
+            .select("id", hit.alias("__hit"))
+            .groupBy("id")
+            .agg(F.sum(F.col("__hit").cast("long")).alias("n_bloom_hits")))
+    return (base.join(hits, "id", "left")
+            .fillna({"n_bloom_hits": 0})
+            .select("id", "n_grams", "n_bloom_hits",
+                    (F.col("n_bloom_hits") > 0).alias("bloom_contaminated")))
+
+
+def chunk_documents(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id", chunk_tokens: int = 64,
+                    overlap: int = 16) -> DataFrame:
+    """Sliding-window token chunking — the split-before-embed step of
+    every retrieval / embedding pipeline: each doc's whitespace tokens
+    become windows of `chunk_tokens` advancing by
+    (chunk_tokens - overlap), the last window shortened to the doc
+    end (never an empty or pure-overlap trailing chunk).  Docs shorter
+    than one chunk emit exactly one chunk.
+
+    Returns (id, chunk_id, start_tok, n_tok, chunk_text) with 0-based
+    chunk_id and 1-based start_tok.
+
+    Scale: a pure per-row explode — zero shuffle, zero driver state;
+    output row count is ~n_tokens/step per doc, the same volume class
+    the downstream embedder pays anyway."""
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be < chunk_tokens")
+    step = chunk_tokens - overlap
+    toks = (df.select(F.col(id_col).alias("id"),
+                      _toks(text_col).alias("__toks"))
+            .select("id", "__toks", F.size("__toks").alias("__n"))
+            .filter(F.col("__n") >= 1))
+    # m = 1 for n <= chunk, else floor((n - chunk + step - 1)/step) + 1
+    m = F.greatest(
+        F.lit(1),
+        (F.floor((F.col("__n") - chunk_tokens + step - 1)
+                 / F.lit(float(step))) + 1).cast("int"))
+    chunks = (toks
+              .withColumn("__m", m)
+              .select("id", "__toks", "__n",
+                      F.explode(F.sequence(F.lit(0), F.col("__m") - 1))
+                      .alias("chunk_id")))
+    start = (F.col("chunk_id") * step + 1).alias("start_tok")
+    n_tok = F.least(F.lit(chunk_tokens),
+                    F.col("__n") - F.col("chunk_id") * step)
+    return chunks.select(
+        "id", "chunk_id", start,
+        n_tok.cast("int").alias("n_tok"),
+        F.concat_ws(" ", F.slice(
+            "__toks", F.col("chunk_id") * step + 1, n_tok))
+        .alias("chunk_text"))
+
+
 def _rate_hex8(rate: float) -> str:
     """Upper md5-prefix bound for a keep rate in [0, 1].  Rates >= 1
     use the 'g' sentinel (sorts above every hex digit) so the group is

@@ -129,6 +129,72 @@ def iqr_outliers(df: DataFrame, col: str, group_col: str,
         F.round(F.first("__hi"), 6).alias("fence_hi")))
 
 
+_NUMERIC_TYPES = ("int", "bigint", "smallint", "tinyint", "float",
+                  "double", "decimal", "long")
+
+
+def column_profile(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Deequ-style single-pass column profiler: one output row per
+    profiled column with (column, total, n_null, null_frac,
+    n_distinct, mean_numeric, min_numeric, max_numeric, avg_len) —
+    the completeness / cardinality / basic-stats block a lakehouse DQ
+    job records per table per day.  Numeric columns get
+    mean/min/max; string columns get average length; each metric is
+    NULL for the other family (no cross-engine try_cast games on
+    arbitrary text).
+
+    Scale: every metric for every column folds into ONE aggregation
+    over ONE scan — countDistinct per column makes that a single
+    expand-style multi-aggregate (Spark plans one Expand + one
+    exchange of counter rows; there is no per-column pass).  The
+    per-column rows are then unpivoted from the single result row
+    with an explode that costs nothing.  At 10^12 rows swap
+    countDistinct for approx_count_distinct per column to keep the
+    distinct state sketch-sized (documented trade)."""
+    dtypes = dict(df.dtypes)
+    aggs = [F.count(F.lit(1)).alias("__total")]
+    for c in cols:
+        t = dtypes[c]
+        aggs.append(F.sum(F.col(c).isNull().cast("long"))
+                    .alias(f"__null_{c}"))
+        aggs.append(F.countDistinct(c).alias(f"__nd_{c}"))
+        if any(t.startswith(p) for p in _NUMERIC_TYPES):
+            v = F.col(c).cast("double")
+            aggs.append(F.avg(v).alias(f"__mean_{c}"))
+            aggs.append(F.min(v).alias(f"__min_{c}"))
+            aggs.append(F.max(v).alias(f"__max_{c}"))
+            aggs.append(F.lit(None).cast("double").alias(f"__len_{c}"))
+        else:
+            nul = F.lit(None).cast("double")
+            aggs.append(nul.alias(f"__mean_{c}"))
+            aggs.append(nul.alias(f"__min_{c}"))
+            aggs.append(nul.alias(f"__max_{c}"))
+            aggs.append(F.avg(F.length(F.col(c)).cast("double"))
+                        .alias(f"__len_{c}"))
+    row = df.agg(*aggs)
+    per_col = F.array(*[
+        F.struct(
+            F.lit(c).alias("column"),
+            F.col(f"__null_{c}").alias("n_null"),
+            F.col(f"__nd_{c}").alias("n_distinct"),
+            F.round(F.col(f"__mean_{c}"), 6).alias("mean_numeric"),
+            F.round(F.col(f"__min_{c}"), 6).alias("min_numeric"),
+            F.round(F.col(f"__max_{c}"), 6).alias("max_numeric"),
+            F.round(F.col(f"__len_{c}"), 6).alias("avg_len"),
+        ) for c in cols])
+    out = row.select(F.col("__total").alias("total"),
+                     F.explode(per_col).alias("p"))
+    return out.select(
+        F.col("p.column").alias("column"), "total",
+        F.col("p.n_null").alias("n_null"),
+        F.round(F.col("p.n_null") / F.col("total"), 6).alias("null_frac"),
+        F.col("p.n_distinct").alias("n_distinct"),
+        F.col("p.mean_numeric").alias("mean_numeric"),
+        F.col("p.min_numeric").alias("min_numeric"),
+        F.col("p.max_numeric").alias("max_numeric"),
+        F.col("p.avg_len").alias("avg_len"))
+
+
 def freshness(df: DataFrame, ts_col: str, group_col: str,
               max_lag_seconds: float) -> DataFrame:
     """Per-group ingestion-lag report against the table watermark

@@ -329,6 +329,54 @@ def lsh_cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     )
 
 
+def semantic_dedup(df: DataFrame, cluster_col: str,
+                   threshold: float = 0.3, id_col: str = "vec_id",
+                   vec_col: str = "embedding") -> DataFrame:
+    """SemDeDup-style within-cluster semantic prune (Abbas et al.
+    2023, 'SemDeDup: Data-efficient learning at web-scale through
+    semantic deduplication'): given a CLUSTERED embedding table, drop
+    every row whose cosine to an earlier row (lower id) of the same
+    cluster reaches `threshold`, keeping the first representative of
+    each semantic-duplicate set.  The clustering is an input — in
+    SemDeDup it comes from k-means over the same embeddings
+    (`ivf_centroids` + `_with_centroid_cell` produce exactly that
+    when the corpus has none); pre-labeled corpora pass their own
+    column.  Cross-cluster duplicates are invisible by design — the
+    recall/cost trade SemDeDup makes to avoid the all-pairs product.
+
+    Remove-if-similar-to-any-EARLIER-row (not only to earlier KEPT
+    rows) is the standard one-pass simplification: it is a pure
+    self-join, identical across engines, and removes a superset of
+    the iterative greedy variant within each cluster.
+
+    Returns (id, cluster, dup_of, keep) — dup_of is the smallest
+    earlier similar id, NULL for kept rows.
+
+    Scale: ONE shuffle on the cluster key; pairwise work is bounded
+    by the largest cluster (k-means with k ~ sqrt(N) keeps clusters
+    ~sqrt(N)).  Vectors ride the cluster join here because every row
+    of a cluster participates; for clusters too wide for that, switch
+    to ids-only pairing + fetch-vectors-by-id (the
+    embedding_near_dups candidate pattern)."""
+    base = (_widen(df)
+            .select(F.col(id_col).alias("id"),
+                    F.col(cluster_col).alias("cluster"),
+                    _dvec(F.col(vec_col)).alias("v"))
+            .select("id", "cluster", "v", _norm(F.col("v")).alias("nv")))
+    a = base.select(F.col("id").alias("id_a"), "cluster",
+                    F.col("v").alias("va"), F.col("nv").alias("__na"))
+    b = base.select(F.col("id").alias("id_b"), "cluster",
+                    F.col("v").alias("vb"), F.col("nv").alias("__nb"))
+    pairs = a.join(b, "cluster").filter(F.col("id_a") < F.col("id_b"))
+    scored = _score_pairs(pairs, "va", "vb", "__na", "__nb")
+    dup = (scored.filter(F.col("cos") >= threshold)
+           .groupBy("id_b").agg(F.min("id_a").alias("dup_of")))
+    return (base.select("id", "cluster")
+            .join(dup.withColumnRenamed("id_b", "id"), "id", "left")
+            .select("id", "cluster", "dup_of",
+                    F.col("dup_of").isNull().alias("keep")))
+
+
 def quantize_int8_report(df: DataFrame, vec_col: str = "embedding",
                          id_col: str = "vec_id") -> DataFrame:
     """Symmetric int8 scalar quantization of an embedding column —

@@ -284,3 +284,138 @@ def test_mixture_sample_rates_and_independence(spark):
     # g0 at a higher rate is a SUPERSET of g0 at the lower rate
     assert ({k for k, v in kept.items() if v == "g0"}
             <= {k for k, v in kept2.items() if v == "g0"})
+
+
+def _dup_spans_ref(texts, n, min_docs):
+    """Pure-python reference for dup_spans: per doc (n_tokens,
+    n_positions, n_dup_positions, dup_covered via sorted-interval
+    union)."""
+    from collections import defaultdict
+
+    toks = {i: [t for t in txt.split(" ") if t] for i, txt in texts.items()}
+    grams = {i: [" ".join(w[p:p + n]) for p in range(len(w) - n + 1)]
+             for i, w in toks.items()}
+    docs_per_gram = defaultdict(set)
+    for i, gs in grams.items():
+        for g in gs:
+            docs_per_gram[g].add(i)
+    out = {}
+    for i, w in toks.items():
+        if len(w) < n:
+            continue
+        pos = [p for p, g in enumerate(grams[i])
+               if len(docs_per_gram[g]) >= min_docs]
+        covered = 0
+        for a, b in zip(pos, pos[1:] + [None]):
+            covered += n if b is None else min(n, b - a)
+        out[i] = (len(w), len(grams[i]), len(pos), covered)
+    return out
+
+
+def test_dup_spans_matches_python_reference(spark, docs):
+    from data_quality_check_spark.operators.corpus import dup_spans
+
+    texts = {r.doc_id: r.text for r in docs.collect()}
+    exp = _dup_spans_ref(texts, n=3, min_docs=2)
+    got = (dup_spans(docs, "text", "doc_id", n=3, min_docs=2)
+           .toPandas().set_index("id").sort_index())
+    assert set(got.index) == set(exp)
+    for i, (nt, np_, nd, cov) in exp.items():
+        row = got.loc[i]
+        assert (row.n_tokens, row.n_positions,
+                row.n_dup_positions, row.dup_covered) == (nt, np_, nd, cov)
+        assert row.dup_frac == round(cov / nt, 6)
+    # the exact-dup pair is fully covered
+    assert got.loc[0, "dup_frac"] == 1.0 and got.loc[1, "dup_frac"] == 1.0
+
+
+def test_dup_spans_interval_union_merges_overlaps(spark):
+    """Two dup spans overlapping by one token must count the shared
+    token ONCE; a doc whose dup grams are disjoint sums them."""
+    import pandas as pd
+    from data_quality_check_spark.operators.corpus import dup_spans
+
+    pdf = pd.DataFrame({
+        "doc_id": [0, 1, 2],
+        "text": [
+            # positions 1,2 duplicated (grams 'b c d', 'c d e' in doc1
+            # as well): union of [1,3] and [2,4] = 4 tokens, not 6
+            "a b c d e z1 z2 z3",
+            "q b c d e r s t",
+            "unrelated words only here now",
+        ],
+    })
+    out = (dup_spans(spark.createDataFrame(pdf), "text", "doc_id",
+                     n=3, min_docs=2)
+           .toPandas().set_index("id"))
+    assert out.loc[0, "n_dup_positions"] == 2
+    assert out.loc[0, "dup_covered"] == 4
+    assert out.loc[2, "n_dup_positions"] == 0
+    assert out.loc[2, "dup_covered"] == 0
+
+
+def test_bloom_decontaminate_guarantees(spark, docs):
+    """No false negatives at ANY sizing; zero false positives at the
+    default sizing on this corpus (expected-FP ~0); a deliberately
+    tiny bitset forces FPs but still never loses a true hit."""
+    from data_quality_check_spark.operators.corpus import (
+        bloom_decontaminate, decontaminate)
+
+    ev = docs.filter("doc_id = 0")
+    tr = docs.filter("doc_id <> 0")
+    exact = (decontaminate(tr, ev, n=4)
+             .toPandas().set_index("doc_id").sort_index())
+    bloom = (bloom_decontaminate(tr, ev, n=4)
+             .toPandas().set_index("id").sort_index())
+    assert list(exact.index) == list(bloom.index)
+    assert (exact.n_grams == bloom.n_grams).all()
+    # default sizing: bloom == exact on this corpus
+    assert (bloom.n_bloom_hits == exact.n_hits).all()
+    assert (bloom.bloom_contaminated == exact.contaminated).all()
+    # tiny bitset (64 bits): saturated -> false positives appear,
+    # but every exact hit is still a bloom hit
+    tiny = (bloom_decontaminate(tr, ev, n=4, m_bits=64)
+            .toPandas().set_index("id").sort_index())
+    assert (tiny.n_bloom_hits >= exact.n_hits).all()
+    assert (tiny.bloom_contaminated | ~exact.contaminated).all()
+
+
+def test_chunk_documents_reconstruction_and_boundaries(spark):
+    """Chunks reconstruct the doc exactly (drop the overlap prefix of
+    every chunk after the first); boundary sizes: 1 token, exactly one
+    chunk, one token over, long doc."""
+    import pandas as pd
+    from data_quality_check_spark.operators.corpus import chunk_documents
+
+    chunk, ov = 8, 3
+    step = chunk - ov
+    texts = {
+        0: "t0",
+        1: " ".join(f"w{i}" for i in range(chunk)),        # exactly 1
+        2: " ".join(f"w{i}" for i in range(chunk + 1)),    # 2 chunks
+        3: " ".join(f"w{i}" for i in range(47)),           # long
+    }
+    pdf = pd.DataFrame({"doc_id": list(texts), "text": list(texts.values())})
+    out = (chunk_documents(spark.createDataFrame(pdf), "text", "doc_id",
+                           chunk_tokens=chunk, overlap=ov)
+           .toPandas().sort_values(["id", "chunk_id"]))
+    for i, txt in texts.items():
+        toks = txt.split(" ")
+        rows = out[out.id == i]
+        # start positions advance by step; last chunk reaches the end
+        assert list(rows.start_tok) == [
+            1 + c * step for c in range(len(rows))]
+        assert rows.iloc[-1].start_tok + rows.iloc[-1].n_tok - 1 == len(toks)
+        # every chunk except maybe the last is full-size
+        assert (rows.n_tok.iloc[:-1] == chunk).all()
+        # reconstruction: first chunk whole, then drop `ov` tokens
+        rebuilt = rows.iloc[0].chunk_text.split(" ")
+        for t in rows.chunk_text.iloc[1:]:
+            rebuilt += t.split(" ")[ov:]
+        # overlapping tokens agree
+        for r in rows.iloc[1:].itertuples():
+            assert (r.chunk_text.split(" ")[:ov]
+                    == toks[r.start_tok - 1:r.start_tok - 1 + ov])
+        assert rebuilt == toks
+    assert len(out[out.id == 1]) == 1
+    assert len(out[out.id == 2]) == 2

@@ -194,3 +194,42 @@ def test_embedding_near_dups_default_is_lsh_not_cartesian(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     with _pytest.raises(ValueError, match="exact=True"):
         embedding_near_dups(em, threshold=0.9, bits=0)
+
+
+def test_semantic_dedup_within_cluster_properties(spark):
+    """Every removed row has an earlier same-cluster row at cos >=
+    threshold (with dup_of the SMALLEST such id); every kept row has
+    none; clusters are never crossed; output is repartition-stable."""
+    from data_quality_check_spark.operators.similarity import semantic_dedup
+
+    em = _emb(spark)
+    th = 0.3
+    out = semantic_dedup(em, "label", threshold=th).toPandas()
+    rows = em.select("vec_id", "label", "embedding").collect()
+    vecs = {r.vec_id: np.asarray(r.embedding, dtype=np.float64)
+            for r in rows}
+    lab = {r.vec_id: r.label for r in rows}
+
+    def cos(a, b):
+        va, vb = vecs[a], vecs[b]
+        return round(float(va @ vb)
+                     / (np.linalg.norm(va) * np.linalg.norm(vb)), 6)
+
+    assert set(out.id) == set(vecs)
+    for r in out.itertuples():
+        earlier = [j for j in vecs
+                   if j < r.id and lab[j] == lab[r.id]
+                   and cos(j, r.id) >= th]
+        if r.keep:
+            assert not earlier and r.dup_of != r.dup_of  # NaN dup_of
+        else:
+            assert earlier and r.dup_of == min(earlier)
+            assert lab[int(r.dup_of)] == lab[r.id]
+    # some rows removed on this fixture (threshold chosen to bite)
+    assert 0 < (~out.keep).sum() < len(out)
+
+    again = semantic_dedup(em.repartition(7), "label",
+                           threshold=th).toPandas()
+    pd_sorted = out.sort_values("id").reset_index(drop=True)
+    ag_sorted = again.sort_values("id").reset_index(drop=True)
+    assert pd_sorted.equals(ag_sorted)
