@@ -27,6 +27,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from .dedup import _widen
+
 
 def _toks(text_col: str):
     """Whitespace tokens of a single-space-separated text column."""
@@ -47,30 +49,46 @@ def _word_ngrams(tokens_col: str, n: int):
         F.array().cast("array<string>"))
 
 
+def doc_grams(df: DataFrame, text_col: str = "text",
+              id_col: str = "doc_id", n: int = 3) -> DataFrame:
+    """Per-doc DISTINCT word n-gram arrays (id_col, grams) — the
+    shared input artifact of the decontamination family.  Compute
+    ONCE (and `.localCheckpoint()` it) when several passes consume
+    the same corpus: Catalyst has no cross-consumer common-subtree
+    reuse, so each consumer would otherwise re-derive the whole
+    interpreted-HOF gram stage (measured: the exact+Bloom comparison
+    query re-evaluated it ~13x, 12 s -> ~3 s after sharing)."""
+    return (_widen(df)  # 1-task single-file scans serialize the
+            # interpreted HOF gram stage on one core (dedup._widen)
+            .select(F.col(id_col).alias(id_col),
+                    _toks(text_col).alias("__w"))
+            .select(id_col, F.array_distinct(
+                _word_ngrams("__w", n)).alias("grams")))
+
+
 def decontaminate(train: DataFrame, eval_df: DataFrame,
                   text_col: str = "text", id_col: str = "doc_id",
-                  n: int = 3) -> DataFrame:
+                  n: int = 3, train_grams: DataFrame | None = None,
+                  eval_grams: DataFrame | None = None) -> DataFrame:
     """Benchmark decontamination: per training doc, how many of its
     distinct word n-grams appear anywhere in the eval set.
 
     Returns (id, n_grams, n_hits, contam_frac, contaminated).  The
     eval gram dictionary is distinct-ed and broadcast; the train side
-    is touched by a map-side LEFT SEMI join only.
+    is touched by a map-side LEFT SEMI join only.  `train_grams` /
+    `eval_grams` accept a precomputed `doc_grams` table (see there).
     """
-    grams = (train
-             .select(id_col, _toks(text_col).alias("__w"))
-             .select(id_col, F.array_distinct(
-                 _word_ngrams("__w", n)).alias("__g")))
-    ev = (eval_df
-          .select(_toks(text_col).alias("__w"))
-          .select(F.explode(_word_ngrams("__w", n)).alias("gram"))
-          .distinct())
-    hits = (grams
-            .select(id_col, F.explode("__g").alias("gram"))
+    g = (train_grams if train_grams is not None
+         else doc_grams(train, text_col, id_col, n))
+    evg = (eval_grams if eval_grams is not None
+           else doc_grams(eval_df, text_col, id_col, n))
+    ev = evg.select(F.explode("grams").alias("gram")).distinct()
+    hits = (g
+            .select(id_col, F.explode("grams").alias("gram"))
             .join(F.broadcast(ev), "gram", "left_semi")
             .groupBy(id_col)
             .agg(F.count("*").alias("n_hits")))
-    base = grams.select(id_col, F.size("__g").alias("n_grams"))
+    base = g.select(id_col, F.size("grams").alias("n_grams"))
     out = base.join(hits, id_col, "left").fillna({"n_hits": 0})
     frac = F.col("n_hits") / F.greatest(F.col("n_grams"), F.lit(1))
     return out.select(
@@ -211,8 +229,8 @@ def dup_spans(df: DataFrame, text_col: str = "text",
     xxhash64(gram) before the exchange, same plan shape); the
     duplicated dictionary comes back as a LEFT SEMI join, so only
     (id, pos) int pairs reach the per-doc window + aggregate."""
-    toks = df.select(F.col(id_col).alias("id"),
-                     _toks(text_col).alias("__toks"))
+    toks = _widen(df).select(F.col(id_col).alias("id"),
+                             _toks(text_col).alias("__toks"))
     base = (toks.select("id", F.size("__toks").cast("long")
                         .alias("n_tokens"))
             .filter(F.col("n_tokens") >= n)
@@ -246,14 +264,18 @@ def dup_spans(df: DataFrame, text_col: str = "text",
 def bloom_decontaminate(train: DataFrame, eval_df: DataFrame,
                         text_col: str = "text", id_col: str = "doc_id",
                         n: int = 4, m_bits: int = 1 << 20,
-                        n_hashes: int = 3) -> DataFrame:
+                        n_hashes: int = 3,
+                        train_grams: DataFrame | None = None,
+                        eval_grams: DataFrame | None = None) -> DataFrame:
     """Bloom-filter decontamination — the scale path of
     `decontaminate` for eval sets too large to broadcast as an exact
     gram dictionary: the eval set is folded into an m_bits Bloom
     bitset (n_hashes xxhash64 probes per gram), stored as m_bits/64
     packed int64 words built with ONE bit_or aggregation.  Train
-    grams test membership via n_hashes broadcast joins against the
-    word table — never against the gram dictionary itself.
+    grams test membership via ONE broadcast join of their exploded
+    (word_i, bit) probes against the word table — never against the
+    gram dictionary itself — then AND the n_hashes probe verdicts
+    per gram with a narrow (id, gram-hash) groupBy.
 
     Returns (id, n_grams, n_bloom_hits, bloom_contaminated) per
     training doc.  Bloom guarantees: NO false negatives (every doc
@@ -263,13 +285,15 @@ def bloom_decontaminate(train: DataFrame, eval_df: DataFrame,
 
     Scale: the bitset is <= m_bits/64 rows (16 Ki at the default)
     REGARDLESS of eval-set size — the whole point vs the exact
-    dictionary, whose broadcast grows with the eval set.  The train
-    side stays map-side until the per-doc aggregation, exactly like
-    `decontaminate`."""
-    ev = (eval_df
-          .select(_toks(text_col).alias("__w"))
-          .select(F.explode(_word_ngrams("__w", n)).alias("gram"))
-          .distinct())
+    dictionary, whose broadcast grows with the eval set.  Only
+    (id, 64-bit gram hash, word_i, bit) ints cross the probe stages;
+    gram strings never leave their map task.  `train_grams` /
+    `eval_grams` accept a precomputed `doc_grams` table."""
+    g = (train_grams if train_grams is not None
+         else doc_grams(train, text_col, id_col, n))
+    evg = (eval_grams if eval_grams is not None
+           else doc_grams(eval_df, text_col, id_col, n))
+    ev = evg.select(F.explode("grams").alias("gram")).distinct()
     idx = [F.pmod(F.xxhash64(F.col("gram"), F.lit(j)), F.lit(m_bits))
            for j in range(n_hashes)]
     bitset = (ev
@@ -279,32 +303,30 @@ def bloom_decontaminate(train: DataFrame, eval_df: DataFrame,
                       .alias("__bit"))
               .groupBy("word_i")
               .agg(F.bit_or("__bit").alias("word")))
-    grams = (train
-             .select(F.col(id_col).alias("id"),
-                     _toks(text_col).alias("__w"))
-             .select("id", F.array_distinct(
-                 _word_ngrams("__w", n)).alias("__g")))
-    base = grams.select("id", F.size("__g").alias("n_grams"))
-    probes = grams.select("id", F.explode("__g").alias("gram"))
-    hit = F.lit(True)
-    for j in range(n_hashes):
-        ix = F.pmod(F.xxhash64(F.col("gram"), F.lit(j)), F.lit(m_bits))
-        probes = (probes
-                  .withColumn("__ix", ix)
-                  .withColumn(f"__w{j}", F.floor(F.col("__ix") / 64))
-                  .withColumn(f"__b{j}", F.expr(
-                      "shiftleft(1L, CAST(__ix % 64 AS INT))"))
-                  .drop("__ix"))
-        bw = F.broadcast(bitset.select(
-            F.col("word_i").alias(f"__w{j}"),
-            F.col("word").alias(f"__word{j}")))
-        probes = probes.join(bw, f"__w{j}", "left")
-        hit = hit & (F.coalesce(F.col(f"__word{j}"), F.lit(0))
-                     .bitwiseAND(F.col(f"__b{j}")) != 0)
-    hits = (probes
-            .select("id", hit.alias("__hit"))
-            .groupBy("id")
-            .agg(F.sum(F.col("__hit").cast("long")).alias("n_bloom_hits")))
+    base = g.select(F.col(id_col).alias("id"),
+                    F.size("grams").alias("n_grams"))
+    probes = (g.select(F.col(id_col).alias("id"),
+                       F.explode("grams").alias("gram"))
+              .select("id", F.xxhash64("gram").alias("__gk"),
+                      *[F.pmod(F.xxhash64(F.col("gram"), F.lit(j)),
+                               F.lit(m_bits)).alias(f"__ix{j}")
+                        for j in range(n_hashes)]))
+    wb = probes.select("id", "__gk", F.explode(F.array(*[
+        F.struct(F.floor(F.col(f"__ix{j}") / 64).alias("word_i"),
+                 F.expr(f"shiftleft(1L, CAST(__ix{j} % 64 AS INT))")
+                 .alias("bit"))
+        for j in range(n_hashes)])).alias("wb"))
+    wb = wb.select("id", "__gk", F.col("wb.word_i").alias("word_i"),
+                   F.col("wb.bit").alias("bit"))
+    checked = (wb.join(F.broadcast(bitset), "word_i", "left")
+               .select("id", "__gk",
+                       (F.coalesce(F.col("word"), F.lit(0))
+                        .bitwiseAND(F.col("bit")) != 0).alias("__ok")))
+    per_gram = (checked.groupBy("id", "__gk")
+                .agg(F.bool_and("__ok").alias("__in_bloom")))
+    hits = (per_gram.groupBy("id")
+            .agg(F.sum(F.col("__in_bloom").cast("long"))
+                 .alias("n_bloom_hits")))
     return (base.join(hits, "id", "left")
             .fillna({"n_bloom_hits": 0})
             .select("id", "n_grams", "n_bloom_hits",

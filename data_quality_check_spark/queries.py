@@ -2760,9 +2760,16 @@ def q_text_bloom_decontaminate(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     ev = d.filter((F.col("doc_id") % 37) == 0)
     tr = d.filter((F.col("doc_id") % 37) != 0)
-    exact = corpus.decontaminate(tr, ev, n=4).select(
+    # materialize the shared gram artifact ONCE: the exact and Bloom
+    # branches consume it 4x between them, and Catalyst re-derives
+    # un-checkpointed subtrees per consumer (measured 12 s -> ~3 s)
+    g_tr = corpus.doc_grams(tr, "text", "doc_id", 4).localCheckpoint()
+    g_ev = corpus.doc_grams(ev, "text", "doc_id", 4).localCheckpoint()
+    exact = corpus.decontaminate(tr, ev, n=4, train_grams=g_tr,
+                                 eval_grams=g_ev).select(
         F.col("doc_id").alias("id"), "contaminated")
-    bloom = corpus.bloom_decontaminate(tr, ev, n=4)
+    bloom = corpus.bloom_decontaminate(tr, ev, n=4, train_grams=g_tr,
+                                       eval_grams=g_ev)
     both = exact.join(bloom, "id")
     return both.agg(
         F.count("*").alias("n_docs"),
