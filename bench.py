@@ -39,6 +39,9 @@ HEADLINE_KEYS = [
     "join_asof",
     "dedup_image_pipeline",
     "dq_drift_psi",
+    "text_dup_spans",
+    "text_bloom_decontaminate",
+    "dedup_semantic",
 ]
 
 

@@ -377,6 +377,40 @@ def chunk_documents(df: DataFrame, text_col: str = "text",
         .alias("chunk_text"))
 
 
+def zipf_slope(df: DataFrame, text_col: str = "text",
+               top_k: int = 1000) -> DataFrame:
+    """Corpus vocabulary health check: the least-squares slope of
+    ln(freq) vs ln(rank) over the `top_k` most frequent words.
+    Natural-language corpora sit near Zipf's -1; heavily templated,
+    synthetic, or boilerplate-flooded corpora deviate — a one-row
+    release gate next to `corpus_stats`.
+
+    Returns one row: (vocab, n_top, slope, r2).
+
+    Scale: ONE word-count shuffle (the tf-idf volume class), then
+    `orderBy().limit(top_k)` — Spark's TakeOrdered, a per-partition
+    top-k + driver merge, NO global sort — so the single-reducer
+    row_number window only ever ranks `top_k` rows.  Ties broken by
+    word for a deterministic cross-engine rank."""
+    words = (_widen(df)
+             .select(_toks(text_col).alias("__w"))
+             .select(F.explode("__w").alias("w")))
+    wc = words.groupBy("w").agg(F.count("*").alias("c"))
+    vocab = wc.agg(F.count("*").alias("vocab"))
+    top = wc.orderBy(F.desc("c"), F.asc("w")).limit(top_k)
+    ranked = top.withColumn(
+        "r", F.row_number().over(
+            Window.orderBy(F.desc("c"), F.asc("w"))))
+    y = F.log(F.col("c").cast("double"))
+    x = F.log(F.col("r").cast("double"))
+    stats = ranked.agg(
+        F.count("*").alias("n_top"),
+        F.round(F.regr_slope(y, x), 6).alias("slope"),
+        F.round(F.regr_r2(y, x), 6).alias("r2"))
+    return (stats.crossJoin(F.broadcast(vocab))
+            .select("vocab", "n_top", "slope", "r2"))
+
+
 def _rate_hex8(rate: float) -> str:
     """Upper md5-prefix bound for a keep rate in [0, 1].  Rates >= 1
     use the 'g' sentinel (sorts above every hex digit) so the group is

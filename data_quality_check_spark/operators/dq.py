@@ -169,8 +169,11 @@ def column_profile(df: DataFrame, cols: list[str]) -> DataFrame:
             aggs.append(nul.alias(f"__mean_{c}"))
             aggs.append(nul.alias(f"__min_{c}"))
             aggs.append(nul.alias(f"__max_{c}"))
-            aggs.append(F.avg(F.length(F.col(c)).cast("double"))
-                        .alias(f"__len_{c}"))
+            if t in ("string", "binary"):
+                aggs.append(F.avg(F.length(F.col(c)).cast("double"))
+                            .alias(f"__len_{c}"))
+            else:  # arrays/maps/structs/timestamps: no length metric
+                aggs.append(nul.alias(f"__len_{c}"))
     row = df.agg(*aggs)
     per_col = F.array(*[
         F.struct(

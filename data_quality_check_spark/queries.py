@@ -2879,6 +2879,33 @@ FROM c
 """
 
 
+def q_corpus_zipf(spark, sf_dir):
+    """Zipf rank-frequency slope over the top-1000 words
+    (operators/corpus.py::zipf_slope)."""
+    from .operators.corpus import zipf_slope
+
+    return zipf_slope(_t(spark, sf_dir, "documents"), "text", top_k=1000)
+
+
+SQL_CORPUS_ZIPF = """
+WITH w AS (
+  SELECT unnest(list_filter(string_split(text, ' '), x -> x != '')) AS w
+  FROM documents
+), wc AS (
+  SELECT w, count(*) AS c FROM w GROUP BY w
+), top AS (
+  SELECT c, row_number() OVER (ORDER BY c DESC, w) AS r
+  FROM wc QUALIFY r <= 1000
+)
+SELECT CAST((SELECT count(*) FROM wc) AS BIGINT) AS vocab,
+  CAST(count(*) AS BIGINT) AS n_top,
+  round(regr_slope(ln(CAST(c AS DOUBLE)), ln(CAST(r AS DOUBLE))), 6)
+    AS slope,
+  round(regr_r2(ln(CAST(c AS DOUBLE)), ln(CAST(r AS DOUBLE))), 6) AS r2
+FROM top
+"""
+
+
 def q_dedup_semantic(spark, sf_dir):
     """SemDeDup within-cluster semantic prune (operators/
     similarity.py::semantic_dedup) over the embeddings table's own
@@ -3464,6 +3491,7 @@ _ALL_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | No
     "dedup_semantic": (q_dedup_semantic, SQL_DEDUP_SEMANTIC),
     "dq_profile": (q_dq_profile, SQL_DQ_PROFILE),
     "text_chunks": (q_text_chunks, SQL_TEXT_CHUNKS),
+    "corpus_zipf": (q_corpus_zipf, SQL_CORPUS_ZIPF),
 }
 
 # The driver verifies the FIRST 50 registry keys in insertion order

@@ -21,6 +21,9 @@ to jobs/run_dq.py's single-pass row checks.
         --input s3://wh/events --ts-col ts --group event_type \
         --max-lag-seconds 3600
 
+    # single-pass column profile (all columns, or --column a,b,c)
+    spark-submit jobs/run_analyzers.py profile --input s3://wh/events
+
 Prints the report as JSON lines; exit code 0 iff the analyzer's pass
 condition holds (no orphans / total PSI <= threshold / no stale
 group; outliers always exits 0 — it reports, it does not gate).
@@ -66,6 +69,11 @@ def run(spark, analyzer: str, input_path: str, *,
     elif analyzer == "freshness":
         rows = dq.freshness(df, ts_col, group, max_lag_seconds).collect()
         ok = not any(r["stale"] for r in rows)
+    elif analyzer == "profile":
+        cols = (column.split(",") if column
+                else [c for c, _t in df.dtypes])
+        rows = dq.column_profile(df, cols).collect()
+        ok = True  # reporting, not gating
     else:
         raise ValueError(f"unknown analyzer {analyzer!r}")
     return [r.asDict() for r in rows], ok
@@ -75,7 +83,7 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("analyzer",
                     choices=["referential", "drift", "outliers",
-                             "freshness"])
+                             "freshness", "profile"])
     ap.add_argument("--input", required=True)
     ap.add_argument("--column")
     ap.add_argument("--group")

@@ -419,3 +419,25 @@ def test_chunk_documents_reconstruction_and_boundaries(spark):
         assert rebuilt == toks
     assert len(out[out.id == 1]) == 1
     assert len(out[out.id == 2]) == 2
+
+
+def test_zipf_slope_matches_numpy(spark):
+    """Slope/r2 vs a numpy least-squares reference on a corpus with a
+    known frequency staircase; vocab and top-k accounting exact."""
+    import numpy as np
+    import pandas as pd
+    from data_quality_check_spark.operators.corpus import zipf_slope
+
+    # word w_i appears (20 - i) times, i = 0..19 -> freqs 20..1
+    words = []
+    for i in range(20):
+        words += [f"w{i:02d}"] * (20 - i)
+    pdf = pd.DataFrame({"doc_id": [0], "text": [" ".join(words)]})
+    out = zipf_slope(spark.createDataFrame(pdf), "text", top_k=10).toPandas()
+    assert out.vocab[0] == 20 and out.n_top[0] == 10
+    y = np.log(np.arange(20, 10, -1, dtype=float))   # top-10 freqs
+    x = np.log(np.arange(1, 11, dtype=float))
+    slope, intercept = np.polyfit(x, y, 1)
+    r = np.corrcoef(x, y)[0, 1]
+    assert abs(out.slope[0] - slope) < 1e-6
+    assert abs(out.r2[0] - r * r) < 1e-6

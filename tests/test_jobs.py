@@ -93,5 +93,11 @@ def test_run_analyzers_job(spark):
         group="event_type", max_lag_seconds=1.0)
     assert not ok  # 1s threshold: some event type is always stale
 
+    rows, ok = run_analyzers.run(
+        spark, "profile", "/root/testdata/sf0.001/events.parquet")
+    assert ok and {r["column"] for r in rows} == {
+        "event_id", "ts", "user_id", "event_type", "value", "props"}
+    assert all(r["total"] == rows[0]["total"] for r in rows)
+
     with pytest.raises(ValueError, match="unknown analyzer"):
         run_analyzers.run(spark, "nope", "/root/testdata/sf0.001/events.parquet")
