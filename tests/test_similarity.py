@@ -233,3 +233,35 @@ def test_semantic_dedup_within_cluster_properties(spark):
     pd_sorted = out.sort_values("id").reset_index(drop=True)
     ag_sorted = again.sort_values("id").reset_index(drop=True)
     assert pd_sorted.equals(ag_sorted)
+
+
+def test_semantic_dedup_kmeans_production_path(spark):
+    """The production clustering path: ivf_centroids +
+    _with_centroid_cell assign k-means cells (verified against numpy
+    argmax on the same centroids), then semantic_dedup prunes within
+    them with the same properties as the labeled-cluster test."""
+    from data_quality_check_spark.operators.similarity import (
+        _with_centroid_cell, _prenormed, ivf_centroids, semantic_dedup)
+
+    em = _emb(spark)
+    C = ivf_centroids(em, n_centroids=8, vec_col="embedding")
+    assigned = (_with_centroid_cell(
+        _prenormed(em, "vec_id", "embedding", "vec_id", "v", "__n"),
+        "v", C).select("vec_id", "cell", "v"))
+    got = {r.vec_id: r.cell for r in assigned.collect()}
+    rows = em.select("vec_id", "embedding").collect()
+    for r in rows:
+        v = np.asarray(r.embedding, dtype=np.float64)
+        dots = C @ v
+        # numpy argmax picks the first max; _with_centroid_cell too
+        assert got[r.vec_id] == int(np.argmax(dots)), r.vec_id
+
+    out = semantic_dedup(
+        assigned.withColumnRenamed("v", "embedding"), "cell",
+        threshold=0.3, id_col="vec_id", vec_col="embedding").toPandas()
+    assert set(out.id) == {r.vec_id for r in rows}
+    # within-cluster justification: every removed row's dup_of is an
+    # earlier row of the same cell
+    cells = got
+    for r in out[~out.keep].itertuples():
+        assert r.dup_of < r.id and cells[int(r.dup_of)] == cells[r.id]

@@ -85,6 +85,39 @@ def one_run():
                           collapse_exact=False).count()
     return time.time() - t0
 """,
+    "dup_spans": """
+from data_quality_check_spark.operators import corpus
+
+docs = spark.read.parquet(f"/root/testdata/sf{sf:g}/documents.parquet")
+N_UNITS = docs.count()
+
+def one_run():
+    import time
+    t0 = time.time()
+    corpus.dup_spans(docs, "text", "doc_id", n=5, min_docs=2).count()
+    return time.time() - t0
+""",
+    "dup_spans_big": """
+# dup_spans at sandbox sf runs <1s even at 2 cores (pure stage
+# latency); this variant replicates the corpus 20x (100k docs, ~5M
+# gram positions, every gram cross-doc duplicated = worst-case
+# semi-join + window volume) so the DATA stages dominate and N->4N
+# measures the plan, not the scheduler.
+from pyspark.sql import functions as F
+from data_quality_check_spark.operators import corpus
+
+base = spark.read.parquet(f"/root/testdata/sf{sf:g}/documents.parquet")
+docs = (base.crossJoin(spark.range(20).select(F.col("id").alias("__rep")))
+        .select((F.col("doc_id") * 32 + F.col("__rep")).alias("doc_id"),
+                "text"))
+N_UNITS = docs.count()
+
+def one_run():
+    import time
+    t0 = time.time()
+    corpus.dup_spans(docs, "text", "doc_id", n=5, min_docs=2).count()
+    return time.time() - t0
+""",
     "image_keepers": """
 from data_quality_check_spark.operators import dedup
 from data_quality_check_spark.sources import images as IM
