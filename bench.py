@@ -95,15 +95,30 @@ def main() -> None:
         # warming through run ~4 on this host
         timings["pipeline"] = round(runs[0], 3)
 
+        def _force(df) -> int:
+            # evaluate EVERY output column: .count() lets Catalyst
+            # prune expensive projections and even eliminate left
+            # joins against unique-keyed aggregates (CLAUDE.md),
+            # which made row-preserving keys (text_dup_spans,
+            # dedup_semantic) time near-zero while computing nothing.
+            # Registry outputs are scalar-only by contract, so a
+            # whole-row hash aggregate is always valid.
+            from pyspark.sql import functions as F
+            row = df.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.bit_xor(F.xxhash64(F.struct(*df.columns))).alias("h"),
+            ).collect()[0]
+            return row["n"]
+
         for key in HEADLINE_KEYS:
             fn, _sql = REGISTRY[key]
-            fn(spark, sf_dir).count()  # warm: codegen/JIT compile
+            _force(fn(spark, sf_dir))  # warm: codegen/JIT compile
             # min of 3: the host has noisy-neighbor CPU steal and a
             # single timed run regularly reads 1.5-2x high
             best = float("inf")
             for _ in range(3):
                 t0 = time.time()
-                n = fn(spark, sf_dir).count()
+                n = _force(fn(spark, sf_dir))
                 best = min(best, time.time() - t0)
                 assert n >= 0
             timings[key] = round(best, 3)

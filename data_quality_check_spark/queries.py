@@ -2000,6 +2000,35 @@ SQL_MULTIMODAL_RESIZE = (
 )
 
 
+def q_multimodal_exact_dups(spark, sf_dir):
+    """CONTENT-level exact image dedup, robust to re-encoding: group
+    on the decoded 16x16-thumbnail sha256 (resize_images), so the
+    same pixels stored as different bytes (another fmt / lossless
+    re-encode) still collapse — the case sha256(bytes) dedup
+    (dedup_exact_images) structurally misses.  VALUE-CHECKED against
+    the numpy-oracle resize fixture: the digest is deterministic
+    per pixel content, no LSH, no probabilistic recall."""
+    from .operators.multimodal import resize_images
+
+    out = resize_images(_images(spark, sf_dir), tw=16, th=16).filter(
+        F.col("decoded"))
+    wp = Window.partitionBy("resized_sha256")
+    return (out.select("image_id", "resized_sha256")
+            .withColumn("rep", F.min("image_id").over(wp))
+            .withColumn("group_size", F.count("*").over(wp))
+            .withColumn("is_dup", F.col("image_id") != F.col("rep")))
+
+
+SQL_MULTIMODAL_EXACT_DUPS = """
+SELECT image_id, resized_sha256,
+  min(image_id) OVER (PARTITION BY resized_sha256) AS rep,
+  count(*) OVER (PARTITION BY resized_sha256) AS group_size,
+  image_id <> min(image_id) OVER (PARTITION BY resized_sha256) AS is_dup
+FROM '/root/repo/data/mm_resize_sf0.01.parquet'
+WHERE decoded
+"""
+
+
 def q_join_outer(spark, sf_dir):
     """Full outer join: customers x their order totals (nulls on both
     sides where unmatched)."""
@@ -3492,6 +3521,8 @@ _ALL_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | No
     "dq_profile": (q_dq_profile, SQL_DQ_PROFILE),
     "text_chunks": (q_text_chunks, SQL_TEXT_CHUNKS),
     "corpus_zipf": (q_corpus_zipf, SQL_CORPUS_ZIPF),
+    "multimodal_exact_dups": (q_multimodal_exact_dups,
+                              SQL_MULTIMODAL_EXACT_DUPS),
 }
 
 # The driver verifies the FIRST 50 registry keys in insertion order

@@ -93,8 +93,11 @@ N_UNITS = docs.count()
 
 def one_run():
     import time
+    from pyspark.sql import functions as F
     t0 = time.time()
-    corpus.dup_spans(docs, "text", "doc_id", n=5, min_docs=2).count()
+    out = corpus.dup_spans(docs, "text", "doc_id", n=5, min_docs=2)
+    # whole-row hash: .count() would prune the dup computation
+    out.agg(F.bit_xor(F.xxhash64(F.struct(*out.columns)))).collect()
     return time.time() - t0
 """,
     "dup_spans_big": """
@@ -115,7 +118,8 @@ N_UNITS = docs.count()
 def one_run():
     import time
     t0 = time.time()
-    corpus.dup_spans(docs, "text", "doc_id", n=5, min_docs=2).count()
+    out = corpus.dup_spans(docs, "text", "doc_id", n=5, min_docs=2)
+    out.agg(F.bit_xor(F.xxhash64(F.struct(*out.columns)))).collect()
     return time.time() - t0
 """,
     "image_keepers": """
