@@ -785,14 +785,22 @@ def crossmodal_near_dups(df: DataFrame, max_hamming: int = 3,
     cand_ids = (cand.select(F.col("id_a").alias("gid"))
                 .union(cand.select(F.col("id_b").alias("gid")))
                 .distinct())
-    grams = grams.join(cand_ids, "gid", "left_semi")
+    grams = (grams.join(cand_ids, "gid", "left_semi")
+             # gram arrays are DISTINCT (_gram_expr), so the union
+             # size is |a| + |b| - |intersect|: precompute sizes once
+             # per id and drop the per-pair array_union pass — at
+             # 2.8M candidate pairs that pass was ~the same cost as
+             # the intersect itself
+             .select("gid", "grams", F.size("grams").alias("gsz")))
     pairs = (
         cand.join(grams.select(F.col("gid").alias("id_a"),
-                               F.col("grams").alias("ga")), "id_a")
+                               F.col("grams").alias("ga"),
+                               F.col("gsz").alias("__sa")), "id_a")
         .join(grams.select(F.col("gid").alias("id_b"),
-                           F.col("grams").alias("gb")), "id_b"))
+                           F.col("grams").alias("gb"),
+                           F.col("gsz").alias("__sb")), "id_b"))
     inter = F.size(F.array_intersect("ga", "gb")).cast("double")
-    union = F.size(F.array_union("ga", "gb")).cast("double")
+    union = (F.col("__sa") + F.col("__sb")).cast("double") - inter
     return (
         pairs.withColumn("jaccard", F.round(inter / union, 6))
         .select(
