@@ -200,15 +200,19 @@ def jaccard_pairs_exact(df: DataFrame, text_col: str, id_col: str,
                  lambda t: t != F.lit("")).alias("__toks"))
     base = tokd.select(F.col(id_col),
                        _gram_expr(F.col("__toks"), n).alias("grams"))
+    # distinct grams => |union| = |a| + |b| - |inter|: sizes projected
+    # once per id, no per-pair array_union pass
+    base = base.select(id_col, "grams", F.size("grams").alias("gsz"))
     pairs = (
         base.alias("a")
         .join(base.alias("b"), F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
         .select(F.col(f"a.{id_col}").alias("id_a"),
                 F.col(f"b.{id_col}").alias("id_b"),
-                F.col("a.grams").alias("ga"), F.col("b.grams").alias("gb"))
+                F.col("a.grams").alias("ga"), F.col("b.grams").alias("gb"),
+                F.col("a.gsz").alias("__sa"), F.col("b.gsz").alias("__sb"))
     )
     inter = F.size(F.array_intersect("ga", "gb")).cast("double")
-    union = F.size(F.array_union("ga", "gb")).cast("double")
+    union = (F.col("__sa") + F.col("__sb")).cast("double") - inter
     return (
         pairs.withColumn("jaccard", F.round(inter / union, 6))
         .filter(F.col("jaccard") >= threshold)
@@ -259,15 +263,18 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
                 .union(cand.select(F.col("id_b").alias("gid")))
                 .distinct())
     grams = (base.select(F.col(id_col).alias("gid"), "grams")
-             .join(cand_ids, "gid", "left_semi"))
+             .join(cand_ids, "gid", "left_semi")
+             .select("gid", "grams", F.size("grams").alias("gsz")))
     pairs = (
         cand.join(grams.select(F.col("gid").alias("id_a"),
-                               F.col("grams").alias("ga")), "id_a")
+                               F.col("grams").alias("ga"),
+                               F.col("gsz").alias("__sa")), "id_a")
         .join(grams.select(F.col("gid").alias("id_b"),
-                           F.col("grams").alias("gb")), "id_b")
+                           F.col("grams").alias("gb"),
+                           F.col("gsz").alias("__sb")), "id_b")
     )
     inter = F.size(F.array_intersect("ga", "gb")).cast("double")
-    union = F.size(F.array_union("ga", "gb")).cast("double")
+    union = (F.col("__sa") + F.col("__sb")).cast("double") - inter
     return (
         pairs.withColumn("jaccard", inter / union)
         .filter(F.col("jaccard") >= threshold)
@@ -547,15 +554,18 @@ def text_near_dup_keepers(df: DataFrame, text_col: str, id_col: str,
     cand_ids = (cand.select(F.col("id_a").alias("gid"))
                 .union(cand.select(F.col("id_b").alias("gid")))
                 .distinct())
-    grams = grams.join(cand_ids, "gid", "left_semi")
+    grams = (grams.join(cand_ids, "gid", "left_semi")
+             .select("gid", "grams", F.size("grams").alias("gsz")))
     pairs = (
         cand.join(grams.select(F.col("gid").alias("id_a"),
-                               F.col("grams").alias("ga")), "id_a")
+                               F.col("grams").alias("ga"),
+                               F.col("gsz").alias("__sa")), "id_a")
         .join(grams.select(F.col("gid").alias("id_b"),
-                           F.col("grams").alias("gb")), "id_b")
+                           F.col("grams").alias("gb"),
+                           F.col("gsz").alias("__sb")), "id_b")
     )
     inter = F.size(F.array_intersect("ga", "gb")).cast("double")
-    union = F.size(F.array_union("ga", "gb")).cast("double")
+    union = (F.col("__sa") + F.col("__sb")).cast("double") - inter
     verified = (pairs.withColumn("jaccard", inter / union)
                 .filter(F.col("jaccard") >= threshold)
                 .select("id_a", "id_b"))
@@ -864,17 +874,21 @@ def incremental_dedup(batch: DataFrame, corpus: DataFrame,
 
     def _verified_min(cand: DataFrame, other_grams: DataFrame,
                       batch_grams: DataFrame) -> DataFrame:
-        bg = batch_grams.join(cand.select(F.col("bid").alias("gid"))
-                              .distinct(), "gid", "left_semi")
-        og = other_grams.join(cand.select(F.col("cid").alias("gid"))
-                              .distinct(), "gid", "left_semi")
+        bg = (batch_grams.join(cand.select(F.col("bid").alias("gid"))
+                               .distinct(), "gid", "left_semi")
+              .select("gid", "grams", F.size("grams").alias("gsz")))
+        og = (other_grams.join(cand.select(F.col("cid").alias("gid"))
+                               .distinct(), "gid", "left_semi")
+              .select("gid", "grams", F.size("grams").alias("gsz")))
         pairs = (cand
                  .join(bg.select(F.col("gid").alias("bid"),
-                                 F.col("grams").alias("ga")), "bid")
+                                 F.col("grams").alias("ga"),
+                                 F.col("gsz").alias("__sa")), "bid")
                  .join(og.select(F.col("gid").alias("cid"),
-                                 F.col("grams").alias("gb")), "cid"))
+                                 F.col("grams").alias("gb"),
+                                 F.col("gsz").alias("__sb")), "cid"))
         inter = F.size(F.array_intersect("ga", "gb")).cast("double")
-        union = F.size(F.array_union("ga", "gb")).cast("double")
+        union = (F.col("__sa") + F.col("__sb")).cast("double") - inter
         return (pairs.filter(inter / union >= threshold)
                 .groupBy("bid").agg(F.min("cid").alias("mid")))
 
