@@ -65,3 +65,50 @@ def lang_fmt_rollup(df: DataFrame) -> DataFrame:
         .agg(F.count("*").alias("n_rows"),
              F.sum(F.col("keep").cast("long")).alias("n_keep"))
     )
+
+
+def funnel(df: DataFrame, steps: list[str], user_col: str = "user_id",
+           ts_col: str = "ts", type_col: str = "event_type") -> DataFrame:
+    """Ordered-funnel conversion (the classic product-analytics
+    sequential pattern): for each user, step i counts only if its
+    FIRST occurrence is strictly after the user's step i-1 time;
+    returns one row per step with the reaching-user count and
+    conversion fractions vs the first and the previous step.
+
+    Scale: each step is one groupBy(user) min-aggregate plus one
+    user-keyed join against the previous step's (user, ts) — all
+    stages co-partition on the user key, so AQE reuses the
+    partitioning; per-step state is one timestamp per surviving
+    user.  `steps` is a plan-time literal list (fixed plan, no
+    data-driven iteration); the final ranking window runs over
+    len(steps) rows."""
+    from pyspark.sql import Window
+
+    cur = None
+    step_rows = []
+    for i, s in enumerate(steps):
+        ev = (df.filter(F.col(type_col) == s)
+              .select(F.col(user_col).alias("u"),
+                      F.col(ts_col).alias("__t")))
+        if cur is None:
+            cur = ev.groupBy("u").agg(F.min("__t").alias("t"))
+        else:
+            cur = (ev.join(cur.select("u", F.col("t").alias("__prev")),
+                           "u")
+                   .filter(F.col("__t") > F.col("__prev"))
+                   .groupBy("u").agg(F.min("__t").alias("t")))
+        step_rows.append(cur.agg(
+            F.lit(i).alias("step"), F.lit(s).alias("event_type"),
+            F.count("*").alias("n_users")))
+    out = step_rows[0]
+    for sr in step_rows[1:]:
+        out = out.unionAll(sr)
+    w = Window.orderBy("step").rowsBetween(Window.unboundedPreceding,
+                                           Window.currentRow)
+    first = F.first("n_users").over(w)
+    prev = F.coalesce(F.lag("n_users", 1).over(Window.orderBy("step")),
+                      F.col("n_users"))
+    return out.select(
+        "step", "event_type", "n_users",
+        F.round(F.col("n_users") / first, 6).alias("frac_of_first"),
+        F.round(F.col("n_users") / prev, 6).alias("frac_of_prev"))

@@ -2839,6 +2839,44 @@ WHERE g.doc_id % 37 <> 0
 """
 
 
+def q_win_funnel(spark, sf_dir):
+    """Ordered view -> click -> purchase funnel over the events table
+    (operators/metrics.py::funnel): per user, each step's first
+    occurrence must be strictly after the previous step's."""
+    from .operators.metrics import funnel
+
+    return funnel(_t(spark, sf_dir, "events"),
+                  ["view", "click", "purchase"])
+
+
+SQL_WIN_FUNNEL = """
+WITH s1 AS (
+  SELECT user_id AS u, min(ts) AS t FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+), s2 AS (
+  SELECT e.user_id AS u, min(e.ts) AS t FROM events e
+  JOIN s1 ON e.user_id = s1.u AND e.ts > s1.t
+  WHERE e.event_type = 'click' GROUP BY e.user_id
+), s3 AS (
+  SELECT e.user_id AS u, min(e.ts) AS t FROM events e
+  JOIN s2 ON e.user_id = s2.u AND e.ts > s2.t
+  WHERE e.event_type = 'purchase' GROUP BY e.user_id
+), c AS (
+  SELECT 0 AS step, 'view' AS event_type,
+         CAST(count(*) AS BIGINT) AS n_users FROM s1
+  UNION ALL SELECT 1, 'click', CAST(count(*) AS BIGINT) FROM s2
+  UNION ALL SELECT 2, 'purchase', CAST(count(*) AS BIGINT) FROM s3
+)
+SELECT step, event_type, n_users,
+  round(n_users * 1.0 / first_value(n_users) OVER (ORDER BY step), 6)
+    AS frac_of_first,
+  round(n_users * 1.0
+        / coalesce(lag(n_users) OVER (ORDER BY step), n_users), 6)
+    AS frac_of_prev
+FROM c
+"""
+
+
 def q_dq_profile(spark, sf_dir):
     """Single-pass column profiler (operators/dq.py::column_profile)
     over the documents table: completeness, cardinality and basic
@@ -3523,6 +3561,7 @@ _ALL_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | No
     "corpus_zipf": (q_corpus_zipf, SQL_CORPUS_ZIPF),
     "multimodal_exact_dups": (q_multimodal_exact_dups,
                               SQL_MULTIMODAL_EXACT_DUPS),
+    "win_funnel": (q_win_funnel, SQL_WIN_FUNNEL),
 }
 
 # The driver verifies the FIRST 50 registry keys in insertion order

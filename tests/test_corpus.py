@@ -441,3 +441,29 @@ def test_zipf_slope_matches_numpy(spark):
     r = np.corrcoef(x, y)[0, 1]
     assert abs(out.slope[0] - slope) < 1e-6
     assert abs(out.r2[0] - r * r) < 1e-6
+
+
+def test_funnel_ordering_semantics(spark):
+    """A user whose purchase precedes their click must NOT count as a
+    purchase conversion; strictly-after semantics (ties excluded)."""
+    import pandas as pd
+    from data_quality_check_spark.operators.metrics import funnel
+
+    rows = [
+        # u1: clean view -> click -> purchase
+        (1, "view", 1.0), (1, "click", 2.0), (1, "purchase", 3.0),
+        # u2: purchase BEFORE click: stops at click
+        (2, "view", 1.0), (2, "purchase", 1.5), (2, "click", 2.0),
+        # u3: click ties view ts exactly: strictly-after excludes it
+        (3, "view", 5.0), (3, "click", 5.0),
+        # u4: never views: not even step 0
+        (4, "click", 1.0), (4, "purchase", 2.0),
+    ]
+    pdf = pd.DataFrame(rows, columns=["user_id", "event_type", "s"])
+    pdf["ts"] = pd.to_datetime(pdf["s"], unit="s")
+    out = (funnel(spark.createDataFrame(pdf[["user_id", "event_type", "ts"]]),
+                  ["view", "click", "purchase"])
+           .toPandas().set_index("step"))
+    assert list(out.n_users) == [3, 2, 1]
+    assert out.loc[2, "frac_of_first"] == round(1 / 3, 6)
+    assert out.loc[2, "frac_of_prev"] == 0.5
