@@ -112,3 +112,37 @@ def funnel(df: DataFrame, steps: list[str], user_col: str = "user_id",
         "step", "event_type", "n_users",
         F.round(F.col("n_users") / first, 6).alias("frac_of_first"),
         F.round(F.col("n_users") / prev, 6).alias("frac_of_prev"))
+
+
+def retention_cohorts(df: DataFrame, user_col: str = "user_id",
+                      ts_col: str = "ts",
+                      bucket_days: int = 7) -> DataFrame:
+    """Cohort retention (the product-analytics complement of
+    `funnel`): users are cohorted by their first-activity bucket
+    (bucket_days-wide, anchored at the table's global min timestamp)
+    and counted in every later bucket they return in.  Returns one
+    row per (cohort, offset) with the returning-user count and the
+    retention fraction vs the cohort's size at offset 0.
+
+    Scale: one groupBy(user) for first-seen, one broadcast one-row
+    global-min attach, one distinct over (user, bucket) and one
+    (cohort, offset) count — every shuffle is keyed on user or on the
+    small (cohort, offset) pair; no payload columns enter the plan."""
+    t0 = df.agg(F.min(ts_col).alias("__t0"))
+    act = (df.select(F.col(user_col).alias("u"), F.col(ts_col).alias("__t"))
+           .crossJoin(F.broadcast(t0))
+           .select("u", (F.floor(
+               F.expr(f"timestampdiff(SECOND, __t0, __t)")
+               / F.lit(86400 * bucket_days))).cast("int").alias("bucket"))
+           .distinct())
+    first = act.groupBy("u").agg(F.min("bucket").alias("cohort"))
+    ret = (act.join(first, "u")
+           .groupBy("cohort", (F.col("bucket") - F.col("cohort"))
+                    .alias("offset"))
+           .agg(F.count("*").alias("n_users")))
+    base = (ret.filter(F.col("offset") == 0)
+            .select("cohort", F.col("n_users").alias("__c0")))
+    return (ret.join(base, "cohort")
+            .select("cohort", "offset", "n_users",
+                    F.round(F.col("n_users") / F.col("__c0"), 6)
+                    .alias("retained_frac")))

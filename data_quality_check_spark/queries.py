@@ -2877,6 +2877,36 @@ FROM c
 """
 
 
+def q_win_retention(spark, sf_dir):
+    """Weekly cohort retention over the events table
+    (operators/metrics.py::retention_cohorts)."""
+    from .operators.metrics import retention_cohorts
+
+    return retention_cohorts(_t(spark, sf_dir, "events"),
+                             "user_id", "ts", bucket_days=7)
+
+
+SQL_WIN_RETENTION = """
+WITH t0 AS (SELECT min(ts) AS t0 FROM events),
+act AS (
+  SELECT DISTINCT user_id AS u,
+    CAST(floor(date_diff('second', t0.t0, e.ts) / 604800.0) AS INT)
+      AS bucket
+  FROM events e, t0
+), first AS (
+  SELECT u, min(bucket) AS cohort FROM act GROUP BY u
+), ret AS (
+  SELECT cohort, bucket - cohort AS "offset",
+         CAST(count(*) AS BIGINT) AS n_users
+  FROM act JOIN first USING (u)
+  GROUP BY cohort, bucket - cohort
+)
+SELECT r.cohort AS cohort, r."offset" AS offset, r.n_users AS n_users,
+  round(r.n_users * 1.0 / b.n_users, 6) AS retained_frac
+FROM ret r JOIN ret b ON b.cohort = r.cohort AND b."offset" = 0
+"""
+
+
 def q_dq_profile(spark, sf_dir):
     """Single-pass column profiler (operators/dq.py::column_profile)
     over the documents table: completeness, cardinality and basic
@@ -3562,6 +3592,7 @@ _ALL_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | No
     "multimodal_exact_dups": (q_multimodal_exact_dups,
                               SQL_MULTIMODAL_EXACT_DUPS),
     "win_funnel": (q_win_funnel, SQL_WIN_FUNNEL),
+    "win_retention": (q_win_retention, SQL_WIN_RETENTION),
 }
 
 # The driver verifies the FIRST 50 registry keys in insertion order

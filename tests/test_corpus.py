@@ -467,3 +467,31 @@ def test_funnel_ordering_semantics(spark):
     assert list(out.n_users) == [3, 2, 1]
     assert out.loc[2, "frac_of_first"] == round(1 / 3, 6)
     assert out.loc[2, "frac_of_prev"] == 0.5
+
+
+def test_retention_cohorts_matches_hand_computation(spark):
+    """Two cohorts, known return pattern; offset-0 fraction is 1.0
+    and a user active twice in one bucket counts once."""
+    import pandas as pd
+    from data_quality_check_spark.operators.metrics import retention_cohorts
+
+    day = 86400.0
+    rows = [
+        # cohort 0 (bucket of min ts): u1 returns in bucket 1 twice,
+        # u2 never returns
+        (1, 0.0), (1, 7.5 * day), (1, 8.5 * day),
+        (2, 1.0 * day),
+        # cohort 1: u3 first seen in bucket 1, returns bucket 2
+        (3, 8.0 * day), (3, 15.0 * day),
+    ]
+    pdf = pd.DataFrame(rows, columns=["user_id", "s"])
+    pdf["ts"] = pd.to_datetime(pdf["s"], unit="s")
+    out = (retention_cohorts(spark.createDataFrame(
+        pdf[["user_id", "ts"]]), bucket_days=7)
+        .toPandas().set_index(["cohort", "offset"]).sort_index())
+    assert out.loc[(0, 0), "n_users"] == 2
+    assert out.loc[(0, 1), "n_users"] == 1       # u1 once, not twice
+    assert out.loc[(0, 1), "retained_frac"] == 0.5
+    assert out.loc[(1, 0), "n_users"] == 1
+    assert out.loc[(1, 1), "retained_frac"] == 1.0
+    assert (out.xs(0, level="offset").retained_frac == 1.0).all()
