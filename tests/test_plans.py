@@ -155,3 +155,34 @@ def test_ngram_jaccard_band_join_is_ids_only(spark):
     # must never happen is grams riding a shuffle or join keyed on it
     for ln in band_lines:
         assert "grams#" not in ln, ln
+
+
+def test_round3_operator_plan_shapes(spark):
+    """Structural plan guarantees of the round-3 operators: chunking
+    is shuffle-free, the profiler folds into one two-exchange
+    multi-aggregate, dup-spans never shuffles gram strings past the
+    doc-frequency stage, and the Bloom bitset probe is ONE broadcast
+    join (not n_hashes)."""
+    from data_quality_check_spark.operators.corpus import (
+        bloom_decontaminate, chunk_documents, doc_grams, dup_spans)
+    from data_quality_check_spark.operators.dq import column_profile
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+    assert "Exchange" not in _plan(chunk_documents(d))
+
+    prof = _plan(column_profile(d, ["doc_id", "text", "lang"]))
+    assert prof.count("Exchange") <= 2  # partial + final of ONE agg
+
+    ds = _plan(dup_spans(d))
+    # the interval-union window shuffles (id, pos) ints only: no
+    # gram attribute may appear in any post-dfreq exchange row
+    win_lines = [ln for ln in ds.splitlines() if "Window" in ln]
+    assert win_lines and all("gram" not in ln for ln in win_lines)
+
+    ev = d.filter((F.col("doc_id") % 37) == 0)
+    tr = d.filter((F.col("doc_id") % 37) != 0)
+    bl = _plan(bloom_decontaminate(tr, ev, n=4))
+    # one broadcast build of the bitset word table; the probe side
+    # joins it exactly once (plus the base left join)
+    assert bl.count("BroadcastHashJoin") <= 2
