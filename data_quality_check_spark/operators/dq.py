@@ -151,6 +151,8 @@ def column_profile(df: DataFrame, cols: list[str]) -> DataFrame:
     with an explode that costs nothing.  At 10^12 rows swap
     countDistinct for approx_count_distinct per column to keep the
     distinct state sketch-sized (documented trade)."""
+    if not cols:
+        raise ValueError("column_profile needs at least one column")
     dtypes = dict(df.dtypes)
     aggs = [F.count(F.lit(1)).alias("__total")]
     for c in cols:

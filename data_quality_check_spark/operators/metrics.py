@@ -84,6 +84,8 @@ def funnel(df: DataFrame, steps: list[str], user_col: str = "user_id",
     len(steps) rows."""
     from pyspark.sql import Window
 
+    if not steps:
+        raise ValueError("funnel needs at least one step")
     cur = None
     step_rows = []
     for i, s in enumerate(steps):
