@@ -200,19 +200,21 @@ def jaccard_pairs_exact(df: DataFrame, text_col: str, id_col: str,
                  lambda t: t != F.lit("")).alias("__toks"))
     base = tokd.select(F.col(id_col),
                        _gram_expr(F.col("__toks"), n).alias("grams"))
-    # distinct grams => |union| = |a| + |b| - |inter|: sizes projected
-    # once per id, no per-pair array_union pass
-    base = base.select(id_col, "grams", F.size("grams").alias("gsz"))
     pairs = (
         base.alias("a")
         .join(base.alias("b"), F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
         .select(F.col(f"a.{id_col}").alias("id_a"),
                 F.col(f"b.{id_col}").alias("id_b"),
-                F.col("a.grams").alias("ga"), F.col("b.grams").alias("gb"),
-                F.col("a.gsz").alias("__sa"), F.col("b.gsz").alias("__sb"))
+                F.col("a.grams").alias("ga"), F.col("b.grams").alias("gb"))
     )
     inter = F.size(F.array_intersect("ga", "gb")).cast("double")
-    union = (F.col("__sa") + F.col("__sb")).cast("double") - inter
+    # distinct grams => |union| = |a| + |b| - |inter|; array size is
+    # O(1) (stored length), so per-PAIR sizes are free and the
+    # array_union pass is gone.  Do NOT precompute sizes in a Project
+    # above the gram build: the optimizer collapses it into the gram
+    # projection and re-evaluates the whole _gram_expr per referencing
+    # column (measured 4x on the text pipeline).
+    union = (F.size("ga") + F.size("gb")).cast("double") - inter
     return (
         pairs.withColumn("jaccard", F.round(inter / union, 6))
         .filter(F.col("jaccard") >= threshold)
@@ -263,18 +265,17 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
                 .union(cand.select(F.col("id_b").alias("gid")))
                 .distinct())
     grams = (base.select(F.col(id_col).alias("gid"), "grams")
-             .join(cand_ids, "gid", "left_semi")
-             .select("gid", "grams", F.size("grams").alias("gsz")))
+             .join(cand_ids, "gid", "left_semi"))
     pairs = (
         cand.join(grams.select(F.col("gid").alias("id_a"),
-                               F.col("grams").alias("ga"),
-                               F.col("gsz").alias("__sa")), "id_a")
+                               F.col("grams").alias("ga")), "id_a")
         .join(grams.select(F.col("gid").alias("id_b"),
-                           F.col("grams").alias("gb"),
-                           F.col("gsz").alias("__sb")), "id_b")
+                           F.col("grams").alias("gb")), "id_b")
     )
     inter = F.size(F.array_intersect("ga", "gb")).cast("double")
-    union = (F.col("__sa") + F.col("__sb")).cast("double") - inter
+    # per-pair O(1) sizes; see jaccard_pairs_exact for why sizes must
+    # not be precomputed in a Project above the gram build
+    union = (F.size("ga") + F.size("gb")).cast("double") - inter
     return (
         pairs.withColumn("jaccard", inter / union)
         .filter(F.col("jaccard") >= threshold)
@@ -564,18 +565,17 @@ def text_near_dup_keepers(df: DataFrame, text_col: str, id_col: str,
     cand_ids = (cand.select(F.col("id_a").alias("gid"))
                 .union(cand.select(F.col("id_b").alias("gid")))
                 .distinct())
-    grams = (grams.join(cand_ids, "gid", "left_semi")
-             .select("gid", "grams", F.size("grams").alias("gsz")))
+    grams = grams.join(cand_ids, "gid", "left_semi")
     pairs = (
         cand.join(grams.select(F.col("gid").alias("id_a"),
-                               F.col("grams").alias("ga"),
-                               F.col("gsz").alias("__sa")), "id_a")
+                               F.col("grams").alias("ga")), "id_a")
         .join(grams.select(F.col("gid").alias("id_b"),
-                           F.col("grams").alias("gb"),
-                           F.col("gsz").alias("__sb")), "id_b")
+                           F.col("grams").alias("gb")), "id_b")
     )
     inter = F.size(F.array_intersect("ga", "gb")).cast("double")
-    union = (F.col("__sa") + F.col("__sb")).cast("double") - inter
+    # per-pair O(1) sizes; see jaccard_pairs_exact for the Project
+    # collapse trap that precomputed sizes trip
+    union = (F.size("ga") + F.size("gb")).cast("double") - inter
     verified = (pairs.withColumn("jaccard", inter / union)
                 .filter(F.col("jaccard") >= threshold)
                 .select("id_a", "id_b"))
@@ -805,22 +805,20 @@ def crossmodal_near_dups(df: DataFrame, max_hamming: int = 3,
     cand_ids = (cand.select(F.col("id_a").alias("gid"))
                 .union(cand.select(F.col("id_b").alias("gid")))
                 .distinct())
-    grams = (grams.join(cand_ids, "gid", "left_semi")
-             # gram arrays are DISTINCT (_gram_expr), so the union
-             # size is |a| + |b| - |intersect|: precompute sizes once
-             # per id and drop the per-pair array_union pass — at
-             # 2.8M candidate pairs that pass was ~the same cost as
-             # the intersect itself
-             .select("gid", "grams", F.size("grams").alias("gsz")))
+    grams = grams.join(cand_ids, "gid", "left_semi")
     pairs = (
         cand.join(grams.select(F.col("gid").alias("id_a"),
-                               F.col("grams").alias("ga"),
-                               F.col("gsz").alias("__sa")), "id_a")
+                               F.col("grams").alias("ga")), "id_a")
         .join(grams.select(F.col("gid").alias("id_b"),
-                           F.col("grams").alias("gb"),
-                           F.col("gsz").alias("__sb")), "id_b"))
+                           F.col("grams").alias("gb")), "id_b"))
     inter = F.size(F.array_intersect("ga", "gb")).cast("double")
-    union = (F.col("__sa") + F.col("__sb")).cast("double") - inter
+    # gram arrays are DISTINCT (_gram_expr), so |union| = |a| + |b|
+    # - |inter| with O(1) per-pair sizes — the per-pair array_union
+    # pass (~the cost of the intersect itself at 2.8M pairs) is gone.
+    # Sizes must NOT be precomputed in a Project above the gram
+    # build: the optimizer collapses it into the gram projection and
+    # re-evaluates _gram_expr per referencing column (measured 4x).
+    union = (F.size("ga") + F.size("gb")).cast("double") - inter
     return (
         pairs.withColumn("jaccard", F.round(inter / union, 6))
         .select(
@@ -884,21 +882,18 @@ def incremental_dedup(batch: DataFrame, corpus: DataFrame,
 
     def _verified_min(cand: DataFrame, other_grams: DataFrame,
                       batch_grams: DataFrame) -> DataFrame:
-        bg = (batch_grams.join(cand.select(F.col("bid").alias("gid"))
-                               .distinct(), "gid", "left_semi")
-              .select("gid", "grams", F.size("grams").alias("gsz")))
-        og = (other_grams.join(cand.select(F.col("cid").alias("gid"))
-                               .distinct(), "gid", "left_semi")
-              .select("gid", "grams", F.size("grams").alias("gsz")))
+        bg = batch_grams.join(cand.select(F.col("bid").alias("gid"))
+                              .distinct(), "gid", "left_semi")
+        og = other_grams.join(cand.select(F.col("cid").alias("gid"))
+                              .distinct(), "gid", "left_semi")
         pairs = (cand
                  .join(bg.select(F.col("gid").alias("bid"),
-                                 F.col("grams").alias("ga"),
-                                 F.col("gsz").alias("__sa")), "bid")
+                                 F.col("grams").alias("ga")), "bid")
                  .join(og.select(F.col("gid").alias("cid"),
-                                 F.col("grams").alias("gb"),
-                                 F.col("gsz").alias("__sb")), "cid"))
+                                 F.col("grams").alias("gb")), "cid"))
         inter = F.size(F.array_intersect("ga", "gb")).cast("double")
-        union = (F.col("__sa") + F.col("__sb")).cast("double") - inter
+        # per-pair O(1) sizes (see jaccard_pairs_exact)
+        union = (F.size("ga") + F.size("gb")).cast("double") - inter
         return (pairs.filter(inter / union >= threshold)
                 .groupBy("bid").agg(F.min("cid").alias("mid")))
 
