@@ -66,6 +66,31 @@ def one_run():
                                 threshold=0.5).count()
     return time.time() - t0
 """,
+    "dedup_text_big": """
+# dedup_text at sandbox sf is ~70% fixed stage latency (see
+# BASELINE.md); this variant replicates the corpus 5x WITH DISTINCT
+# ids (25k docs; every original near-dup group becomes a 5x-larger
+# clique, so candidates/verify/components all carry >=25x pair data)
+# so the N->4N pair measures the DATA stages of the flagship
+# pipeline.  (20x was probed: ~260 s/run at 8 cores — too slow for a
+# 2-warmup + 5-run two-level protocol.)
+from pyspark.sql import functions as F
+from data_quality_check_spark.operators import dedup
+
+base = spark.read.parquet(f"/root/testdata/sf{sf:g}/documents.parquet")
+docs = (base.crossJoin(spark.range(5).select(F.col("id").alias("__rep")))
+        .select((F.col("doc_id") * 32 + F.col("__rep")).alias("doc_id"),
+                "text"))
+N_UNITS = docs.count()
+
+def one_run():
+    import time
+    t0 = time.time()
+    out = dedup.text_near_dup_keepers(docs, "text", "doc_id",
+                                      threshold=0.5)
+    out.agg(F.bit_xor(F.xxhash64(F.struct(*out.columns)))).collect()
+    return time.time() - t0
+""",
     "image_pairs": """
 from pyspark.sql import functions as F
 from data_quality_check_spark.operators import dedup
