@@ -2907,6 +2907,38 @@ FROM ret r JOIN ret b ON b.cohort = r.cohort AND b."offset" = 0
 """
 
 
+def q_langid_confusion(spark, sf_dir):
+    """Classifier-audit confusion matrix: the stopword-vote language
+    ID (text_langid_heuristic) vs the table's ground-truth lang
+    column — one row per (lang, lang_pred) pair with the count and
+    the row-normalized fraction.  The evaluation op every
+    quality-filter deployment runs before trusting a cheap classifier
+    at 10^12 rows; pure composition, one extra groupBy over the
+    already-SQL-exact prediction."""
+    pred = q_text_langid_heuristic(spark, sf_dir)
+    truth = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    j = truth.join(pred, "doc_id")
+    cnt = j.groupBy("lang", "lang_pred").agg(F.count("*").alias("n"))
+    tot = cnt.groupBy("lang").agg(F.sum("n").alias("__t"))
+    return (cnt.join(tot, "lang")
+            .select("lang", "lang_pred", "n",
+                    F.round(F.col("n") / F.col("__t"), 6).alias("frac")))
+
+
+def _langid_confusion_sql() -> str:
+    return f"""
+WITH pred AS ({_langid_sql()}),
+j AS (SELECT d.lang, p.lang_pred FROM documents d
+      JOIN pred p ON d.doc_id = p.doc_id),
+cnt AS (SELECT lang, lang_pred, CAST(count(*) AS BIGINT) AS n
+        FROM j GROUP BY lang, lang_pred),
+tot AS (SELECT lang, sum(n) AS t FROM cnt GROUP BY lang)
+SELECT cnt.lang AS lang, lang_pred, n,
+       round(n / CAST(t AS DOUBLE), 6) AS frac
+FROM cnt JOIN tot ON cnt.lang = tot.lang
+"""
+
+
 def q_dq_profile(spark, sf_dir):
     """Single-pass column profiler (operators/dq.py::column_profile)
     over the documents table: completeness, cardinality and basic
@@ -3593,6 +3625,7 @@ _ALL_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | No
                               SQL_MULTIMODAL_EXACT_DUPS),
     "win_funnel": (q_win_funnel, SQL_WIN_FUNNEL),
     "win_retention": (q_win_retention, SQL_WIN_RETENTION),
+    "langid_confusion": (q_langid_confusion, _langid_confusion_sql()),
 }
 
 # The driver verifies the FIRST 50 registry keys in insertion order
