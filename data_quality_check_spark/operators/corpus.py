@@ -548,3 +548,74 @@ def source_overlap(df: DataFrame, text_col: str = "text",
                     F.round(F.col("n_common")
                             / (F.col("__sa") + F.col("__sb")
                                - F.col("n_common")), 6).alias("jaccard")))
+
+def component_split(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id",
+                    boundaries: dict[str, str] | None = None,
+                    salt: str = "csp:",
+                    threshold: float = 0.5,
+                    num_hashes: int = 16, bands: int = 4) -> DataFrame:
+    """Leakage-safe train/val/test split: assign splits by NEAR-DUP
+    COMPONENT, not by document.  Plain per-doc hash splitting
+    (hash_split) puts near-copies of a training doc into the eval
+    split — the classic train/test contamination bug that inflates
+    benchmark numbers; splitting on the component label makes cross-
+    split leakage structurally impossible (every member of a dup
+    cluster shares the label, hence the split).
+
+    Composition: text_near_dup_keepers (MinHash candidates -> exact
+    Jaccard verify -> connected components -> first-wins label) gives
+    the component label per doc (singletons label themselves); the
+    split is then the keyed-md5 prefix of the LABEL.  Deterministic,
+    zero RNG state, stable across runs/resumes/cluster sizes; adding
+    docs never moves an existing component's split unless two
+    components genuinely merge.
+
+    Scale: inherits the text-pipeline plan (ids/hashes-only band
+    shuffles, semi-join-pruned gram fetch); the split assignment
+    itself is one per-row md5 expression — zero extra shuffles.
+    """
+    from .dedup import text_near_dup_keepers
+    keepers = text_near_dup_keepers(df, text_col, id_col,
+                                    threshold=threshold,
+                                    num_hashes=num_hashes, bands=bands)
+    out = keepers.select(F.col("id").alias(id_col),
+                         F.col("keeper_id").alias("component"),
+                         "is_dup")
+    return hash_split(out, "component", boundaries, salt)
+
+
+def cluster_size_stats(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id",
+                       threshold: float = 0.5,
+                       num_hashes: int = 16, bands: int = 4) -> DataFrame:
+    """Dedup effectiveness report: the component-size histogram plus
+    corpus-level keep ratio, the numbers a dedup run is judged by
+    ("how much of the corpus is duplicated, and how big are the
+    clusters?").  One row per distinct cluster size:
+    (cluster_size, n_clusters, n_docs, pct_docs); cluster_size = 1
+    rows are the unique docs.
+
+    Scale: the heavy lifting is the dedup pipeline itself; the
+    histogram is two counts-only groupBys over (component) then
+    (size) — narrow keys, map-side combine, output rows bounded by
+    the largest cluster size."""
+    from .dedup import text_near_dup_keepers
+    keepers = text_near_dup_keepers(df, text_col, id_col,
+                                    threshold=threshold,
+                                    num_hashes=num_hashes, bands=bands)
+    sizes = keepers.groupBy("keeper_id").agg(
+        F.count("*").alias("cluster_size"))
+    hist = sizes.groupBy("cluster_size").agg(
+        F.count("*").alias("n_clusters"))
+    # corpus total as a lazy broadcast one-row aggregate (no eager
+    # df.count() pass; same trick as tf-idf's source count)
+    total = hist.agg(F.sum(F.col("cluster_size")
+                           * F.col("n_clusters")).alias("__total"))
+    return (hist.crossJoin(F.broadcast(total))
+            .select("cluster_size", "n_clusters",
+                    (F.col("cluster_size") * F.col("n_clusters"))
+                    .alias("n_docs"),
+                    F.round(F.col("cluster_size") * F.col("n_clusters")
+                            / F.col("__total").cast("double"), 6)
+                    .alias("pct_docs")))

@@ -268,3 +268,81 @@ def sample_video_frames_stub(*_args, **_kwargs):
     raise NotImplementedError(
         "video frame sampling requires ffmpeg, unavailable in this "
         "sandbox; the mapInPandas plumbing mirrors extract_features")
+
+
+def caption_alignment(images: DataFrame,
+                      threshold: float = 0.55) -> DataFrame:
+    """CLIP-score-shaped caption<->image alignment filter (the
+    LAION-style "does the caption match the image?" gate).  Real
+    CLIP needs a model this sandbox doesn't have, so both encoders
+    are deterministic stand-ins with the production plan shape:
+
+      image side   = the 16-dim block-mean embedding from the decode
+                     mapInPandas (extract_features) — swap for a
+                     vision-tower pandas UDF on a cluster;
+      caption side = a 16-dim hashed char-trigram count embedding,
+                     built entirely JVM-side (md5 bucket per trigram,
+                     one explode + conditional-sum groupBy);
+      score        = cosine(caption_emb, image_emb), keep when
+                     score >= threshold.
+
+    On the synthetic fixture the captions are content-free word
+    salads, so the score carries no real signal — the VALUE of this
+    operator here is the verified plumbing: both branches prune to
+    (id, small-vector), the caption branch never touches `bytes`,
+    the trigram shuffle is payload-free (17 ints per image after
+    map-side combine), and the join is image_id-keyed on both sides.
+
+    Scale: at 10^12 rows the caption groupBy partial-aggregates
+    per-partition (shuffled rows ~= images, not trigrams); the
+    decode branch is the same single fused ArrowEvalPython the main
+    pipeline uses; cosine is whole-stage codegen."""
+    from functools import reduce
+
+    from pyspark.sql import functions as F
+
+    feats = extract_features(images)
+    femb = feats.select(
+        "image_id", "decoded",
+        *[F.round(F.col("embedding")[i].cast("double"), 6)
+          .alias(f"e{i:02d}") for i in range(EMB_DIM)])
+
+    lc = images.select(
+        "image_id",
+        F.coalesce(F.lower(F.col("caption")), F.lit("")).alias("_lc"))
+    # trigram list in its own projection (HOF rule: never build it
+    # inline where later columns would re-evaluate it per reference)
+    grams = lc.select("image_id", F.expr(
+        "CASE WHEN char_length(_lc) >= 3 THEN "
+        "transform(sequence(1, char_length(_lc) - 2), "
+        "i -> substring(_lc, i, 3)) ELSE array() END").alias("_grams"))
+    dims = grams.select("image_id", F.expr(
+        "transform(_grams, g -> instr('0123456789abcdef', "
+        "substring(md5(g), 1, 1)) - 1)").alias("_dims"))
+    # explode_outer keeps gram-less captions (null d -> all-zero
+    # counts) so every image gets a verdict row
+    d = dims.select("image_id", F.explode_outer("_dims").alias("d"))
+    counts = d.groupBy("image_id").agg(
+        *[F.sum(F.when(F.col("d") == i, 1).otherwise(0))
+          .cast("bigint").alias(f"c{i:02d}") for i in range(EMB_DIM)])
+
+    j = counts.join(femb, "image_id")
+    dot = reduce(lambda a, b: a + b,
+                 [F.col(f"c{i:02d}") * F.col(f"e{i:02d}")
+                  for i in range(EMB_DIM)])
+    nc2 = reduce(lambda a, b: a + b,
+                 [F.col(f"c{i:02d}") * F.col(f"c{i:02d}")
+                  for i in range(EMB_DIM)])
+    ne2 = reduce(lambda a, b: a + b,
+                 [F.col(f"e{i:02d}") * F.col(f"e{i:02d}")
+                  for i in range(EMB_DIM)])
+    n_grams = reduce(lambda a, b: a + b,
+                     [F.col(f"c{i:02d}") for i in range(EMB_DIM)])
+    cos = (dot.cast("double")
+           / (F.sqrt(nc2.cast("double")) * F.sqrt(ne2)))
+    score = F.when(F.col("decoded") & (nc2 > 0) & (ne2 > 0),
+                   F.round(cos, 6)).otherwise(F.lit(-1.0))
+    return j.select(
+        "image_id", "decoded", n_grams.alias("n_grams"),
+        score.alias("align_cos"),
+        (score >= F.lit(threshold)).alias("aligned"))

@@ -2029,6 +2029,64 @@ WHERE decoded
 """
 
 
+def q_multimodal_alignment(spark, sf_dir):
+    """CLIP-score-shaped caption<->image alignment gate (operators/
+    multimodal.py::caption_alignment): cosine between the decoded
+    16-dim block-mean image embedding and a JVM-side hashed
+    char-trigram caption embedding, keep when score >= 0.55.  Both
+    encoders are deterministic stand-ins (no CLIP in-sandbox [ENV])
+    but the plan is the production shape.  VALUE-CHECKED: DuckDB
+    rebuilds the identical caption embedding (md5 trigram buckets)
+    and reads the image embedding from the numpy-oracle fixture
+    parquet."""
+    from .operators.multimodal import caption_alignment
+    return caption_alignment(_images(spark, sf_dir), threshold=0.55)
+
+
+def _alignment_sql() -> str:
+    dim = 16
+    cs = [f"c{i:02d}" for i in range(dim)]
+    es = [f"emb_{i:02d}" for i in range(dim)]
+    counts = ",\n    ".join(
+        f"CAST(len(list_filter(dims, x -> x = {i})) AS BIGINT) AS {c}"
+        for i, c in enumerate(cs))
+    dot = " + ".join(f"{c} * {e}" for c, e in zip(cs, es))
+    nc2 = " + ".join(f"{c} * {c}" for c in cs)
+    ne2 = " + ".join(f"{e} * {e}" for e in es)
+    ng = " + ".join(cs)
+    score = (f"CASE WHEN f.decoded AND ({nc2}) > 0 AND ({ne2}) > 0 "
+             f"THEN round(({dot}) / (sqrt(CAST({nc2} AS DOUBLE)) "
+             f"* sqrt({ne2})), 6) ELSE -1.0 END")
+    return f"""
+WITH cap AS (
+  SELECT image_id, coalesce(lower(caption), '') AS lc
+  FROM '/root/repo/data/images_sf0.01.parquet'
+), g AS (
+  SELECT image_id,
+    CASE WHEN length(lc) >= 3 THEN
+      list_transform(range(1, CAST(length(lc) - 1 AS BIGINT)),
+                     i -> substring(lc, CAST(i AS INT), 3))
+    ELSE [] END AS grams
+  FROM cap
+), dm AS (
+  SELECT image_id,
+    list_transform(grams, t -> instr('0123456789abcdef',
+                                     substring(md5(t), 1, 1)) - 1) AS dims
+  FROM g
+), cc AS (
+  SELECT image_id,
+    {counts}
+  FROM dm
+)
+SELECT cc.image_id, f.decoded,
+  ({ng}) AS n_grams,
+  {score} AS align_cos,
+  ({score}) >= 0.55 AS aligned
+FROM cc JOIN '/root/repo/data/mm_features_sf0.01.parquet' f
+  ON cc.image_id = f.image_id
+"""
+
+
 def q_join_outer(spark, sf_dir):
     """Full outer join: customers x their order totals (nulls on both
     sides where unmatched)."""
@@ -3067,6 +3125,94 @@ FROM embeddings e LEFT JOIN p ON e.vec_id = p.id
 """
 
 
+_SPLIT_COMP_CTE = """
+WITH RECURSIVE t AS (
+  SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x != '') AS toks
+  FROM documents
+), g AS (
+  SELECT doc_id,
+    CASE WHEN len(toks) >= 3
+         THEN list_distinct(list_transform(range(1, len(toks) - 1),
+              i -> toks[i] || '_' || toks[i+1] || '_' || toks[i+2]))
+         ELSE [array_to_string(toks, '_')] END AS grams
+  FROM t
+), p AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM g a JOIN g b ON a.doc_id < b.doc_id
+  WHERE round(len(list_intersect(a.grams, b.grams))
+        / CAST(len(list_distinct(list_concat(a.grams, b.grams))) AS DOUBLE),
+        6) >= 0.5
+), e AS (
+  SELECT id_a AS src, id_b AS dst FROM p UNION SELECT id_b, id_a FROM p
+), n AS (SELECT DISTINCT src AS node FROM e),
+reach(node, r) AS (
+  SELECT node, node FROM n
+  UNION
+  SELECT reach.node, e.dst FROM reach JOIN e ON reach.r = e.src
+), comp AS (SELECT node, min(r) AS component FROM reach GROUP BY node),
+lab AS (
+  SELECT d.doc_id,
+         coalesce(comp.component, d.doc_id) AS component,
+         (coalesce(comp.component, d.doc_id) <> d.doc_id) AS is_dup
+  FROM documents d LEFT JOIN comp ON d.doc_id = comp.node
+)
+"""
+
+
+def q_split_leakage_safe(spark, sf_dir):
+    """Leakage-safe train/val/test split (operators/corpus.py::
+    component_split): split assigned per NEAR-DUP COMPONENT so a
+    near-copy of a training doc can never land in eval.  DuckDB
+    recomputes the ground-truth components (all-pairs word-3-gram
+    Jaccard >= 0.5 + recursive CTE) and the identical keyed-md5
+    split rule.  TRIAGE NOTE: like dedup_text_pipeline this asserts
+    probabilistic MinHash candidate recall (measured 1.0 at this
+    scale) as value-exact — triage a failure here as fixture/seed
+    drift before assuming a pipeline regression."""
+    from .operators.corpus import component_split
+    d = _t(spark, sf_dir, "documents")
+    return component_split(d, "text", "doc_id", salt="csp:",
+                           threshold=0.5)
+
+
+SQL_SPLIT_LEAKAGE_SAFE = _SPLIT_COMP_CTE + """
+SELECT doc_id, component, is_dup,
+  substring(md5('csp:' || CAST(component AS VARCHAR)), 1, 8) AS split_key,
+  CASE WHEN substring(md5('csp:' || CAST(component AS VARCHAR)), 1, 8)
+            < 'e6666666' THEN 'train'
+       WHEN substring(md5('csp:' || CAST(component AS VARCHAR)), 1, 8)
+            < 'f3333333' THEN 'val'
+       ELSE 'test' END AS split
+FROM lab
+"""
+
+
+def q_dedup_cluster_stats(spark, sf_dir):
+    """Dedup effectiveness report (operators/corpus.py::
+    cluster_size_stats): component-size histogram + corpus share per
+    size — the release-audit numbers a dedup run is judged by.
+    Ground truth via the same recursive-CTE components."""
+    from .operators.corpus import cluster_size_stats
+    d = _t(spark, sf_dir, "documents")
+    return cluster_size_stats(d, "text", "doc_id", threshold=0.5)
+
+
+SQL_DEDUP_CLUSTER_STATS = _SPLIT_COMP_CTE + """
+, sz AS (
+  SELECT component, count(*) AS cluster_size FROM lab GROUP BY component
+), h AS (
+  SELECT cluster_size, count(*) AS n_clusters FROM sz GROUP BY cluster_size
+)
+SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+  CAST(n_clusters AS BIGINT) AS n_clusters,
+  CAST(cluster_size * n_clusters AS BIGINT) AS n_docs,
+  round(cluster_size * n_clusters
+        / CAST((SELECT sum(cluster_size * n_clusters) FROM h) AS DOUBLE),
+        6) AS pct_docs
+FROM h
+"""
+
+
 # ---------------------------------------------------------------------------
 # Images-table queries with DuckDB oracles: DuckDB reads the
 # deterministic generated parquet directly by path.  The driver
@@ -3626,6 +3772,12 @@ _ALL_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | No
     "win_funnel": (q_win_funnel, SQL_WIN_FUNNEL),
     "win_retention": (q_win_retention, SQL_WIN_RETENTION),
     "langid_confusion": (q_langid_confusion, _langid_confusion_sql()),
+    # round-3 second wave: leakage-safe splits, dedup report,
+    # caption<->image alignment gate
+    "split_leakage_safe": (q_split_leakage_safe, SQL_SPLIT_LEAKAGE_SAFE),
+    "dedup_cluster_stats": (q_dedup_cluster_stats,
+                            SQL_DEDUP_CLUSTER_STATS),
+    "multimodal_alignment": (q_multimodal_alignment, _alignment_sql()),
 }
 
 # The driver verifies the FIRST 50 registry keys in insertion order

@@ -495,3 +495,53 @@ def test_retention_cohorts_matches_hand_computation(spark):
     assert out.loc[(1, 0), "n_users"] == 1
     assert out.loc[(1, 1), "retained_frac"] == 1.0
     assert (out.xs(0, level="offset").retained_frac == 1.0).all()
+
+
+def test_component_split_no_cross_split_leakage(spark, docs):
+    """Every near-dup component lands in exactly one split; the
+    split label is a pure function of the component label (same
+    md5-prefix rule as hash_split); dup docs share their keeper's
+    split."""
+    from data_quality_check_spark.operators.corpus import (
+        component_split, hash_split)
+
+    # 16 bands of 1 hash: candidate recall ~1 even for a single
+    # borderline pair (the default 4x4 banding has a ~27% per-pair
+    # miss rate at shingle-jaccard ~0.7 — fine for corpora, flaky
+    # for an 8-doc fixture)
+    out = component_split(docs, "text", "doc_id",
+                          salt="csp:", threshold=0.4,
+                          num_hashes=16, bands=16).toPandas()
+    assert len(out) == 8
+    # docs 0/1 exact dups, 7 near dup of 0 (trigram jaccard 5/11
+    # ~ 0.45) -> one component, one split
+    comp0 = out.set_index("doc_id").loc[[0, 1, 7]]
+    assert comp0["component"].nunique() == 1
+    assert comp0["split"].nunique() == 1
+    # no component spans splits, globally
+    assert (out.groupby("component")["split"].nunique() == 1).all()
+    # split equals hash_split applied to the component label
+    ref = hash_split(
+        spark.createDataFrame(out[["component"]].drop_duplicates()),
+        "component", salt="csp:").toPandas().set_index("component")
+    got = out.set_index("doc_id")
+    for _, row in out.iterrows():
+        assert row["split"] == ref.loc[row["component"], "split"]
+    # singletons are their own component
+    assert got.loc[4, "component"] == 4
+    assert not got.loc[4, "is_dup"]
+
+
+def test_cluster_size_stats_histogram(spark, docs):
+    """8 docs: one 3-cluster (0,1,7), five singletons -> histogram
+    rows (1,5) and (3,1); pct sums to 1."""
+    from data_quality_check_spark.operators.corpus import (
+        cluster_size_stats)
+
+    out = (cluster_size_stats(docs, "text", "doc_id", threshold=0.4,
+                              num_hashes=16, bands=16)
+           .toPandas().set_index("cluster_size").sort_index())
+    assert out.loc[1, "n_clusters"] == 5
+    assert out.loc[3, "n_clusters"] == 1
+    assert out.loc[3, "n_docs"] == 3
+    assert abs(out["pct_docs"].sum() - 1.0) < 1e-9

@@ -166,3 +166,43 @@ def test_multimodal_near_dups_find_pixel_dups(spark):
     for ids in clustered:
         a, b = ids[0], ids[1]
         assert (a, b) in got_pairs, f"dup cluster pair {(a, b)} missed"
+
+
+def test_caption_alignment_matches_python_reference(spark, images_pdf):
+    """Spark caption-trigram embedding + cosine vs a direct Python
+    recomputation (md5 trigram buckets, block-mean image embedding)
+    on the first 100 images; undecodable / gram-less rows get the
+    -1.0 sentinel."""
+    import hashlib
+
+    df = IM.read_images(spark, 0.001).filter("image_id < 'img_000000000100'")
+    out = (MM.caption_alignment(df, threshold=0.55)
+           .toPandas().set_index("image_id"))
+    assert len(out) == 100
+
+    feats = (MM.extract_features(df).toPandas().set_index("image_id"))
+    checked_pos = checked_neg = 0
+    for _, row in images_pdf.head(100).iterrows():
+        got = out.loc[row.image_id]
+        lc = (row.caption or "").lower()
+        counts = np.zeros(16, dtype=np.int64)
+        for i in range(max(len(lc) - 2, 0)):
+            g = lc[i:i + 3].encode("utf-8")
+            counts[int(hashlib.md5(g).hexdigest()[0], 16)] += 1
+        assert got.n_grams == counts.sum()
+        frow = feats.loc[row.image_id]
+        emb = np.round(np.array(frow.embedding, dtype=np.float64), 6) \
+            if frow.decoded else None
+        if (not frow.decoded or counts.sum() == 0
+                or emb is None or (emb ** 2).sum() == 0):
+            assert got.align_cos == -1.0
+            assert not got.aligned
+            checked_neg += 1
+            continue
+        ref = (counts * emb).sum() / (
+            np.sqrt((counts.astype(np.float64) ** 2).sum())
+            * np.sqrt((emb ** 2).sum()))
+        assert abs(got.align_cos - round(ref, 6)) <= 1e-6
+        assert got.aligned == (got.align_cos >= 0.55)
+        checked_pos += 1
+    assert checked_pos > 50
