@@ -163,8 +163,8 @@ def resize_images(images: DataFrame, tw: int = 32, th: int = 32,
 _Q6 = __import__("decimal").Decimal("0.000001")
 
 
-def _round6(v) -> float | None:
-    """Replicate Spark's round(double, 6) exactly: BigDecimal.valueOf
+def _round_half_up(v, n: int) -> float | None:
+    """Replicate Spark's round(double, n) exactly: BigDecimal.valueOf
     uses the double's SHORTEST decimal repr (== Python repr) and
     rounds HALF_UP — binary-value rounding (numpy/DuckDB round) can
     disagree on ties, which the driver's exact float compare would
@@ -176,8 +176,13 @@ def _round6(v) -> float | None:
     f = float(v)
     if f != f:  # NaN
         return None
+    q = _Q6 if n == 6 else decimal.Decimal(1).scaleb(-n)
     return float(decimal.Decimal(repr(f)).quantize(
-        _Q6, rounding=decimal.ROUND_HALF_UP))
+        q, rounding=decimal.ROUND_HALF_UP))
+
+
+def _round6(v) -> float | None:
+    return _round_half_up(v, 6)
 
 
 def expected_fixtures(sf: float, root: str = "/root/repo/data") -> tuple[str, str]:
@@ -256,6 +261,111 @@ def expected_fixtures(sf: float, root: str = "/root/repo/data") -> tuple[str, st
                        tmp)
         os.replace(tmp, path)
     return feat_path, rez_path
+
+
+def expected_near_dup_pairs(sf: float,
+                            root: str = "/root/repo/data") -> str:
+    """Driver-side numpy oracle for the `multimodal_near_dups` value
+    pin: replicate the ENTIRE Spark plan — decode -> block-mean
+    embedding -> per-vector mean-centering -> banded random-hyperplane
+    LSH candidates -> exact cosine -> threshold — in plain numpy with
+    BIT-IDENTICAL float semantics, and write the expected (id_a, id_b,
+    cos) pairs as parquet for the DuckDB oracle to SELECT.
+
+    Why this is exactly reproducible (not probabilistic): the
+    hyperplanes are deterministic driver-side literals
+    (similarity.py::_hyperplanes, fixed rng seed), and every float
+    reduction in the Spark plan is a SEQUENTIAL double fold
+    (F.aggregate starting at 0.0) — replicated here by accumulating
+    column-by-column over a (rows, dim) float64 array, which performs
+    the same additions in the same order per row.  numpy's own
+    np.sum/np.dot would NOT be safe (pairwise summation changes
+    rounding, and a last-ulp flip near a hyperplane changes a
+    signature bit); the column loop is the whole trick.
+
+    Mirrors q_multimodal_near_dups exactly: first 2000 image_ids,
+    decoded only, threshold 0.9999 on the 6-rounded cosine, bits=16 x
+    bands=8, center_lsh, output cos re-rounded to 4.  Generate-once
+    cache like mm_features — DELETE data/mm_* after touching
+    sources/images.py, kernels, or this module."""
+    import itertools
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    path = os.path.join(root, f"mm_neardups_sf{sf:g}.parquet")
+    if os.path.exists(path):
+        return path
+
+    from ..kernels import codecs
+    from ..sources.images import generate_pandas
+    from .similarity import _hyperplanes
+
+    bits, bands, dim, threshold = 16, 8, 16, 0.9999
+
+    def seqsum(arr: np.ndarray) -> np.ndarray:
+        # sequential left fold per row, vectorized across rows —
+        # replicates F.aggregate(..., 0.0, acc + v) double-for-double
+        acc = np.zeros(arr.shape[0], dtype=np.float64)
+        for i in range(arr.shape[1]):
+            acc = acc + arr[:, i]
+        return acc
+
+    pdf = generate_pandas(sf)
+    pdf = pdf[pdf.image_id < "img_000000002000"]
+    ids: list[str] = []
+    embs: list[np.ndarray] = []
+    for iid, blob, fmt, w, h in zip(pdf["image_id"], pdf["bytes"],
+                                    pdf["fmt"], pdf["w"], pdf["h"]):
+        try:
+            pix = codecs.decode(blob, fmt, int(w), int(h))
+        except Exception:
+            continue
+        ids.append(iid)
+        embs.append(_fake_embedding(pix))
+    # float32 -> float64 widening is exact (same as Spark's cast)
+    E = np.stack(embs).astype(np.float64)
+    n = len(ids)
+
+    mu = seqsum(E) / float(dim)
+    C = E - mu[:, None]
+
+    cand: set[tuple[int, int]] = set()
+    for t in range(bands):
+        planes = _hyperplanes(dim, bits, seed=t)
+        sig = np.zeros(n, dtype=np.int64)
+        for b in range(bits):
+            # elementwise double multiply then sequential fold — the
+            # same ops as zip_with(x*r) + aggregate in _lsh_signature
+            sig += np.where(seqsum(C * planes[b]) > 0.0, 1 << b, 0)
+        order = np.argsort(sig, kind="stable")
+        svals = sig[order]
+        start = 0
+        for k in range(1, n + 1):
+            if k == n or svals[k] != svals[start]:
+                if k - start > 1:
+                    grp = order[start:k]
+                    for i, j in itertools.combinations(grp, 2):
+                        a, b2 = (i, j) if ids[i] < ids[j] else (j, i)
+                        cand.add((a, b2))
+                start = k
+
+    norms = np.sqrt(seqsum(E * E))
+    rows = []
+    for i, j in sorted(cand):
+        dot = seqsum((E[i] * E[j])[None, :])[0]
+        cos6 = _round6(dot / (norms[i] * norms[j]))
+        if cos6 is not None and cos6 >= threshold:
+            rows.append({"id_a": ids[i], "id_b": ids[j],
+                         "cos": _round_half_up(cos6, 4)})
+
+    out = pd.DataFrame(rows, columns=["id_a", "id_b", "cos"])
+    out["cos"] = out["cos"].astype("float64")
+    tmp = path + ".tmp"
+    pq.write_table(pa.Table.from_pandas(out, preserve_index=False), tmp)
+    os.replace(tmp, path)
+    return path
 
 
 def decode_audio_stub(*_args, **_kwargs):

@@ -1963,7 +1963,11 @@ def q_multimodal_near_dups(spark, sf_dir):
     baseline cosine), hence the near-1 threshold; identical images
     give cos == 1.0 exactly.  Bounded to the first 2000 images —
     the loose-threshold all-positive regime is quadratic-ish by
-    nature (see similarity docstring)."""
+    nature (see similarity docstring).  VALUE-CHECKED against the
+    numpy-oracle pair fixture (multimodal.py::expected_near_dup_pairs
+    replays hyperplane signatures, banding and the cosine with the
+    same sequential-double-fold semantics — the LSH is deterministic,
+    so the pin is exact, not probabilistic)."""
     from .operators.multimodal import extract_features
     from .operators.similarity import embedding_near_dups
 
@@ -3713,7 +3717,9 @@ _ALL_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | No
     "pack_token_bins": (q_pack_token_bins, SQL_PACK_TOKEN_BINS),
     "scrub_regex_sql": (q_scrub_regex_sql, SQL_SCRUB_REGEX),
     "multimodal_features": (q_multimodal_features, SQL_MULTIMODAL_FEATURES),
-    "multimodal_near_dups": (q_multimodal_near_dups, None),
+    "multimodal_near_dups": (
+        q_multimodal_near_dups,
+        "SELECT * FROM '/root/repo/data/mm_neardups_sf0.01.parquet'"),
     "multimodal_resize": (q_multimodal_resize, SQL_MULTIMODAL_RESIZE),
     # images-table SQL-checked keys (DuckDB reads the generated
     # parquet by path at the driver's sf=0.01)

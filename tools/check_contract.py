@@ -69,10 +69,11 @@ def main() -> int:
     # the multimodal oracles SELECT from the numpy-oracle fixture
     # parquet at the driver's compare scale — generate-once cache
     from data_quality_check_spark.operators.multimodal import (
-        expected_fixtures)
+        expected_fixtures, expected_near_dup_pairs)
     from data_quality_check_spark.oracle_fixtures import (
         ensure_label_fixtures)
     expected_fixtures(0.01)
+    expected_near_dup_pairs(0.01)
     ensure_label_fixtures(0.01)
     con = duckdb.connect()
     for t in TABLES:
