@@ -3001,6 +3001,95 @@ FROM cnt JOIN tot ON cnt.lang = tot.lang
 """
 
 
+def q_classifier_distill(spark, sf_dir):
+    """Distill the model-based langid into a trained token classifier
+    (operators/classify.py::nb_langid): the char-bigram kernel UDF
+    labels every caption (the TEACHER — in production this is the
+    expensive model you can only afford on a slice), and a multinomial
+    Naive Bayes over caption tokens is trained ON those labels and
+    re-scores the corpus, all in one lazy plan with integer-quantized
+    log weights (fastText-style .ftz quantization; integer score sums
+    are partition-order-invariant, so Spark and DuckDB agree exactly).
+    Output: per-image teacher label, student prediction, agreement
+    flag and the integer micro-log margin — the audit a pipeline runs
+    before swapping the cheap student in at 10^12 rows.  The DuckDB
+    oracle takes teacher labels from the pandas-oracle labels fixture
+    (identical to the UDF by the shared-kernel invariant) and
+    replicates the NB arithmetic in SQL."""
+    from .functions.udfs import langid_udf
+    from .operators.classify import nb_langid
+
+    im = _images(spark, sf_dir).select(
+        "image_id", "caption",
+        langid_udf(F.col("caption")).alias("__lid"))
+    # the NB plan references the labeled frame from 5 branches (train
+    # counts, priors, denominators, per-doc counts, final join) —
+    # materialize the EXPENSIVE teacher UDF once instead of re-running
+    # it per branch (production: persist the teacher-labeled slice)
+    im = im.select("image_id", "caption",
+                   F.col("__lid.lang").alias("lang_teacher")
+                   ).localCheckpoint()
+    out = nb_langid(im, id_col="image_id", text_col="caption",
+                    label_col="lang_teacher")
+    return out.select(F.col("doc_id").alias("image_id"),
+                      F.col("lang").alias("lang_teacher"),
+                      "pred_lang", "correct", "margin_micro")
+
+
+SQL_CLASSIFIER_DISTILL = """
+WITH d AS (
+  SELECT im.image_id AS id, lab.lang AS label, im.caption
+  FROM '/root/repo/data/images_sf0.01.parquet' im
+  JOIN '/root/repo/data/labels_sf0.01.parquet' lab USING (image_id)),
+tok AS (
+  SELECT id, label,
+         unnest(list_filter(string_split(caption, ' '), t -> t != ''))
+         AS tok
+  FROM d),
+cnt AS (SELECT label, tok, count(*) AS c FROM tok GROUP BY 1, 2),
+v AS (SELECT count(DISTINCT tok) AS v FROM cnt),
+den AS (SELECT label, sum(c) AS den FROM cnt GROUP BY 1),
+nd AS (SELECT count(*) AS n FROM d),
+pr AS (SELECT label, count(*) AS ndl FROM d GROUP BY 1),
+langdim AS (
+  SELECT pr.label,
+         CAST(floor(ln(ndl / CAST(n AS DOUBLE)) * 1e6 + 0.5) AS BIGINT)
+           AS prior_q,
+         CAST(floor(ln(1.0 / (den + v)) * 1e6 + 0.5) AS BIGINT)
+           AS def_q,
+         den + v AS denv
+  FROM pr JOIN den ON pr.label = den.label CROSS JOIN v CROSS JOIN nd),
+w AS (
+  SELECT cnt.label, tok,
+         CAST(floor(ln((c + 1.0) / denv) * 1e6 + 0.5) AS BIGINT) AS w_q
+  FROM cnt JOIN langdim ON cnt.label = langdim.label),
+tc AS (SELECT id, tok, count(*) AS n FROM tok GROUP BY 1, 2),
+contrib AS (
+  SELECT tc.id, ld.label AS cand,
+         sum(tc.n * coalesce(w.w_q, ld.def_q)) AS s_q
+  FROM tc CROSS JOIN langdim ld
+  LEFT JOIN w ON w.label = ld.label AND w.tok = tc.tok
+  GROUP BY 1, 2),
+scored AS (
+  SELECT d.id, d.label, ld.label AS cand,
+         coalesce(c.s_q, 0) + ld.prior_q AS score_q
+  FROM d CROSS JOIN langdim ld
+  LEFT JOIN contrib c ON c.id = d.id AND c.cand = ld.label),
+ranked AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY id
+                            ORDER BY score_q DESC, cand ASC) AS rk,
+         score_q - coalesce(
+           lead(score_q) OVER (PARTITION BY id
+                               ORDER BY score_q DESC, cand ASC),
+           score_q) AS margin
+  FROM scored)
+SELECT id AS image_id, label AS lang_teacher, cand AS pred_lang,
+       cand = label AS correct, CAST(margin AS BIGINT) AS margin_micro
+FROM ranked WHERE rk = 1
+"""
+
+
 def q_dq_profile(spark, sf_dir):
     """Single-pass column profiler (operators/dq.py::column_profile)
     over the documents table: completeness, cardinality and basic
@@ -3778,6 +3867,7 @@ _ALL_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | No
     "win_funnel": (q_win_funnel, SQL_WIN_FUNNEL),
     "win_retention": (q_win_retention, SQL_WIN_RETENTION),
     "langid_confusion": (q_langid_confusion, _langid_confusion_sql()),
+    "classifier_distill": (q_classifier_distill, SQL_CLASSIFIER_DISTILL),
     # round-3 second wave: leakage-safe splits, dedup report,
     # caption<->image alignment gate
     "split_leakage_safe": (q_split_leakage_safe, SQL_SPLIT_LEAKAGE_SAFE),
@@ -3829,7 +3919,7 @@ _DRIVER_WINDOW = [
     "win_funnel",
     # text analysis / corpus / sampling (17)
     "text_quality_score",
-    "text_fingerprint",
+    "classifier_distill",
     "text_langid_heuristic",
     "text_quality_tiers",
     "corpus_stats",
