@@ -42,6 +42,7 @@ HEADLINE_KEYS = [
     "text_dup_spans",
     "text_bloom_decontaminate",
     "dedup_semantic",
+    "classifier_distill",
 ]
 
 

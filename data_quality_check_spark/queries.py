@@ -3090,6 +3090,56 @@ FROM ranked WHERE rk = 1
 """
 
 
+def q_scrub_luhn(spark, sf_dir):
+    """Checksum-validated payment-card detection (operators/pii.py::
+    luhn_card_report): regex candidates -> Luhn mod-10 + length gate,
+    all JVM expressions.  On this corpus every card-shaped run is a
+    phone number, so `valid` is false throughout — exactly the
+    false-positive class the checksum exists to reject (the regex
+    alone would have flagged all of them as cards)."""
+    from .operators.pii import luhn_card_report
+    return luhn_card_report(_images(spark, sf_dir))
+
+
+SQL_SCRUB_LUHN = r"""
+WITH im AS (
+  SELECT image_id, caption
+  FROM '/root/repo/data/images_sf0.01.parquet' WHERE caption IS NOT NULL),
+cand AS (
+  SELECT image_id,
+         generate_subscripts(
+           regexp_extract_all(caption, '[0-9][0-9 -]{10,17}[0-9]'), 1)
+           AS cidx,
+         unnest(regexp_extract_all(caption, '[0-9][0-9 -]{10,17}[0-9]'))
+           AS seq
+  FROM im),
+norm AS (
+  SELECT image_id, cidx,
+         replace(replace(seq, ' ', ''), '-', '') AS digits
+  FROM cand),
+ch AS (
+  SELECT image_id, cidx, digits,
+         generate_subscripts(
+           regexp_extract_all(reverse(digits), '[0-9]'), 1) AS pos1,
+         CAST(unnest(regexp_extract_all(reverse(digits), '[0-9]'))
+              AS INTEGER) AS d
+  FROM norm),
+agg AS (
+  SELECT image_id, cidx, digits,
+         sum(CASE WHEN pos1 % 2 = 0
+                  THEN d * 2 - CASE WHEN d * 2 > 9 THEN 9 ELSE 0 END
+                  ELSE d END) AS s,
+         CAST(count(*) AS INTEGER) AS n_digits
+  FROM ch GROUP BY 1, 2, 3)
+SELECT image_id,
+       '****' || right(digits, 4) AS masked,
+       n_digits,
+       s % 10 = 0 AS luhn_ok,
+       (s % 10 = 0) AND n_digits BETWEEN 13 AND 19 AS valid
+FROM agg
+"""
+
+
 def q_dq_profile(spark, sf_dir):
     """Single-pass column profiler (operators/dq.py::column_profile)
     over the documents table: completeness, cardinality and basic
@@ -3868,6 +3918,7 @@ _ALL_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | No
     "win_retention": (q_win_retention, SQL_WIN_RETENTION),
     "langid_confusion": (q_langid_confusion, _langid_confusion_sql()),
     "classifier_distill": (q_classifier_distill, SQL_CLASSIFIER_DISTILL),
+    "scrub_luhn": (q_scrub_luhn, SQL_SCRUB_LUHN),
     # round-3 second wave: leakage-safe splits, dedup report,
     # caption<->image alignment gate
     "split_leakage_safe": (q_split_leakage_safe, SQL_SPLIT_LEAKAGE_SAFE),
