@@ -172,6 +172,35 @@ def main() -> None:
         f"exchange is the bins-row groupBy.",
     ))
 
+    # 11. NB distillation: teacher UDF materialized once, weight/dim
+    # joins broadcast, shuffles carry counts only
+    cd = REGISTRY["classifier_distill"][0](spark, sf_dir)
+    p = plan_of(cd)
+    sections.append((
+        "trained langid distillation (classifier_distill)",
+        p,
+        f"ArrowEvalPython count: {p.count('ArrowEvalPython')} (0 — the "
+        f"teacher UDF ran ONCE into the localCheckpoint this plan "
+        f"scans; without it the 5 consuming branches re-decoded every "
+        f"caption).  BroadcastHashJoin present: "
+        f"{'BroadcastHashJoin' in p} — the (token, lang) weight table "
+        f"and the lang dimension broadcast; every Exchange carries "
+        f"integer counts/scores, never caption text.",
+    ))
+
+    # 12. Luhn PII: counts-only aggregation below the verdict
+    lu = REGISTRY["scrub_luhn"][0](spark, sf_dir)
+    p = plan_of(lu)
+    rs = re.search(r"ReadSchema: [^\n]*", p)
+    sections.append((
+        "Luhn checksum PII validation (scrub_luhn)",
+        p,
+        f"{rs.group(0) if rs else ''}\n"
+        "Two generators (candidates, reversed digits) run in the scan "
+        "stage; the single Exchange carries (id, cidx, digits, partial "
+        "sum, partial count) — the caption column never shuffles.",
+    ))
+
     os.makedirs("BENCH", exist_ok=True)
     with open("BENCH/PLANS.md", "w") as f:
         f.write("# BENCH/PLANS.md — captured physical plans\n\n"
