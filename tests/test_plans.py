@@ -186,3 +186,29 @@ def test_round3_operator_plan_shapes(spark):
     # one broadcast build of the bitset word table; the probe side
     # joins it exactly once (plus the base left join)
     assert bl.count("BroadcastHashJoin") <= 2
+
+
+def test_classifier_distill_plan_shape(spark):
+    """Scoring plan must not re-run the teacher UDF (materialized
+    once into a localCheckpoint) and must broadcast the weight/dim
+    tables; no exchange may carry the caption text."""
+    from data_quality_check_spark.queries import REGISTRY
+
+    plan = _plan(REGISTRY["classifier_distill"][0](
+        spark, "/root/testdata/sf0.001"))
+    assert "ArrowEvalPython" not in plan
+    assert "BroadcastHashJoin" in plan
+    ex_lines = [ln for ln in plan.splitlines() if "Exchange" in ln]
+    assert ex_lines and all("caption" not in ln for ln in ex_lines)
+
+
+def test_scrub_luhn_plan_shape(spark):
+    """Candidate extraction + digit explode stay in the scan stage;
+    the aggregation exchange carries counts only (never caption)."""
+    from data_quality_check_spark.queries import REGISTRY
+
+    plan = _plan(REGISTRY["scrub_luhn"][0](
+        spark, "/root/testdata/sf0.001"))
+    assert "ArrowEvalPython" not in plan  # pure JVM expressions
+    ex_lines = [ln for ln in plan.splitlines() if "Exchange" in ln]
+    assert ex_lines and all("caption" not in ln for ln in ex_lines)
