@@ -3463,6 +3463,69 @@ WHERE a.image_id < b.image_id
 """
 
 
+def q_phash_precision_audit(spark, sf_dir):
+    """Visual-index trust audit: for every phash pair at hamming h
+    (0..3), does the DECODED CONTENT actually match?  Joins the
+    guaranteed-recall phash pairs against the 16x16 resize digest and
+    reports per-hamming pair counts + pixel-level precision — the
+    measurement that decides whether a corpus can drop hamming<=k
+    matches blindly or must exact-verify them (on this synthetic
+    corpus low-entropy gradients collide heavily at h>=1, so
+    precision collapses past h=0: exactly the regime the audit
+    exists to expose).  Digests come from the decode mapInPandas,
+    materialized once for both join sides; the oracle reads the
+    numpy-fixture digests and brute-forces the pairs."""
+    from .operators.dedup import phash_near_dups
+    from .operators.multimodal import resize_images
+
+    im = _images(spark, sf_dir)
+    pairs = phash_near_dups(im.select("image_id", "phash"), 3)
+    digs = (resize_images(im, tw=16, th=16)
+            .select("image_id", "decoded",
+                    F.coalesce("resized_sha256", F.lit("")).alias("dig"))
+            .localCheckpoint())
+    j = (pairs
+         .join(digs.select(F.col("image_id").alias("id_a"),
+                           F.col("decoded").alias("dec_a"),
+                           F.col("dig").alias("dig_a")), "id_a")
+         .join(digs.select(F.col("image_id").alias("id_b"),
+                           F.col("decoded").alias("dec_b"),
+                           F.col("dig").alias("dig_b")), "id_b"))
+    same = (F.col("dec_a") & F.col("dec_b")
+            & (F.col("dig_a") == F.col("dig_b")))
+    return (j.groupBy(F.col("hamming").cast("int").alias("hamming"))
+            .agg(F.count("*").alias("n_pairs"),
+                 F.sum(same.cast("long")).alias("n_pixel_same"))
+            .withColumn("precision",
+                        F.round(F.col("n_pixel_same")
+                                / F.col("n_pairs"), 6)))
+
+
+SQL_PHASH_PRECISION_AUDIT = f"""
+WITH pairs AS (
+  SELECT a.image_id AS id_a, b.image_id AS id_b,
+         CAST(bit_count(xor(a.phash, b.phash)) AS INT) AS hamming
+  FROM {IMAGES_SF001} a, {IMAGES_SF001} b
+  WHERE a.image_id < b.image_id
+    AND bit_count(xor(a.phash, b.phash)) <= 3),
+d AS (
+  SELECT image_id, decoded, coalesce(resized_sha256, '') AS dig
+  FROM '/root/repo/data/mm_resize_sf0.01.parquet')
+SELECT hamming,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(sum(CASE WHEN da.decoded AND db.decoded
+                      AND da.dig = db.dig THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_pixel_same,
+       round(sum(CASE WHEN da.decoded AND db.decoded
+                       AND da.dig = db.dig THEN 1 ELSE 0 END)
+             / CAST(count(*) AS DOUBLE), 6) AS precision
+FROM pairs
+JOIN d da ON pairs.id_a = da.image_id
+JOIN d db ON pairs.id_b = db.image_id
+GROUP BY hamming
+"""
+
+
 def q_dedup_phash_hamming_distinct(spark, sf_dir):
     """The SCALE path of phash near-dup: collapse identical phashes to
     one min-id representative FIRST (|distinct phash| << |rows| on
@@ -3864,6 +3927,8 @@ _ALL_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | No
     # parquet by path at the driver's sf=0.01)
     "win_dup_rank_images": (q_win_dup_rank_images, SQL_WIN_DUP_RANK_IMAGES),
     "dedup_phash_hamming": (q_dedup_phash_hamming, SQL_DEDUP_PHASH_HAMMING),
+    "phash_precision_audit": (q_phash_precision_audit,
+                              SQL_PHASH_PRECISION_AUDIT),
     "dedup_phash_hamming_distinct": (q_dedup_phash_hamming_distinct,
                                      SQL_DEDUP_PHASH_HAMMING_DISTINCT),
     "dedup_crossmodal": (q_dedup_crossmodal, SQL_DEDUP_CROSSMODAL),
@@ -3971,7 +4036,7 @@ _DRIVER_WINDOW = [
     # text analysis / corpus / sampling (17)
     "text_quality_score",
     "classifier_distill",
-    "text_langid_heuristic",
+    "phash_precision_audit",
     "text_quality_tiers",
     "corpus_stats",
     "text_tfidf_topk",
