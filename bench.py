@@ -43,6 +43,7 @@ HEADLINE_KEYS = [
     "text_bloom_decontaminate",
     "dedup_semantic",
     "classifier_distill",
+    "image_quality_stats",
 ]
 
 

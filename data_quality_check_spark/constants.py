@@ -87,6 +87,22 @@ MAX_PPL = 80.0                # keep iff ppl <= MAX_PPL; calibrated: real-lang
                               # captions score <= ~25, gibberish >= ~190
 
 # ---------------------------------------------------------------------------
+# Pixel-level image quality rules (LAION/DataComp-style visual
+# filters over the decoded image; kernels/imgstats.py).  Thresholds
+# calibrated on the synthetic corpus so each rule flags a small
+# realistic tail (1-10% at sf0.01); geometry rules need no decode.
+# ---------------------------------------------------------------------------
+
+IMG_MIN_PIXELS = 256          # w*h below => res_ok false (16x16 floor)
+IMG_MAX_ASPECT = 3            # max(w,h) > 3*min(w,h) => aspect_ok false
+IMG_ENTROPY_MIN = 3.0         # gray-histogram Shannon bits; below => flat
+IMG_CONTRAST_MIN = 8.0        # RMS contrast (gray std); below => washed out
+IMG_BLUR_VAR_MIN = 40.0       # variance-of-Laplacian; below => blurry
+IMG_FLAT_MAX = 0.5            # dominant gray bin share; above => flat
+IMG_DARK_MAX = 0.7            # gray<16 share; above => underexposed
+IMG_BRIGHT_MAX = 0.7          # gray>=240 share; above => overexposed
+
+# ---------------------------------------------------------------------------
 # Dedup / partitioning (BASELINE.json:14 "salted repartition on phash
 # buckets to defuse skew from duplicate-heavy shards")
 # ---------------------------------------------------------------------------

