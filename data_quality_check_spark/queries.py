@@ -3884,6 +3884,37 @@ def q_agg_image_quality(spark, sf_dir):
     return out.agg(*aggs)
 
 
+def q_keep_decision_full(spark, sf_dir):
+    """End-to-end corpus filter: the caption/model verdict (full
+    pipeline: rules + fused text+decode UDF + dup-rank + keep)
+    composed with the visual verdict (pixel quality rules) into one
+    keep_full decision per image.  Expressed as an image_id-keyed
+    join of the two branches — only (id, boolean) rows cross the
+    join, never payload.  On a cluster you would fuse the imgstats
+    kernel into pipeline_udf (one decode) or run the visual gate
+    FIRST as a pre-filter (SCALE.md session-6 note); the sandbox key
+    keeps the branches separate so each verdict stays independently
+    value-pinned.  VALUE-CHECKED: SQL joins the two oracle fixtures
+    (labels = pandas reference oracle, imgquality = numpy kernel
+    oracle)."""
+    from .operators.imgquality import with_image_quality
+
+    im = _images(spark, sf_dir)
+    qf = pipeline.quality_frame(im).select("image_id", "keep")
+    vq = with_image_quality(im).select("image_id", "visual_keep")
+    return qf.join(vq, "image_id").select(
+        "image_id", "keep", "visual_keep",
+        (F.col("keep") & F.col("visual_keep")).alias("keep_full"))
+
+
+SQL_KEEP_DECISION_FULL = """
+SELECT l.image_id, l.keep, q.visual_keep,
+  (l.keep AND q.visual_keep) AS keep_full
+FROM '/root/repo/data/labels_sf0.01.parquet' l
+JOIN '/root/repo/data/imgquality_sf0.01.parquet' q USING (image_id)
+"""
+
+
 SQL_AGG_IMAGE_QUALITY = """
 SELECT CAST(count(*) AS BIGINT) AS n_images,
   CAST(sum(CASE WHEN decoded THEN 1 ELSE 0 END) AS BIGINT) AS n_decoded,
@@ -4041,6 +4072,7 @@ _ALL_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | No
     "rule_image_geometry": (q_rule_image_geometry, SQL_RULE_IMAGE_GEOMETRY),
     "image_quality_stats": (q_image_quality_stats, SQL_IMAGE_QUALITY_STATS),
     "agg_image_quality": (q_agg_image_quality, SQL_AGG_IMAGE_QUALITY),
+    "keep_decision_full": (q_keep_decision_full, SQL_KEEP_DECISION_FULL),
     "agg_bucket_rule_hits": (q_agg_bucket_rule_hits, SQL_AGG_BUCKET_RULE_HITS),
     "dq_checks": (q_dq_checks, SQL_DQ_CHECKS),
     "dq_stats": (q_dq_stats, SQL_DQ_STATS),

@@ -160,6 +160,26 @@ def one_run():
     dedup.image_near_dup_keepers(im).count()
     return time.time() - t0
 """,
+    "image_quality": """
+# the fused decode+stats Arrow UDF (operators/imgquality.py): pure
+# map-side Python-heavy work, zero shuffles below the final hash —
+# the embarrassingly-parallel regime where near-1.0 efficiency is
+# the expectation, so any scheduler/GIL artifact shows up cleanly.
+from pyspark.sql import functions as F
+from data_quality_check_spark.operators.imgquality import with_image_quality
+from data_quality_check_spark.sources import images as IM
+
+N_UNITS = IM.sf_rows(sf)
+im = IM.read_images(spark, sf)
+
+def one_run():
+    import time
+    t0 = time.time()
+    out = with_image_quality(im)
+    # whole-row hash: .count() would let Catalyst prune the UDF
+    out.agg(F.bit_xor(F.xxhash64(F.struct(*out.columns)))).collect()
+    return time.time() - t0
+""",
 }
 
 WORKER = """
@@ -205,7 +225,7 @@ def main() -> None:
     job = sys.argv[3] if len(sys.argv) > 3 else "pipeline"
     if job not in JOB_BODIES:
         raise SystemExit(f"unknown job {job!r}; one of {sorted(JOB_BODIES)}")
-    if job in ("pipeline", "image_keepers"):
+    if job in ("pipeline", "image_keepers", "image_quality"):
         from data_quality_check_spark.sources import images as IM
         IM.ensure_images(sf)
 
