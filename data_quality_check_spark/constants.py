@@ -101,6 +101,8 @@ IMG_BLUR_VAR_MIN = 40.0       # variance-of-Laplacian; below => blurry
 IMG_FLAT_MAX = 0.5            # dominant gray bin share; above => flat
 IMG_DARK_MAX = 0.7            # gray<16 share; above => underexposed
 IMG_BRIGHT_MAX = 0.7          # gray>=240 share; above => overexposed
+IMG_COLORFULNESS_MIN = 15.0   # Hasler-Suesstrunk metric; below =>
+                              # grayscale / washed-out (~0.6% tail)
 
 # ---------------------------------------------------------------------------
 # Dedup / partitioning (BASELINE.json:14 "salted repartition on phash

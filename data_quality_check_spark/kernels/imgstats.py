@@ -12,7 +12,8 @@ fixed shape — deterministic for identical inputs on both sides.
 
 Public-knowledge provenance: ITU-R BT.601 integer luma weights,
 variance-of-Laplacian focus measure (Pech-Pacheco et al. 2000),
-Shannon entropy over the intensity histogram.  The reference repo
+Shannon entropy over the intensity histogram, opponent-space
+colorfulness (Hasler & Suesstrunk 2003).  The reference repo
 (/root/reference, 2-line README) names the capability ("test Data
 Quality for Big Size data"); the realization is ours.
 """
@@ -47,6 +48,11 @@ def quality_stats(pix: np.ndarray) -> dict:
       flat_frac     share of pixels in the single most common gray bin
       dark_frac     share of pixels with gray < 16
       bright_frac   share of pixels with gray >= 240
+      colorfulness  Hasler & Suesstrunk opponent-space metric
+                    (sqrt(var_rg + var_yb) + 0.3 * sqrt(mean_rg^2 +
+                    mean_yb^2)); 0 for pure grayscale
+      sat_mean      mean per-pixel max(r,g,b) - min(r,g,b) (HSV
+                    saturation numerator); 0 for pure grayscale
     """
     gray = gray_luma(pix)
     n = int(gray.size)
@@ -75,6 +81,27 @@ def quality_stats(pix: np.ndarray) -> dict:
         lvar = (lss - (ls * ls) / float(m)) / float(m)
         blur_var = float(max(lvar, 0.0))
 
+    # opponent-space color moments from exact int64 sums: rg = r - g,
+    # yb2 = r + g - 2b (2x the yb axis, kept integer); |rg| <= 255,
+    # |yb2| <= 510 -> squares x n_px fit int64 with huge margin
+    p = pix.astype(np.int64)
+    rg = p[..., 0] - p[..., 1]
+    yb2 = p[..., 0] + p[..., 1] - 2 * p[..., 2]
+    s_rg, ss_rg = int(rg.sum()), int((rg * rg).sum())
+    s_yb, ss_yb = int(yb2.sum()), int((yb2 * yb2).sum())
+    if n:
+        var_rg = max((ss_rg - (s_rg * s_rg) / float(n)) / float(n), 0.0)
+        var_yb = max((ss_yb - (s_yb * s_yb) / float(n)) / float(n), 0.0) / 4.0
+        mean_rg = s_rg / float(n)
+        mean_yb = s_yb / float(n) / 2.0
+        colorfulness = float(np.sqrt(var_rg + var_yb)
+                             + 0.3 * np.sqrt(mean_rg * mean_rg
+                                             + mean_yb * mean_yb))
+        sat_mean = float(int((p.max(axis=2) - p.min(axis=2)).sum())) / n
+    else:
+        colorfulness = 0.0
+        sat_mean = 0.0
+
     return {
         "n_px": n,
         "entropy_bits": entropy_bits,
@@ -83,4 +110,6 @@ def quality_stats(pix: np.ndarray) -> dict:
         "flat_frac": float(hist.max()) / n if n else 1.0,
         "dark_frac": float(hist[:16].sum()) / n if n else 0.0,
         "bright_frac": float(hist[240:].sum()) / n if n else 0.0,
+        "colorfulness": colorfulness,
+        "sat_mean": sat_mean,
     }

@@ -1,7 +1,8 @@
 """Pixel-level image quality rules (LAION/DataComp-style visual
 filters) over the decoded image: resolution / aspect geometry gates
 plus luminance entropy, RMS contrast, variance-of-Laplacian blur,
-flat-image and exposure fractions (kernels/imgstats.py).
+flat-image and exposure fractions, and Hasler-Suesstrunk
+colorfulness / saturation (kernels/imgstats.py).
 
 Realizes the reference's named capability ("test Data Quality for Big
 Size data", /root/reference README — no code) for the VISUAL side of
@@ -13,7 +14,7 @@ functions/rules.py.  Spark-first split:
   they survive predicate pushdown, so a scan that only needs the
   geometry gate never ships `bytes` anywhere;
 * pixel statistics need the decoded image, so they run in ONE fused
-  Arrow pandas UDF (decode + all five statistics in a single
+  Arrow pandas UDF (decode + all statistics in a single
   ArrowEvalPython stage — same single-Python-hop discipline as
   functions/udfs.py::pipeline_udf), sharing kernels/imgstats.py
   verbatim with the driver-side numpy oracle (repo-wide shared-kernel
@@ -46,6 +47,7 @@ from pyspark.sql.types import (
 from ..constants import (
     IMG_BLUR_VAR_MIN,
     IMG_BRIGHT_MAX,
+    IMG_COLORFULNESS_MIN,
     IMG_CONTRAST_MIN,
     IMG_DARK_MAX,
     IMG_ENTROPY_MIN,
@@ -63,6 +65,8 @@ IMGSTATS_SCHEMA = StructType([
     StructField("flat_frac", DoubleType()),
     StructField("dark_frac", DoubleType()),
     StructField("bright_frac", DoubleType()),
+    StructField("colorfulness", DoubleType()),
+    StructField("sat_mean", DoubleType()),
 ])
 
 # (rule name, stat column, threshold, keep-iff) — single source for
@@ -75,6 +79,7 @@ PIXEL_RULES: list[tuple[str, str, float, str]] = [
     ("flat_ok", "flat_frac", IMG_FLAT_MAX, "le"),
     ("dark_ok", "dark_frac", IMG_DARK_MAX, "le"),
     ("bright_ok", "bright_frac", IMG_BRIGHT_MAX, "le"),
+    ("color_ok", "colorfulness", IMG_COLORFULNESS_MIN, "ge"),
 ]
 RULE_COLS = [name for name, *_ in PIXEL_RULES]
 
@@ -96,6 +101,8 @@ def _stats_batch(blob: pd.Series, fmt: pd.Series, w: pd.Series,
         "flat_frac": np.full(n, np.nan),
         "dark_frac": np.full(n, np.nan),
         "bright_frac": np.full(n, np.nan),
+        "colorfulness": np.full(n, np.nan),
+        "sat_mean": np.full(n, np.nan),
     }
     blobs = blob.to_numpy()
     fmts = fmt.to_numpy()
@@ -113,7 +120,8 @@ def _stats_batch(blob: pd.Series, fmt: pd.Series, w: pd.Series,
         out["decoded"][i] = True
         out["n_px"][i] = st["n_px"]
         for k in ("entropy_bits", "contrast_rms", "flat_frac",
-                  "dark_frac", "bright_frac"):
+                  "dark_frac", "bright_frac", "colorfulness",
+                  "sat_mean"):
             out[k][i] = st[k]
         if st["blur_var"] is not None:
             out["blur_var"][i] = st["blur_var"]
@@ -206,7 +214,7 @@ def expected_imgquality(sf: float, root: str = "/root/repo/data") -> str:
     out["decoded"] = st["decoded"].to_numpy()
     out["n_px"] = st["n_px"].to_numpy().astype(np.int32)
     for k in ("entropy_bits", "contrast_rms", "blur_var", "flat_frac",
-              "dark_frac", "bright_frac"):
+              "dark_frac", "bright_frac", "colorfulness", "sat_mean"):
         vals = st[k].to_numpy()
         out[k] = [None if not d or np.isnan(v) else _round6(v)
                   for d, v in zip(out["decoded"], vals)]

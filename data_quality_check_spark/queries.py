@@ -3853,9 +3853,10 @@ def q_image_quality_stats(spark, sf_dir):
     return out.select(
         "image_id", "decoded", "n_px",
         *[_r6(c) for c in ("entropy_bits", "contrast_rms", "blur_var",
-                           "flat_frac", "dark_frac", "bright_frac")],
+                           "flat_frac", "dark_frac", "bright_frac",
+                           "colorfulness", "sat_mean")],
         "res_ok", "aspect_ok", "entropy_ok", "contrast_ok", "blur_ok",
-        "flat_ok", "dark_ok", "bright_ok", "visual_keep",
+        "flat_ok", "dark_ok", "bright_ok", "color_ok", "visual_keep",
     )
 
 
@@ -3926,6 +3927,7 @@ SELECT CAST(count(*) AS BIGINT) AS n_images,
   CAST(sum(CASE WHEN flat_ok THEN 0 ELSE 1 END) AS BIGINT) AS bad_flat,
   CAST(sum(CASE WHEN dark_ok THEN 0 ELSE 1 END) AS BIGINT) AS bad_dark,
   CAST(sum(CASE WHEN bright_ok THEN 0 ELSE 1 END) AS BIGINT) AS bad_bright,
+  CAST(sum(CASE WHEN color_ok THEN 0 ELSE 1 END) AS BIGINT) AS bad_color,
   CAST(sum(CASE WHEN visual_keep THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
   round(avg(CASE WHEN visual_keep THEN 1.0 ELSE 0.0 END), 6) AS keep_rate
 FROM '/root/repo/data/imgquality_sf0.01.parquet'

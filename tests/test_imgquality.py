@@ -34,6 +34,19 @@ def test_constant_image_is_flat_zero_entropy():
     assert st["flat_frac"] == 1.0
     assert st["dark_frac"] == 0.0
     assert st["bright_frac"] == 0.0
+    assert st["colorfulness"] == 0.0  # grayscale
+    assert st["sat_mean"] == 0.0
+
+
+def test_pure_red_colorfulness_exact():
+    # constant (255,0,0): zero variance on both opponent axes;
+    # mean_rg = 255, mean_yb = 127.5 -> cf = 0.3*sqrt(255^2+127.5^2)
+    pix = np.zeros((8, 8, 3), dtype=np.uint8)
+    pix[..., 0] = 255
+    st = quality_stats(pix)
+    assert st["colorfulness"] == pytest.approx(
+        0.3 * np.sqrt(255.0 ** 2 + 127.5 ** 2), abs=0.0)
+    assert st["sat_mean"] == 255.0
 
 
 def test_two_tone_split_exact_values():
@@ -104,7 +117,7 @@ def test_spark_stats_match_numpy_oracle_exactly(quality_pdf, images_pdf):
     assert (quality_pdf["decoded"] == exp["decoded"]).all()
     assert (quality_pdf["n_px"] == exp["n_px"]).all()
     for c in ("entropy_bits", "contrast_rms", "blur_var", "flat_frac",
-              "dark_frac", "bright_frac"):
+              "dark_frac", "bright_frac", "colorfulness", "sat_mean"):
         a = quality_pdf[c].to_numpy()
         b = exp[c].to_numpy()
         same = (a == b) | (np.isnan(a) & np.isnan(b))
@@ -116,7 +129,7 @@ def test_rule_booleans_and_verdict(quality_pdf):
     dec = p["decoded"].to_numpy()
     # every undecoded row fails every pixel rule and the verdict
     for c in ("entropy_ok", "contrast_ok", "blur_ok", "flat_ok",
-              "dark_ok", "bright_ok", "visual_keep"):
+              "dark_ok", "bright_ok", "color_ok", "visual_keep"):
         assert not p.loc[~dec, c].any()
     # thresholds applied to the full-precision stats
     finite = dec & ~np.isnan(p["entropy_bits"].to_numpy())
@@ -127,12 +140,12 @@ def test_rule_booleans_and_verdict(quality_pdf):
     # verdict == conjunction of all rules
     conj = dec.copy()
     for c in ("res_ok", "aspect_ok", "entropy_ok", "contrast_ok",
-              "blur_ok", "flat_ok", "dark_ok", "bright_ok"):
+              "blur_ok", "flat_ok", "dark_ok", "bright_ok", "color_ok"):
         conj &= p[c].to_numpy()
     assert (p["visual_keep"].to_numpy() == conj).all()
     # calibration sanity: each rule fires on a nonempty minority tail
     for c in ("res_ok", "aspect_ok", "entropy_ok", "contrast_ok",
-              "blur_ok", "flat_ok"):
+              "blur_ok", "flat_ok", "color_ok"):
         bad = (~p[c]).mean()
         assert 0.0 < bad < 0.35, (c, bad)
     assert 0.3 < p["visual_keep"].mean() < 0.95
