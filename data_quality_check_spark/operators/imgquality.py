@@ -180,6 +180,24 @@ def with_image_quality(images: DataFrame) -> DataFrame:
     return st.withColumn("visual_keep", keep)
 
 
+def quality_report(quality: DataFrame) -> DataFrame:
+    """One-row corpus report over a with_image_quality frame: decode
+    success count, per-rule failure counts, keep count and keep rate.
+    One map-side partial-aggregate pass — the UDF already reduced
+    each image to scalars, so the exchange carries bytes-per-row,
+    not payload.  Shared by the batch contract key
+    (agg_image_quality) and the streaming per-micro-batch monitor
+    (streaming/dq.py::start_visual_quality_stream)."""
+    aggs = [F.count("*").alias("n_images"),
+            F.sum(F.col("decoded").cast("long")).alias("n_decoded")]
+    for c in ["res_ok", "aspect_ok", *RULE_COLS]:
+        aggs.append(F.sum((~F.col(c)).cast("long")).alias(f"bad_{c[:-3]}"))
+    aggs.append(F.sum(F.col("visual_keep").cast("long")).alias("n_keep"))
+    aggs.append(F.round(F.avg(F.col("visual_keep").cast("double")), 6)
+                 .alias("keep_rate"))
+    return quality.agg(*aggs)
+
+
 def expected_imgquality(sf: float, root: str = "/root/repo/data") -> str:
     """Driver-side numpy oracle for the value pin: run the SAME
     kernel over the deterministic corpus WITHOUT Spark and write the

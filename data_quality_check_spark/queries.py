@@ -3872,17 +3872,9 @@ def q_agg_image_quality(spark, sf_dir):
     stats UDF reduces each image to 7 scalars first).  The SQL oracle
     RE-AGGREGATES the per-image fixture, cross-checking the Spark
     aggregation itself, not just the stored booleans."""
-    from .operators.imgquality import RULE_COLS, with_image_quality
+    from .operators.imgquality import quality_report, with_image_quality
 
-    out = with_image_quality(_images(spark, sf_dir))
-    aggs = [F.count("*").alias("n_images"),
-            F.sum(F.col("decoded").cast("long")).alias("n_decoded")]
-    for c in ["res_ok", "aspect_ok", *RULE_COLS]:
-        aggs.append(F.sum((~F.col(c)).cast("long")).alias(f"bad_{c[:-3]}"))
-    aggs.append(F.sum(F.col("visual_keep").cast("long")).alias("n_keep"))
-    aggs.append(F.round(F.avg(F.col("visual_keep").cast("double")), 6)
-                 .alias("keep_rate"))
-    return out.agg(*aggs)
+    return quality_report(with_image_quality(_images(spark, sf_dir)))
 
 
 def q_keep_decision_full(spark, sf_dir):

@@ -36,6 +36,41 @@ def start_dq_stream(spark: SparkSession, in_path: str, schema_ddl: str,
             .trigger(availableNow=True))
 
 
+def start_visual_quality_stream(spark: SparkSession, in_path: str,
+                                schema_ddl: str, catalog,
+                                checkpoint_dir: str,
+                                table: str = "visual_quality_reports",
+                                max_files_per_trigger: int = 4):
+    """Continuous pixel-level quality monitoring over arriving image
+    shards: per micro-batch, the SAME with_image_quality operator +
+    quality_report aggregation as the batch contract key
+    (queries.py::q_agg_image_quality) — one fused Arrow UDF pass plus
+    a one-row reduce per trigger — appended to the catalog tagged with
+    the batch id.  Streaming/batch parity is by construction, not by a
+    re-implementation: both paths call the identical operator, so a
+    corpus split into micro-batches reports exactly the per-batch
+    partials of the batch report (counts are additive; keep_rate is
+    per-batch by design).  Monitoring, not gating — a gating variant
+    would raise in process() on keep_rate below a floor."""
+    from ..operators.imgquality import quality_report, with_image_quality
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        row = quality_report(
+            with_image_quality(batch_df)).collect()[0]
+        catalog.append_rows(table, [{"batch_id": batch_id,
+                                     **row.asDict()}])
+
+    stream = (spark.readStream.schema(schema_ddl)
+              .option("maxFilesPerTrigger", max_files_per_trigger)
+              .parquet(in_path))
+    return (stream.writeStream
+            .foreachBatch(process)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True))
+
+
 def start_drift_stream(spark: SparkSession, in_path: str,
                        schema_ddl: str, baseline, col: str,
                        catalog, checkpoint_dir: str,

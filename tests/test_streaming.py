@@ -95,6 +95,54 @@ def test_streaming_dq_reports_per_batch(spark, shard_dir):
         shutil.rmtree(out_root, ignore_errors=True)
 
 
+def test_streaming_visual_quality_reports(spark, shard_dir):
+    """Per-micro-batch pixel-quality reports equal the batch
+    operator's partials exactly (shared operator, not a re-impl):
+    counts are additive across batches and each batch row matches
+    quality_report run on that shard alone."""
+    from data_quality_check_spark.operators.imgquality import (
+        quality_report, with_image_quality)
+    from data_quality_check_spark.plans.catalog import LocalParquetCatalog
+    from data_quality_check_spark.streaming.dq import (
+        start_visual_quality_stream)
+
+    pdf = IM.generate_pandas(0.001)
+    # unequal shard sizes so the batch twin below can be matched to
+    # its micro-batch by n_images (file->batch order isn't guaranteed)
+    chunks = (pdf.iloc[:400], pdf.iloc[400:])
+    for i, chunk in enumerate(chunks):
+        tbl = pa.Table.from_pandas(chunk, schema=IM.ARROW_SCHEMA,
+                                   preserve_index=False)
+        pq.write_table(tbl, os.path.join(shard_dir, f"s{i}.parquet"))
+
+    out_root = tempfile.mkdtemp(prefix="dqc-vqstream-")
+    try:
+        cat = LocalParquetCatalog(spark, out_root)
+        q = start_visual_quality_stream(
+            spark, shard_dir, IM.IMAGES_DDL, cat,
+            checkpoint_dir=os.path.join(out_root, "ckpt"),
+            max_files_per_trigger=1).start()
+        q.awaitTermination(120)
+
+        rep = cat.read_table("visual_quality_reports").toPandas()
+        assert len(rep) == 2 and set(rep.batch_id) == {0, 1}
+        assert int(rep.n_images.sum()) == 1000
+
+        # batch twin per shard: identical values column for column
+        # (micro-batch file order is not guaranteed -> match by size)
+        want = {}
+        for chunk in chunks:
+            sdf = spark.createDataFrame(chunk)
+            row = quality_report(with_image_quality(sdf)).collect()[0]
+            want[row["n_images"]] = row.asDict()
+        for _, got in rep.iterrows():
+            exp = want[int(got["n_images"])]
+            for k, v in exp.items():
+                assert got[k] == pytest.approx(v), k
+    finally:
+        shutil.rmtree(out_root, ignore_errors=True)
+
+
 def test_stream_static_enrichment(spark, shard_dir):
     """Stream-static broadcast join: every micro-batch row is
     enriched from the dimension; unmatched keys keep LEFT nulls."""
