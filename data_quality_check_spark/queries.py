@@ -2093,6 +2093,230 @@ FROM cc JOIN '/root/repo/data/mm_features_sf0.01.parquet' f
 """
 
 
+# Perplexity ROC sweep thresholds: fixed literal grid spanning the
+# corpus ppl distribution (median ~5, p90 ~145).  A constant list —
+# the sweep multiplies rows by len(grid), never by data size.
+PPL_ROC_THRESHOLDS = [3.0, 5.0, 8.0, 15.0, 50.0, 150.0, 500.0, 1000.0]
+
+
+def q_agg_ppl_roc(spark, sf_dir):
+    """Single-rule ablation ROC: how well does the perplexity gate
+    ALONE predict the final keep verdict?  The classic audit before
+    moving a cutoff in production — per threshold T: predict keep iff
+    ppl <= T, score against the pipeline's real keep decision.
+
+    Scale shape: the pipeline computes ppl+keep once (fused Arrow
+    UDF, map-side); the sweep is a constant-factor explode over the
+    literal grid followed by ONE hash aggregation keyed on the
+    threshold — map-side partials mean the shuffle carries
+    |grid| x partitions tiny count rows at 10^12 images, nothing
+    data-sized.  DuckDB re-runs the identical sweep on the pinned
+    labels fixture (ppl/keep equal by the shared-kernel invariant)."""
+    from .plans import pipeline
+
+    qf = pipeline.quality_frame(_images(spark, sf_dir)).select(
+        F.round("ppl", 6).alias("ppl"), "keep")
+    grid = F.explode(F.array(*[F.lit(x) for x in PPL_ROC_THRESHOLDS]))
+    sw = qf.select("ppl", "keep", grid.alias("t"))
+    pred = F.col("ppl").isNotNull() & (F.col("ppl") <= F.col("t"))
+    agg = (sw.groupBy("t").agg(
+        F.sum((pred & F.col("keep")).cast("long")).alias("tp"),
+        F.sum((pred & ~F.col("keep")).cast("long")).alias("fp"),
+        F.sum(((~pred) & F.col("keep")).cast("long")).alias("fn")))
+    # ANSI mode: guard every division (0-denominator -> NULL, same
+    # as the SQL CASE) instead of relying on non-ANSI null-on-zero
+    tp, fp, fn = F.col("tp"), F.col("fp"), F.col("fn")
+    prec = F.when(tp + fp > 0, tp / (tp + fp))
+    rec = F.when(tp + fn > 0, tp / (tp + fn))
+    f1 = F.when(2 * tp + fp + fn > 0, 2 * tp / (2 * tp + fp + fn))
+    return (agg.select(
+        F.col("t").alias("ppl_threshold"), "tp", "fp", "fn",
+        F.round(prec, 6).alias("precision"),
+        F.round(rec, 6).alias("recall"),
+        F.round(f1, 6).alias("f1"))
+        .orderBy("ppl_threshold"))
+
+
+SQL_AGG_PPL_ROC = f"""
+WITH sw AS (
+  SELECT CAST(th.t AS DOUBLE) AS t, ppl, keep
+  FROM '/root/repo/data/labels_sf0.01.parquet',
+       (SELECT unnest([{", ".join(str(x) for x in PPL_ROC_THRESHOLDS)}])
+        AS t) th
+), a AS (
+  SELECT t,
+    CAST(sum(CASE WHEN ppl IS NOT NULL AND ppl <= t AND keep
+             THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+    CAST(sum(CASE WHEN ppl IS NOT NULL AND ppl <= t AND NOT keep
+             THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+    CAST(sum(CASE WHEN (ppl IS NULL OR ppl > t) AND keep
+             THEN 1 ELSE 0 END) AS BIGINT) AS fn
+  FROM sw GROUP BY t
+)
+SELECT t AS ppl_threshold, tp, fp, fn,
+  round(CASE WHEN tp + fp > 0
+        THEN CAST(tp AS DOUBLE) / (tp + fp) END, 6) AS precision,
+  round(CASE WHEN tp + fn > 0
+        THEN CAST(tp AS DOUBLE) / (tp + fn) END, 6) AS recall,
+  round(CASE WHEN 2 * tp + fp + fn > 0
+        THEN CAST(2 * tp AS DOUBLE) / (2 * tp + fp + fn) END, 6) AS f1
+FROM a
+"""
+
+
+def q_agg_keep_rate_ci(spark, sf_dir):
+    """Per-language keep-rate report with Wilson 95% confidence
+    intervals — the statistically honest corpus-health dashboard row
+    (a plain ratio over a small language stratum overstates
+    certainty).  One hash aggregation on lang with map-side partials;
+    the CI arithmetic is per-group driver-free column math on the
+    aggregated (n, n_keep) integers, so both engines evaluate the
+    identical double expression tree and agree bit-for-bit after
+    round(6).  DuckDB re-derives from the pinned labels fixture."""
+    from .plans import pipeline
+
+    qf = pipeline.quality_frame(_images(spark, sf_dir)).select(
+        "lang", "keep")
+    agg = qf.groupBy("lang").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("keep").cast("long")).alias("n_keep"))
+    z = 1.959963984540054  # two-sided 95%
+    n = F.col("n").cast("double")
+    p = F.col("n_keep").cast("double") / n
+    denom = F.lit(1.0) + z * z / n
+    center = (p + z * z / (2 * n)) / denom
+    half = (z * F.sqrt(p * (F.lit(1.0) - p) / n
+                       + z * z / (4 * n * n))) / denom
+    return agg.select(
+        "lang", "n", "n_keep",
+        F.round(p, 6).alias("keep_rate"),
+        F.round(center - half, 6).alias("ci_low"),
+        F.round(center + half, 6).alias("ci_high")).orderBy("lang")
+
+
+SQL_AGG_KEEP_RATE_CI = """
+WITH a AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n,
+    CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_keep
+  FROM '/root/repo/data/labels_sf0.01.parquet' GROUP BY lang
+)
+SELECT lang, n, n_keep,
+  round(p, 6) AS keep_rate,
+  round((p + z*z/(2*nd))/(1.0 + z*z/nd)
+        - (z * sqrt(p*(1.0-p)/nd + z*z/(4*nd*nd)))/(1.0 + z*z/nd),
+        6) AS ci_low,
+  round((p + z*z/(2*nd))/(1.0 + z*z/nd)
+        + (z * sqrt(p*(1.0-p)/nd + z*z/(4*nd*nd)))/(1.0 + z*z/nd),
+        6) AS ci_high
+FROM (SELECT lang, n, n_keep, CAST(n AS DOUBLE) AS nd,
+             CAST(n_keep AS DOUBLE) / CAST(n AS DOUBLE) AS p,
+             1.959963984540054 AS z
+      FROM a)
+"""
+
+
+def q_dq_embedding_drift(spark, sf_dir):
+    """Embedding-distribution drift between two corpus versions (the
+    deterministic vec_id-parity split stands in for v1/v2): per-
+    dimension centroids, then centroid cosine, L2 shift and per-
+    version centroid norms — the embedding-side companion of the
+    scalar dq_drift_psi monitor (a re-embedded or re-encoded corpus
+    shifts centroids long before nearest-neighbour metrics notice).
+
+    Scale shape: posexplode turns each vector into dim (pos, val)
+    pairs that partial-aggregate map-side, so the one shuffle carries
+    2 x dim running sums per source partition — never vectors — and
+    the second aggregate reduces dim rows to one.  At 10^12 vectors
+    the plan's cost is the scan."""
+    e = _t(spark, sf_dir, "embeddings")
+    ex = e.select((F.col("vec_id") % 2 == 0).alias("v1"),
+                  F.posexplode("embedding").alias("pos", "val"))
+    cent = ex.groupBy("pos").agg(
+        F.avg(F.when(F.col("v1"), F.col("val"))).alias("c1"),
+        F.avg(F.when(~F.col("v1"), F.col("val"))).alias("c2"))
+    c1, c2 = F.col("c1"), F.col("c2")
+    out = cent.agg(
+        F.count("*").alias("dim"),
+        F.sum(c1 * c2).alias("dot"),
+        F.sum(c1 * c1).alias("n1"),
+        F.sum(c2 * c2).alias("n2"),
+        F.sum((c1 - c2) * (c1 - c2)).alias("d2"))
+    return out.select(
+        "dim",
+        F.round(F.col("dot") / F.sqrt(F.col("n1") * F.col("n2")),
+                6).alias("centroid_cos"),
+        F.round(F.sqrt("d2"), 6).alias("centroid_l2_shift"),
+        F.round(F.sqrt("n1"), 6).alias("centroid_norm_v1"),
+        F.round(F.sqrt("n2"), 6).alias("centroid_norm_v2"))
+
+
+SQL_DQ_EMBEDDING_DRIFT = """
+WITH ex AS (
+  SELECT (vec_id % 2 = 0) AS v1,
+         unnest(embedding) AS val,
+         generate_subscripts(embedding, 1) AS pos
+  FROM embeddings
+), cent AS (
+  SELECT pos, avg(CASE WHEN v1 THEN val END) AS c1,
+              avg(CASE WHEN NOT v1 THEN val END) AS c2
+  FROM ex GROUP BY pos
+)
+SELECT CAST(count(*) AS BIGINT) AS dim,
+  round(sum(c1*c2) / sqrt(sum(c1*c1) * sum(c2*c2)), 6) AS centroid_cos,
+  round(sqrt(sum((c1-c2)*(c1-c2))), 6) AS centroid_l2_shift,
+  round(sqrt(sum(c1*c1)), 6) AS centroid_norm_v1,
+  round(sqrt(sum(c2*c2)), 6) AS centroid_norm_v2
+FROM cent
+"""
+
+
+def q_image_quality_hist(spark, sf_dir):
+    """Distribution report over the decoded pixel statistics: fixed-
+    width luminance-entropy histogram (0.5-bit bins, clamped at 15)
+    with per-bin contrast/blur means and visual keep rate — the
+    corpus-curation view that shows WHERE a threshold sits in the
+    real distribution, not just how many rows it cuts.  The fused
+    stats UDF reduces each image to scalars map-side; the histogram
+    shuffles (bin, partial-aggregate) rows only.  DuckDB re-bins the
+    value-pinned per-image fixture (kernels shared, values round6 on
+    both sides before binning so edge cases bin identically)."""
+    from .operators.imgquality import with_image_quality
+
+    q = with_image_quality(_images(spark, sf_dir)).filter("decoded")
+    b = F.least(F.lit(15),
+                F.floor(F.round("entropy_bits", 6) / F.lit(0.5))
+                ).cast("int")
+    return (q.select(
+        b.alias("entropy_bin"),
+        F.round("contrast_rms", 6).alias("contrast_rms"),
+        # blur_var can be NaN for decoded degenerate images; NaN
+        # poisons avg() where the fixture stores NULL — align to NULL
+        F.when(~F.isnan("blur_var"),
+               F.round("blur_var", 6)).alias("blur_var"),
+        F.col("visual_keep").cast("int").alias("vk"))
+        .groupBy("entropy_bin")
+        .agg(F.count("*").alias("n"),
+             F.round(F.avg("contrast_rms"), 6).alias("avg_contrast"),
+             F.round(F.avg("blur_var"), 6).alias("avg_blur"),
+             F.round(F.avg("vk"), 6).alias("keep_rate"))
+        .orderBy("entropy_bin"))
+
+
+SQL_IMAGE_QUALITY_HIST = """
+WITH q AS (
+  SELECT least(15, CAST(floor(entropy_bits / 0.5) AS INT)) AS entropy_bin,
+         contrast_rms, blur_var,
+         CAST(visual_keep AS INT) AS vk
+  FROM '/root/repo/data/imgquality_sf0.01.parquet' WHERE decoded
+)
+SELECT entropy_bin, CAST(count(*) AS BIGINT) AS n,
+  round(avg(contrast_rms), 6) AS avg_contrast,
+  round(avg(blur_var), 6) AS avg_blur,
+  round(avg(vk), 6) AS keep_rate
+FROM q GROUP BY entropy_bin
+"""
+
+
 def q_join_outer(spark, sf_dir):
     """Full outer join: customers x their order totals (nulls on both
     sides where unmatched)."""
@@ -4119,6 +4343,12 @@ _ALL_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | No
     "dedup_cluster_stats": (q_dedup_cluster_stats,
                             SQL_DEDUP_CLUSTER_STATS),
     "multimodal_alignment": (q_multimodal_alignment, _alignment_sql()),
+    # round-3 third wave: threshold tuning, statistical reporting,
+    # embedding drift, pixel-stat distributions
+    "agg_ppl_roc": (q_agg_ppl_roc, SQL_AGG_PPL_ROC),
+    "agg_keep_rate_ci": (q_agg_keep_rate_ci, SQL_AGG_KEEP_RATE_CI),
+    "dq_embedding_drift": (q_dq_embedding_drift, SQL_DQ_EMBEDDING_DRIFT),
+    "image_quality_hist": (q_image_quality_hist, SQL_IMAGE_QUALITY_HIST),
 }
 
 # The driver verifies the FIRST 50 registry keys in insertion order
@@ -4138,12 +4368,17 @@ _ALL_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | No
 # position 50 together with the round-1/2 smoke, fn_*, agg_* and
 # join/window breadth keys the driver has already confirmed green.
 _DRIVER_WINDOW = [
-    # representative core (5)
+    # representative core (2) — join_smj_3way / win_topk /
+    # dedup_exact rotated OUT (driver-verified green in r1 AND r2)
+    # in favour of the round-3 third-wave analyzers below
     "scan_images",
     "keep_decision",
-    "join_smj_3way",
-    "win_topk",
-    "dedup_exact",
+    # round-3 third wave: threshold ROC, Wilson-CI reporting,
+    # embedding drift, pixel-stat histogram (3 + image_quality_hist
+    # with the multimodal family below)
+    "agg_ppl_roc",
+    "agg_keep_rate_ci",
+    "dq_embedding_drift",
     # dedup / components / image dedup family (12)
     "dedup_text_pipeline",
     "dedup_phash_hamming_distinct",
@@ -4157,10 +4392,11 @@ _DRIVER_WINDOW = [
     "dedup_components_star",
     "dedup_exact_images",
     "dedup_cluster_stats",
-    # similarity / embeddings (4)
+    # similarity / embeddings (4) — sim_topk_cosine rotated out
+    # (driver-verified r1+r2); its LSH/IVF scale paths stay in
     "sim_lsh_topk",
     "sim_ivf_topk",
-    "sim_topk_cosine",
+    "image_quality_hist",
     "win_funnel",
     # text analysis / corpus / sampling (17)
     "text_quality_score",
