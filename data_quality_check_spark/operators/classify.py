@@ -24,19 +24,30 @@ weight).
 Scale shape (10^12 docs):
 - train: explode -> two hash aggregations shuffling (lang, token)
   COUNTS only (map-side combine); the weight table is V x L rows.
-- score: per-doc token counts join the weight table on token.  For a
-  natural-language vocab the table broadcasts (even 10M rows of
-  (token, lang, int64) is ~hundreds of MB; below that AQE picks the
-  broadcast side automatically).  For adversarial/unbounded vocabs,
-  pass hash_buckets to fold tokens into a fixed-width md5 bucket
-  space first (fastText's hashing trick) — the table is then bounded
-  by buckets x L regardless of corpus size.
-- argmax: one window over |langs| rows per doc.
+  The L-row language dimension (priors, unseen-token defaults) is a
+  bounded driver read — L is tens at most — so priors become
+  literals in the scoring plan.
+- score: ONE pass — exploded tokens broadcast-join the PIVOTED
+  weight table (one row per token, an L-wide int64 weight vector),
+  then a single hash aggregation keyed on doc id sums per-language
+  scores map-side (a document's tokens live in its own input split,
+  so each doc collapses to one L-column row before the exchange).
+  No L-times row amplification ever crosses a shuffle, and the
+  argmax/margin are per-row array expressions — no window.  For
+  adversarial/unbounded vocabs, pass hash_buckets to fold tokens
+  into a fixed-width md5 bucket space first (fastText's hashing
+  trick) — the broadcast table is then bounded by buckets x L
+  regardless of corpus size.
+
+(The previous shape — per-doc token counts cross-joined with the
+language dimension, scored through a (doc, lang) aggregation and a
+ranking window — was 3 doc-sized shuffles, one of them L-times
+amplified; measured 2.3x slower at sf0.1.)
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 QUANTUM = 1_000_000.0  # micro-log units
@@ -57,15 +68,21 @@ def _bucket(tok_col, buckets: int):
 def nb_langid(docs: DataFrame, id_col: str = "doc_id",
               text_col: str = "text", label_col: str = "lang",
               hash_buckets: int = 0) -> DataFrame:
-    """Train + score a multinomial NB language classifier in one
-    lazy plan.  Returns one row per document: (id, true label,
-    predicted label, correct, margin_micro) where margin_micro is the
-    integer micro-log gap between the best and second-best language —
-    a calibrated-ish confidence the pipeline can threshold on.
+    """Train + score a multinomial NB language classifier.  Returns
+    one row per document: (id, true label, predicted label, correct,
+    margin_micro) where margin_micro is the integer micro-log gap
+    between the best and second-best language — a calibrated-ish
+    confidence the pipeline can threshold on.
 
     Add-1 smoothing over the global vocab; documents with zero tokens
     fall back to the prior argmax.  Ties break on lang ascending (the
-    scores are exact integers, so the tiebreak is deterministic)."""
+    scores are exact integers, so the tiebreak is deterministic).
+
+    Two Spark actions: the train pass reduces the corpus to the
+    L-row language dimension (collected — bounded driver read) plus
+    the V x L count table; the score pass is a broadcast join + one
+    doc-keyed aggregation.  See the module docstring for the 10^12
+    shape."""
     toks_expr = F.filter(F.split(F.col(text_col), " "),
                          lambda t: t != F.lit(""))
     base = docs.select(F.col(id_col).alias("id"),
@@ -76,8 +93,11 @@ def nb_langid(docs: DataFrame, id_col: str = "doc_id",
         tok = tok.withColumn("tok", _bucket(F.col("tok"), hash_buckets)
                              .cast("string"))
 
-    # ---- train: integer count tables (shuffles carry counts only)
-    cnt = tok.groupBy("label", "tok").agg(F.count("*").alias("c"))
+    # ---- train: integer count tables (shuffles carry counts only).
+    # cnt feeds both the collected language dimension and the lazy
+    # weight pivot: cut lineage so the explode+aggregate runs once.
+    cnt = (tok.groupBy("label", "tok").agg(F.count("*").alias("c"))
+           .localCheckpoint(eager=False))
     vocab = cnt.select(F.countDistinct("tok").alias("__v"))
     den = cnt.groupBy("label").agg(F.sum("c").alias("den"))
     ndocs = docs.agg(F.count("*").alias("__n"))
@@ -94,39 +114,57 @@ def nb_langid(docs: DataFrame, id_col: str = "doc_id",
                    _qlog(F.lit(1.0) / (F.col("den") + F.col("__v")))
                    .alias("def_q"),
                    (F.col("den") + F.col("__v")).alias("__denv")))
-    w = (cnt.join(langdim.select("label", "__denv"), "label")
-         .select("label", "tok",
-                 _qlog((F.col("c") + F.lit(1.0)) / F.col("__denv"))
-                 .alias("w_q")))
+    # bounded driver read: |L| is tens at most, and turning priors /
+    # defaults / denominators into literals is what removes every
+    # L-amplified shuffle from the scoring plan below
+    dims = sorted(langdim.collect(), key=lambda r: r["label"])
+    langs = [r["label"] for r in dims]
+    nl = len(langs)
 
-    # ---- score: per-doc token counts x langs, left join weights
-    tc = tok.groupBy("id", "tok").agg(F.count("*").alias("n"))
-    contrib = (tc.crossJoin(F.broadcast(
-                   langdim.select("label", "def_q")
-                   .withColumnRenamed("label", "cand")))
-               .join(w.withColumnRenamed("label", "cand"),
-                     ["cand", "tok"], "left")
-               .groupBy("id", "cand")
-               .agg(F.sum(F.col("n")
-                          * F.coalesce("w_q", "def_q")).alias("s_q")))
+    # pivoted weight table: ONE row per token, L int64 weight columns
+    # (explicit pivot values — no discovery pass); broadcast-sized by
+    # construction (vocab x L ints, or buckets x L with the hashing
+    # trick)
+    denv_expr = F.create_map(
+        *[x for r in dims
+          for x in (F.lit(r["label"]), F.lit(int(r["__denv"])))])
+    w_q = _qlog((F.col("c") + F.lit(1.0))
+                / F.element_at(denv_expr, F.col("label")))
+    w_wide = (cnt.withColumn("__wq", w_q)
+              .groupBy("tok").pivot("label", langs).agg(F.first("__wq"))
+              .select("tok", *[F.col(f"`{l}`").alias(f"__w_{i}")
+                               for i, l in enumerate(langs)]))
+
+    # ---- score: exploded tokens x broadcast weights -> one hash
+    # aggregation keyed on id (map-side combine collapses each doc
+    # before the exchange); unseen (token, lang) cells fall back to
+    # the language's default weight
+    per_tok = (tok.select("id", "tok")
+               .join(F.broadcast(w_wide), "tok", "left"))
+    contrib = per_tok.groupBy("id").agg(
+        *[F.sum(F.coalesce(F.col(f"__w_{i}"),
+                           F.lit(int(r["def_q"])))).alias(f"__s_{i}")
+          for i, r in enumerate(dims)])
+
+    # argmax + margin as per-row array expressions over exact
+    # integers: array_position takes the FIRST maximum, and langs is
+    # sorted ascending, so ties break on lang ascending as before
+    scores = F.array(
+        *[(F.coalesce(F.col(f"__s_{i}"), F.lit(0))
+           + F.lit(int(r["prior_q"]))).cast("long")
+          for i, r in enumerate(dims)])
     scored = (base.select("id", "label")
-              .crossJoin(F.broadcast(
-                  langdim.select(F.col("label").alias("cand"),
-                                 "prior_q")))
-              .join(contrib, ["id", "cand"], "left")
-              .withColumn("score_q",
-                          F.coalesce("s_q", F.lit(0)) + F.col("prior_q")))
-    ww = Window.partitionBy("id").orderBy(F.desc("score_q"),
-                                          F.asc("cand"))
-    return (scored
-            .withColumn("rk", F.row_number().over(ww))
-            .withColumn("margin_micro",
-                        F.col("score_q")
-                        - F.coalesce(F.lead("score_q", 1).over(ww),
-                                     F.col("score_q")))
-            .filter(F.col("rk") == 1)
-            .select(F.col("id").alias("doc_id"),
-                    F.col("label").alias("lang"),
-                    F.col("cand").alias("pred_lang"),
-                    (F.col("cand") == F.col("label")).alias("correct"),
-                    "margin_micro"))
+              .join(contrib, "id", "left")
+              .withColumn("__scores", scores))
+    best = F.array_max("__scores")
+    second = (F.element_at(F.array_sort(
+        "__scores", lambda a, b: F.when(a > b, -1).when(a < b, 1)
+        .otherwise(0)), 2) if nl >= 2 else best)
+    pred = F.element_at(F.array(*[F.lit(l) for l in langs]),
+                        F.array_position("__scores", best).cast("int"))
+    return (scored.select(
+        F.col("id").alias("doc_id"),
+        F.col("label").alias("lang"),
+        pred.alias("pred_lang"),
+        (pred == F.col("label")).alias("correct"),
+        (best - second).alias("margin_micro")))
