@@ -47,6 +47,8 @@ def oracle_sql() -> dict[str, str]:
     # the numpy-oracle expected-values fixtures for the multimodal pin
     from data_quality_check_spark.operators.imgquality import (
         expected_imgquality)
+    from data_quality_check_spark.operators.imgscore import (
+        expected_imgrisk)
     from data_quality_check_spark.operators.multimodal import (
         expected_fixtures, expected_near_dup_pairs)
     from data_quality_check_spark.oracle_fixtures import (
@@ -57,4 +59,5 @@ def oracle_sql() -> dict[str, str]:
     expected_near_dup_pairs(0.01)
     ensure_label_fixtures(0.01)
     expected_imgquality(0.01)
+    expected_imgrisk(0.01)
     return {k: sql for k, (_fn, sql) in REGISTRY.items() if sql is not None}

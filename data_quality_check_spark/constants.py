@@ -104,6 +104,16 @@ IMG_BRIGHT_MAX = 0.7          # gray>=240 share; above => overexposed
 IMG_COLORFULNESS_MIN = 15.0   # Hasler-Suesstrunk metric; below =>
                               # grayscale / washed-out (~0.6% tail)
 
+# Visual-risk stand-ins (kernels/imgrisk.py): watermark-overlay region
+# statistics, Kovac skin rule, hand-crafted aesthetic blend.
+# Calibrated on the synthetic corpus (sf0.001 percentiles: wm_strip
+# p90=0.11/p95=0.36, wm_corner p95=0.57, skin p90=0.22/p95=0.39,
+# aesthetic p05=0.40) so each flags a 4-8% tail.
+IMG_WM_STRIP_MAX = 0.30       # bottom-strip overlay share above => watermark
+IMG_WM_CORNER_MAX = 0.50      # corner overlay share above => watermark
+IMG_SKIN_MAX = 0.30           # skin-pixel share above => NSFW stand-in flag
+IMG_AESTHETIC_MIN = 0.40      # aesthetic blend below => low-quality visual
+
 # ---------------------------------------------------------------------------
 # Dedup / partitioning (BASELINE.json:14 "salted repartition on phash
 # buckets to defuse skew from duplicate-heavy shards")

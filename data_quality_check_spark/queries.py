@@ -4132,6 +4132,90 @@ JOIN '/root/repo/data/imgquality_sf0.01.parquet' q USING (image_id)
 """
 
 
+def q_image_risk_stats(spark, sf_dir):
+    """LAION-style visual RISK gates over the DECODED image —
+    watermark-overlay region statistics, Kovac skin rule (NSFW
+    stand-in), hand-crafted aesthetic blend — one fused Arrow UDF
+    (operators/imgscore.py), VALUE-CHECKED against the numpy-oracle
+    fixture parquet (expected_imgrisk; shared kernel = parity by
+    construction, the pin verifies the distributed execution).  Rule
+    booleans are computed from FULL-precision stats on both sides;
+    the rounded stat columns are for the value hash."""
+    from .operators.imgscore import with_image_risk
+
+    out = with_image_risk(_images(spark, sf_dir))
+
+    def _r6(c: str):
+        col = F.col(c)
+        return F.round(F.when(F.isnan(col), None).otherwise(col), 6) \
+                .alias(c)
+
+    return out.select(
+        "image_id", "decoded",
+        *[_r6(c) for c in ("wm_strip_frac", "wm_corner_frac",
+                           "skin_frac", "aesthetic")],
+        "wm_strip_ok", "wm_corner_ok", "skin_ok", "aesthetic_ok",
+        "risk_keep",
+    )
+
+
+SQL_IMAGE_RISK_STATS = (
+    "SELECT * FROM '/root/repo/data/imgrisk_sf0.01.parquet'"
+)
+
+
+def q_agg_image_risk(spark, sf_dir):
+    """Corpus-level visual risk report: per-gate flag counts and the
+    risk keep rate, one map-side partial-aggregate pass.  The SQL
+    oracle RE-AGGREGATES the per-image fixture, cross-checking the
+    Spark aggregation itself, not just the stored booleans."""
+    from .operators.imgscore import risk_report, with_image_risk
+
+    return risk_report(with_image_risk(_images(spark, sf_dir)))
+
+
+SQL_AGG_IMAGE_RISK = """
+SELECT CAST(count(*) AS BIGINT) AS n_images,
+  CAST(sum(CASE WHEN decoded THEN 1 ELSE 0 END) AS BIGINT) AS n_decoded,
+  CAST(sum(CASE WHEN wm_strip_ok THEN 0 ELSE 1 END) AS BIGINT) AS bad_wm_strip,
+  CAST(sum(CASE WHEN wm_corner_ok THEN 0 ELSE 1 END) AS BIGINT) AS bad_wm_corner,
+  CAST(sum(CASE WHEN skin_ok THEN 0 ELSE 1 END) AS BIGINT) AS bad_skin,
+  CAST(sum(CASE WHEN aesthetic_ok THEN 0 ELSE 1 END) AS BIGINT) AS bad_aesthetic,
+  CAST(sum(CASE WHEN risk_keep THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+  round(avg(CASE WHEN risk_keep THEN 1.0 ELSE 0.0 END), 6) AS keep_rate
+FROM '/root/repo/data/imgrisk_sf0.01.parquet'
+"""
+
+
+def q_keep_decision_all(spark, sf_dir):
+    """Full corpus filter verdict: caption/model keep x pixel-quality
+    visual_keep x risk gates (watermark/NSFW/aesthetic) composed into
+    one keep_all decision per image — the complete LAION-style filter
+    chain.  Only (id, boolean) rows cross the joins.  VALUE-CHECKED:
+    SQL joins the three oracle fixtures (labels = pandas reference
+    oracle; imgquality + imgrisk = numpy kernel oracles)."""
+    from .operators.imgquality import with_image_quality
+    from .operators.imgscore import with_image_risk
+
+    im = _images(spark, sf_dir)
+    qf = pipeline.quality_frame(im).select("image_id", "keep")
+    vq = with_image_quality(im).select("image_id", "visual_keep")
+    rk = with_image_risk(im).select("image_id", "risk_keep")
+    return qf.join(vq, "image_id").join(rk, "image_id").select(
+        "image_id", "keep", "visual_keep", "risk_keep",
+        (F.col("keep") & F.col("visual_keep") & F.col("risk_keep"))
+        .alias("keep_all"))
+
+
+SQL_KEEP_DECISION_ALL = """
+SELECT l.image_id, l.keep, q.visual_keep, r.risk_keep,
+  (l.keep AND q.visual_keep AND r.risk_keep) AS keep_all
+FROM '/root/repo/data/labels_sf0.01.parquet' l
+JOIN '/root/repo/data/imgquality_sf0.01.parquet' q USING (image_id)
+JOIN '/root/repo/data/imgrisk_sf0.01.parquet' r USING (image_id)
+"""
+
+
 SQL_AGG_IMAGE_QUALITY = """
 SELECT CAST(count(*) AS BIGINT) AS n_images,
   CAST(sum(CASE WHEN decoded THEN 1 ELSE 0 END) AS BIGINT) AS n_decoded,
@@ -4345,6 +4429,11 @@ _ALL_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | No
     "multimodal_alignment": (q_multimodal_alignment, _alignment_sql()),
     # round-3 third wave: threshold tuning, statistical reporting,
     # embedding drift, pixel-stat distributions
+    # round-3 fourth wave: visual risk gates (watermark / NSFW /
+    # aesthetic stand-ins, operators/imgscore.py)
+    "image_risk_stats": (q_image_risk_stats, SQL_IMAGE_RISK_STATS),
+    "agg_image_risk": (q_agg_image_risk, SQL_AGG_IMAGE_RISK),
+    "keep_decision_all": (q_keep_decision_all, SQL_KEEP_DECISION_ALL),
     "agg_ppl_roc": (q_agg_ppl_roc, SQL_AGG_PPL_ROC),
     "agg_keep_rate_ci": (q_agg_keep_rate_ci, SQL_AGG_KEEP_RATE_CI),
     "dq_embedding_drift": (q_dq_embedding_drift, SQL_DQ_EMBEDDING_DRIFT),

@@ -74,10 +74,13 @@ def main() -> int:
         ensure_label_fixtures)
     from data_quality_check_spark.operators.imgquality import (
         expected_imgquality)
+    from data_quality_check_spark.operators.imgscore import (
+        expected_imgrisk)
     expected_fixtures(0.01)
     expected_near_dup_pairs(0.01)
     ensure_label_fixtures(0.01)
     expected_imgquality(0.01)
+    expected_imgrisk(0.01)
     con = duckdb.connect()
     for t in TABLES:
         p = os.path.join(sf_dir, f"{t}.parquet")
