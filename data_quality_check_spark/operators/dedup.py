@@ -913,6 +913,77 @@ def incremental_dedup(batch: DataFrame, corpus: DataFrame,
                 F.coalesce("__cm", "__bm").alias("match_id")))
 
 
+def containment_pairs(df: DataFrame, text_col: str, id_col: str,
+                      n: int = 3, threshold: float = 0.8) -> DataFrame:
+    """Directed Jaccard-CONTAINMENT near-dup pairs: |A∩B| / |A| >=
+    threshold over token n-gram sets.  Containment is what catches a
+    document EMBEDDED in a larger one (quoted article, boilerplate
+    wrapper, excerpt) — symmetric Jaccard dilutes those pairs below
+    any usable threshold, and MinHash bands (tuned for symmetric J)
+    structurally miss them.
+
+    Candidate generation is the PPJoin-family prefix filter (Xiao et
+    al. 2008; Chaudhuri et al. 2006 — public algorithms): order each
+    doc's grams by GLOBAL document frequency (rarest first, gram
+    string as tiebreak) and keep only the first
+    p = |A| - ceil(t*|A|) + 1 grams.  EXACT recall guarantee by
+    pigeonhole: containment >= t forces |A∩B| >= ceil(t|A|), so at
+    least one of A's p rarest grams must appear in B — a miss would
+    cap the intersection at ceil(t|A|) - 1.  Prefix grams probe the
+    full inverted index (gram -> docs); because prefixes are the
+    RAREST grams, per-gram fan-out is its df, which is exactly what
+    the prefix ordering minimizes.
+
+    Scale shape (10^12 rows): candidates are generated IDS-ONLY
+    (prefix table carries (gram, id) pairs, never arrays); gram
+    arrays are fetched post-candidates by semi-join-pruned id joins
+    (the ngram_jaccard_pairs pattern); verification cost is exactly
+    candidate-pairs x array_intersect.  The df groupBy and the
+    row_number window both shuffle (gram,count)/(id,gram,df) scalar
+    rows.  A hot gram shared by k docs costs its prefix holders k
+    probe rows each — bounded by prefix ordering, and a df cap would
+    break the recall guarantee, so none is applied."""
+    tokd = _widen(df).select(
+        F.col(id_col),
+        F.filter(F.split(F.lower(F.col(text_col)), " "),
+                 lambda t: t != F.lit("")).alias("__toks"))
+    base = tokd.select(F.col(id_col),
+                       _gram_expr(F.col("__toks"), n).alias("grams"))
+    ex = base.select(F.col(id_col).alias("gid"),
+                     F.size("grams").alias("sz"),
+                     F.explode("grams").alias("gram"))
+    # grams are distinct per doc (_gram_expr) => count(*) == doc freq
+    dfreq = ex.groupBy("gram").agg(F.count("*").alias("__df"))
+    w = Window.partitionBy("gid").orderBy("__df", "gram")
+    ranked = (ex.join(dfreq, "gram")
+              .withColumn("__pos", F.row_number().over(w)))
+    prefix = ranked.filter(
+        F.col("__pos") <= F.col("sz")
+        - F.ceil(F.lit(threshold) * F.col("sz")) + 1)
+    cand = (prefix.select(F.col("gid").alias("src_id"), "gram")
+            .join(ex.select(F.col("gid").alias("dst_id"), "gram"), "gram")
+            .filter(F.col("src_id") != F.col("dst_id"))
+            .select("src_id", "dst_id")
+            .distinct())
+    cand_ids = (cand.select(F.col("src_id").alias("cid"))
+                .union(cand.select(F.col("dst_id").alias("cid")))
+                .distinct())
+    grams = (base.select(F.col(id_col).alias("cid"), "grams")
+             .join(cand_ids, "cid", "left_semi"))
+    pairs = (
+        cand.join(grams.select(F.col("cid").alias("src_id"),
+                               F.col("grams").alias("ga")), "src_id")
+        .join(grams.select(F.col("cid").alias("dst_id"),
+                           F.col("grams").alias("gb")), "dst_id")
+    )
+    inter = F.size(F.array_intersect("ga", "gb")).cast("double")
+    containment = inter / F.size("ga").cast("double")
+    return (pairs.withColumn("containment", containment)
+            .filter(F.col("containment") >= threshold)
+            .select("src_id", "dst_id",
+                    F.round("containment", 6).alias("containment")))
+
+
 def keepers_by_score(df: DataFrame, pairs: DataFrame, id_col: str,
                      score_col: str) -> DataFrame:
     """Score-based keeper policy: within each duplicate component keep

@@ -987,6 +987,67 @@ def q_dedup_jaccard_exact(spark, sf_dir):
     return dedup.jaccard_pairs_exact(d, "text", "doc_id", threshold=0.3)
 
 
+def q_join_fuzzy(spark, sf_dir):
+    """Edit-distance self-join (entity resolution / near-key match):
+    all part-name pairs within Levenshtein distance 2, via PassJoin
+    segment filtering (operators/fuzzyjoin.py) — an equi-join on
+    (len, seg_idx, segment) plus one levenshtein() per distinct
+    candidate pair, never the all-pairs theta join.  EXACT pigeonhole
+    recall; DuckDB brute-forces all pairs (with the semantics-safe
+    length-band prefilter) as ground truth."""
+    from .operators.fuzzyjoin import fuzzy_pairs
+
+    p = _t(spark, sf_dir, "part")
+    return fuzzy_pairs(p, "p_name", "p_partkey", k=2) \
+        .select("id_a", "id_b", F.col("dist").cast("long").alias("dist"))
+
+
+SQL_JOIN_FUZZY = """
+SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+       CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+FROM part a JOIN part b
+  ON a.p_partkey < b.p_partkey
+ AND abs(length(a.p_name) - length(b.p_name)) <= 2
+WHERE levenshtein(a.p_name, b.p_name) <= 2
+"""
+
+
+def q_dedup_containment(spark, sf_dir):
+    """Directed Jaccard-containment near-dups (|A∩B|/|A| >= 0.8 over
+    word 3-grams) — catches a doc EMBEDDED in a larger one, which
+    symmetric Jaccard dilutes and MinHash bands structurally miss.
+    Candidates via the PPJoin prefix filter (EXACT pigeonhole recall,
+    no probabilistic miss — operators/dedup.py::containment_pairs);
+    DuckDB brute-forces all directed pairs as ground truth, so this
+    key value-checks both the prefix filter's recall guarantee and
+    the verification arithmetic."""
+    d = _t(spark, sf_dir, "documents")
+    return dedup.containment_pairs(d, "text", "doc_id",
+                                   n=3, threshold=0.8)
+
+
+SQL_DEDUP_CONTAINMENT = """
+WITH t AS (
+  SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x != '') AS toks
+  FROM documents
+), g AS (
+  SELECT doc_id,
+    CASE WHEN len(toks) >= 3
+         THEN list_distinct(list_transform(range(1, len(toks) - 1),
+              i -> toks[i] || '_' || toks[i+1] || '_' || toks[i+2]))
+         ELSE [array_to_string(toks, '_')] END AS grams
+  FROM t
+), p AS (
+  SELECT a.doc_id AS src_id, b.doc_id AS dst_id,
+    len(list_intersect(a.grams, b.grams))
+      / CAST(len(a.grams) AS DOUBLE) AS c
+  FROM g a JOIN g b ON a.doc_id != b.doc_id
+)
+SELECT src_id, dst_id, round(c, 6) AS containment
+FROM p WHERE c >= 0.8
+"""
+
+
 SQL_DEDUP_JACCARD_EXACT = """
 WITH t AS (
   SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x != '') AS toks
@@ -4320,6 +4381,8 @@ _ALL_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | No
     "dedup_simhash": (q_dedup_simhash, None),
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, SQL_DEDUP_JACCARD_EXACT),
     "dedup_jaccard_exact": (q_dedup_jaccard_exact, SQL_DEDUP_JACCARD_EXACT),
+    "dedup_containment": (q_dedup_containment, SQL_DEDUP_CONTAINMENT),
+    "join_fuzzy": (q_join_fuzzy, SQL_JOIN_FUZZY),
     "dedup_simhash_invariant": (q_dedup_simhash_invariant, SQL_DEDUP_SIMHASH_INVARIANT),
     "dedup_incremental": (q_dedup_incremental, SQL_DEDUP_INCREMENTAL),
     "dedup_keepers_quality": (q_dedup_keepers_quality,

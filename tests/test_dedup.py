@@ -408,3 +408,59 @@ def test_star_pre_contract_parity(spark):
     comp = dict(got_star)
     assert comp[29] == 0 and comp[139] == 100 and comp[201] == 200
     assert comp[300] == 300
+
+
+# ---------------------------------------------------------------------------
+# directed containment (PPJoin prefix filter)
+# ---------------------------------------------------------------------------
+
+def test_containment_catches_embedded_doc(spark):
+    """A short doc quoted inside a much larger one: containment 1.0
+    but symmetric Jaccard far below 0.5 — the case MinHash-banded
+    symmetric dedup structurally misses."""
+    small = "the quick brown fox jumps over the lazy dog tonight"
+    filler = ("unrelated filler sentence about markets weather trains "
+              "gardens rivers mountains pupils lanterns harbors " * 4)
+    big = filler + " " + small + " " + filler
+    d = spark.createDataFrame(
+        [(1, small), (2, big)], "doc_id long, text string")
+    out = {(r["src_id"], r["dst_id"]): r["containment"]
+           for r in dedup.containment_pairs(
+               d, "text", "doc_id", n=3, threshold=0.8).collect()}
+    assert out.get((1, 2)) == 1.0          # small fully inside big
+    assert (2, 1) not in out               # big not inside small
+    # sanity: the symmetric-Jaccard twin does NOT pair them at 0.5
+    jac = dedup.jaccard_pairs_exact(
+        d, "text", "doc_id", n=3, threshold=0.5).collect()
+    assert jac == []
+
+
+def test_containment_prefix_filter_exact_vs_bruteforce(spark):
+    """Prefix-filter recall guarantee: the PPJoin path must emit
+    EXACTLY the brute-force directed pairs, including pairs sitting
+    exactly on the threshold boundary."""
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta"),
+        (2, "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu nu xi omicron pi"),
+        (3, "alpha beta gamma delta epsilon zeta other words entirely "
+            "here now"),
+        (4, "totally disjoint content with nothing shared at all ok"),
+        (5, "alpha beta gamma delta epsilon zeta eta theta"),  # = doc 1
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    for thr in (0.5, 0.8, 1.0):
+        got = {(r["src_id"], r["dst_id"])
+               for r in dedup.containment_pairs(
+                   d, "text", "doc_id", n=3, threshold=thr).collect()}
+        # brute force in pandas over the same gram definition
+        import itertools
+        def grams(t):
+            toks = [x for x in t.lower().split(" ") if x]
+            if len(toks) < 3:
+                return {"_".join(toks)}
+            return {"_".join(toks[i:i+3]) for i in range(len(toks)-2)}
+        g = {i: grams(t) for i, t in rows}
+        exp = {(a, b) for a, b in itertools.permutations(g, 2)
+               if len(g[a] & g[b]) / len(g[a]) >= thr}
+        assert got == exp, thr
