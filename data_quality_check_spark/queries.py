@@ -712,6 +712,70 @@ SQL_WIN_TUMBLING = (
 )
 
 
+def q_dq_anomaly_zscore(spark, sf_dir):
+    """Rolling z-score anomaly detection on the ingestion metric
+    stream (the classic volume-monitor for a data pipeline): events
+    per (event_type, hour), each bucket scored against the mean/std
+    of the PREVIOUS 6 buckets of its own series.  Variance comes from
+    exact integer window sums (sum, sum-of-squares over counts), so
+    both engines evaluate identical IEEE expressions — no stddev
+    aggregate whose internal summation order could diverge.  The
+    variance is floored at the window mean (the Poisson noise floor
+    for count data): a perfectly flat baseline has sample variance 0,
+    and without the floor the very spike the monitor exists for would
+    divide by zero instead of firing.  Shuffle shape: one counts-only
+    groupBy + one window keyed on the series — per-series state is a
+    6-row frame regardless of corpus size."""
+    e = _t(spark, sf_dir, "events")
+    cnt = (e.groupBy("event_type",
+                     F.date_trunc("hour", "ts").alias("bucket"))
+           .agg(F.count("*").alias("n")))
+    w = (Window.partitionBy("event_type").orderBy("bucket")
+         .rowsBetween(-6, -1))
+    scored = cnt.select(
+        "event_type", "bucket", "n",
+        F.count("n").over(w).alias("__m"),
+        F.sum("n").over(w).alias("__s"),
+        F.sum(F.col("n") * F.col("n")).over(w).alias("__ss"))
+    mean = F.col("__s") / F.col("__m")
+    var = ((F.col("__ss") - F.col("__s") * F.col("__s") / F.col("__m"))
+           / (F.col("__m") - 1))
+    z = F.when(F.col("__m") >= 3,
+               (F.col("n") - mean) / F.sqrt(F.greatest(var, mean)))
+    return scored.select(
+        "event_type", "bucket", "n",
+        F.round(z, 6).alias("z"),
+        F.coalesce(F.abs(z) >= 3.0, F.lit(False)).alias("is_anomaly"))
+
+
+SQL_DQ_ANOMALY_ZSCORE = """
+WITH cnt AS (
+  SELECT event_type, date_trunc('hour', ts) AS bucket, count(*) AS n
+  FROM events GROUP BY 1, 2
+), win AS (
+  SELECT event_type, bucket, n,
+    count(n) OVER w AS m,
+    sum(n) OVER w AS s,
+    sum(n * n) OVER w AS ss
+  FROM cnt
+  WINDOW w AS (PARTITION BY event_type ORDER BY bucket
+               ROWS BETWEEN 6 PRECEDING AND 1 PRECEDING)
+), z AS (
+  SELECT event_type, bucket, n,
+    CASE WHEN m >= 3
+         THEN (n - s / CAST(m AS DOUBLE))
+              / sqrt(greatest(
+                  (ss - s * s / CAST(m AS DOUBLE)) / (m - 1),
+                  s / CAST(m AS DOUBLE)))
+    END AS zval
+  FROM win
+)
+SELECT event_type, bucket, n, round(zval, 6) AS z,
+       coalesce(abs(zval) >= 3.0, FALSE) AS is_anomaly
+FROM z
+"""
+
+
 def q_agg_cube(spark, sf_dir):
     o = _t(spark, sf_dir, "orders")
     return (
@@ -1662,6 +1726,64 @@ SELECT source, tok, tf, tfidf, rk FROM (
             ORDER BY tfidf DESC, tok ASC) AS rk
   FROM scored
 ) WHERE rk <= 3
+"""
+
+
+_BM25_QUERIES: list[tuple[str, list[str]]] = [
+    ("q1", ["hash", "join"]),
+    ("q2", ["window", "agg", "stream"]),
+    ("q3", ["vector", "scan"]),
+]
+
+
+def q_text_bm25_topk(spark, sf_dir):
+    """BM25 lexical retrieval (operators/retrieval.py::bm25_topk):
+    top-5 documents per query for a small literal query workload.
+    Token instances never shuffle (tf/df are counts-only partial
+    aggregates); per-term scores quantize to integer micro-units
+    before summation so the per-doc score is aggregation-order-
+    invariant and the DuckDB twin is value-exact."""
+    from .operators.retrieval import bm25_topk
+
+    d = _t(spark, sf_dir, "documents")
+    return bm25_topk(d, _BM25_QUERIES, "text", "doc_id", k=5)
+
+
+_BM25_Q_SQL = ", ".join(f"('{qid}', '{t}')"
+                        for qid, terms in _BM25_QUERIES for t in terms)
+
+SQL_TEXT_BM25_TOPK = f"""
+WITH q(query_id, term) AS (VALUES {_BM25_Q_SQL}),
+toks AS (
+  SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '),
+                                    t -> t != '')) AS term
+  FROM documents
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2
+), dl AS (
+  SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1
+), dfx AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY 1
+), corpus AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM dl
+), st AS (
+  SELECT q.query_id, tf.doc_id,
+    ln(1 + (corpus.n - dfx.df + 0.5) / (dfx.df + 0.5))
+      * (tf.tf * 2.2)
+      / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / corpus.avgdl)) AS s
+  FROM tf JOIN q USING (term) JOIN dl USING (doc_id)
+       JOIN dfx USING (term) CROSS JOIN corpus
+), pd AS (
+  SELECT query_id, doc_id,
+         sum(CAST(round(s * 1e6) AS BIGINT)) / 1e6 AS score,
+         count(*) AS n_terms_hit
+  FROM st GROUP BY 1, 2
+)
+SELECT query_id, doc_id, score, n_terms_hit, rk FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY score DESC, doc_id ASC) AS rk
+  FROM pd
+) WHERE rk <= 5
 """
 
 
@@ -4404,6 +4526,7 @@ _ALL_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | No
     "text_quality_tiers": (q_text_quality_tiers, SQL_TEXT_QUALITY_TIERS),
     "corpus_stats": (q_corpus_stats, SQL_CORPUS_STATS),
     "text_tfidf_topk": (q_text_tfidf_topk, SQL_TEXT_TFIDF_TOPK),
+    "text_bm25_topk": (q_text_bm25_topk, SQL_TEXT_BM25_TOPK),
     "text_decontaminate": (q_text_decontaminate, SQL_TEXT_DECONTAMINATE),
     "text_repetition_signals": (
         q_text_repetition_signals, SQL_TEXT_REPETITION_SIGNALS),
@@ -4458,6 +4581,7 @@ _ALL_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | No
     "dq_drift_psi": (q_dq_drift_psi, SQL_DQ_DRIFT_PSI),
     "dq_outliers": (q_dq_outliers, SQL_DQ_OUTLIERS),
     "dq_freshness": (q_dq_freshness, SQL_DQ_FRESHNESS),
+    "dq_anomaly_zscore": (q_dq_anomaly_zscore, SQL_DQ_ANOMALY_ZSCORE),
     # lakehouse change-data ops (operators/cdc.py)
     "merge_upsert": (q_merge_upsert, SQL_MERGE_UPSERT),
     "table_diff": (q_table_diff, SQL_TABLE_DIFF),
