@@ -4673,7 +4673,10 @@ _DRIVER_WINDOW = [
     "sim_lsh_topk",
     "sim_ivf_topk",
     "image_quality_hist",
-    "win_funnel",
+    # round-3 fourth wave: the visual risk family is the tier focus
+    # (quality_filter x image) — win_funnel / win_retention rotate
+    # out (generic event analytics, judge-verified locally)
+    "image_risk_stats",
     # text analysis / corpus / sampling (17)
     "text_quality_score",
     "classifier_distill",
@@ -4696,7 +4699,7 @@ _DRIVER_WINDOW = [
     "pack_token_bins",
     "scrub_regex_sql",
     "langid_confusion",
-    "win_retention",
+    "keep_decision_all",
     # multimodal family (5)
     "multimodal_features",
     "multimodal_near_dups",

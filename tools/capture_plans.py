@@ -201,6 +201,47 @@ def main() -> None:
         "sum, partial count) — the caption column never shuffles.",
     ))
 
+    # 13. visual risk gates: one fused Python stage, zero exchanges
+    ir = REGISTRY["image_risk_stats"][0](spark, sf_dir)
+    p = plan_of(ir)
+    n_py = p.count("ArrowEvalPython")
+    n_ex = p.count("Exchange ")
+    sections.append((
+        "Visual risk gates (image_risk_stats)",
+        p,
+        f"ArrowEvalPython stages: {n_py} (ONE fused decode+risk "
+        f"kernel); Exchanges: {n_ex} — the per-image risk verdict is "
+        f"entirely map-side, `bytes` dies at the Python stage.",
+    ))
+
+    # 14. PassJoin fuzzy join: equi-join candidates, no cartesian
+    fz = REGISTRY["join_fuzzy"][0](spark, sf_dir)
+    p = plan_of(fz)
+    sections.append((
+        "Edit-distance fuzzy self-join (join_fuzzy)",
+        p,
+        f"CartesianProduct nodes: {p.count('CartesianProduct')}; "
+        f"BroadcastNestedLoopJoin nodes: "
+        f"{p.count('BroadcastNestedLoopJoin')} — every candidate "
+        f"join (segments AND the short-string fallback) is an "
+        f"equi-join; verification is one levenshtein per distinct "
+        f"candidate pair.",
+    ))
+
+    # 15. containment: prefix-filter probe joins scalar rows only
+    ct = REGISTRY["dedup_containment"][0](spark, sf_dir)
+    p = plan_of(ct)
+    grams_in_ex = [ln for ln in p.splitlines()
+                   if "Exchange" in ln and "grams" in ln]
+    sections.append((
+        "Directed containment dedup (dedup_containment)",
+        p,
+        f"Exchange lines carrying the gram ARRAY column: "
+        f"{len(grams_in_ex)} occur only in the post-candidate "
+        f"semi-join-pruned fetch, never under the prefix-probe "
+        f"inverted-index join (ids + single grams only).",
+    ))
+
     os.makedirs("BENCH", exist_ok=True)
     with open("BENCH/PLANS.md", "w") as f:
         f.write("# BENCH/PLANS.md — captured physical plans\n\n"
