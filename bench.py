@@ -44,6 +44,10 @@ HEADLINE_KEYS = [
     "dedup_semantic",
     "classifier_distill",
     "image_quality_stats",
+    "image_risk_stats",
+    "join_fuzzy",
+    "dedup_containment",
+    "text_bm25_topk",
 ]
 
 

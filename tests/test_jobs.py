@@ -101,3 +101,32 @@ def test_run_analyzers_job(spark):
 
     with pytest.raises(ValueError, match="unknown analyzer"):
         run_analyzers.run(spark, "nope", "/root/testdata/sf0.001/events.parquet")
+
+
+def test_run_visual_job(spark, tmp_path):
+    from jobs import run_visual
+
+    out = str(tmp_path / "visual")
+    res = run_visual.run(
+        spark, "/root/repo/data/images_sf0.001.parquet", out)
+    assert res["n_input"] == 1000
+    assert res["n_scored"] == 1000
+    assert 0 < res["n_keep_visual_all"] < 1000
+    assert res["quality_report"]["n_decoded"] > 900
+    assert res["risk_report"]["n_images"] == 1000
+    written = spark.read.parquet(out)
+    assert written.count() == 1000
+    assert "keep_visual_all" in written.columns
+    # verdict composition holds row-wise
+    bad = written.filter(
+        "keep_visual_all != (visual_keep AND risk_keep)").count()
+    assert bad == 0
+
+    # geometry-first: decode skips rows failing the metadata gates,
+    # but the summary still accounts for every input row
+    res2 = run_visual.run(
+        spark, "/root/repo/data/images_sf0.001.parquet",
+        str(tmp_path / "visual2"), geometry_first=True)
+    assert res2["n_input"] == 1000
+    assert res2["n_scored"] < 1000          # geometry tail dropped
+    assert res2["n_keep_visual_all"] == res["n_keep_visual_all"]

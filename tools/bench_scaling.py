@@ -180,6 +180,79 @@ def one_run():
     out.agg(F.bit_xor(F.xxhash64(F.struct(*out.columns)))).collect()
     return time.time() - t0
 """,
+    "image_risk": """
+# the fused decode+risk Arrow UDF (operators/imgscore.py): same
+# map-side Python-heavy regime as image_quality — the watermark/
+# NSFW/aesthetic twin of the visual filter.
+from pyspark.sql import functions as F
+from data_quality_check_spark.operators.imgscore import with_image_risk
+from data_quality_check_spark.sources import images as IM
+
+N_UNITS = IM.sf_rows(sf)
+im = IM.read_images(spark, sf)
+
+def one_run():
+    import time
+    t0 = time.time()
+    out = with_image_risk(im)
+    out.agg(F.bit_xor(F.xxhash64(F.struct(*out.columns)))).collect()
+    return time.time() - t0
+""",
+    "fuzzy_join": """
+# PassJoin edit-distance self-join over part names: segment
+# equi-joins + levenshtein verify — shuffle-bound (no Python), the
+# inverted-index join regime.
+from data_quality_check_spark.operators.fuzzyjoin import fuzzy_pairs
+from pyspark.sql import functions as F
+
+parts = spark.read.parquet(f"/root/testdata/sf{sf:g}/part.parquet")
+N_UNITS = parts.count()
+
+def one_run():
+    import time
+    t0 = time.time()
+    out = fuzzy_pairs(parts, "p_name", "p_partkey", k=2)
+    out.agg(F.bit_xor(F.xxhash64(F.struct(*out.columns)))).collect()
+    return time.time() - t0
+""",
+    "fuzzy_join_big": """
+# fuzzy_join at sandbox sf is fixed-stage-latency-bound (~3 s total,
+# ~10 small stages; part names also come from a 64-value pool, so
+# replicating THEM multiplies the quadratic same-name expansion
+# ~100x and the job never finishes at 2 cores — both probed).  This
+# variant builds ~4.8k DISTINCT 40-char document prefixes and
+# replicates each 30x with a distinct 2-char suffix, so every base
+# string becomes exactly a 30-member edit-distance family (replica
+# pairs differ by <= 2 substitutions): ~143k strings, ~2.1M verified
+# pairs — big enough that the segment join + levenshtein verify data
+# stages dominate the ~6 s fixed multi-stage latency (decomposed
+# from the 10x probe: fixed 6.2 s, work 12 s at 2 cores).
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+from data_quality_check_spark.operators.fuzzyjoin import fuzzy_pairs
+
+R = 30
+base = (spark.read.parquet(f"/root/testdata/sf{sf:g}/documents.parquet")
+        .select(F.substring("text", 1, 40).alias("s")).distinct()
+        .select(F.row_number().over(W.orderBy("s")).cast("long")
+                .alias("id"), "s"))
+sufs = F.array(*[F.lit(chr(97 + i // 10) + chr(97 + i % 10))
+                 for i in range(R)])
+strs = (base.crossJoin(spark.range(R).select(F.col("id").alias("__rep")))
+        .select((F.col("id") * 32 + F.col("__rep")).alias("id"),
+                F.concat("s", F.lit(" "),
+                         F.element_at(sufs, F.col("__rep").cast("int") + 1))
+                .alias("s"))
+        .localCheckpoint())
+N_UNITS = strs.count()
+
+def one_run():
+    import time
+    t0 = time.time()
+    out = fuzzy_pairs(strs, "s", "id", k=2)
+    out.agg(F.bit_xor(F.xxhash64(F.struct(*out.columns)))).collect()
+    return time.time() - t0
+""",
 }
 
 WORKER = """
