@@ -592,6 +592,35 @@ def text_near_dup_keepers(df: DataFrame, text_col: str, id_col: str,
     )
 
 
+def phash_band_table(df: DataFrame, max_hamming: int = 3,
+                     id_col: str = "image_id",
+                     phash_col: str = "phash") -> DataFrame:
+    """(id, phash) -> exploded pigeonhole band table
+    (__id, __ph, band, bv): (max_hamming+1) disjoint bit-slices of the
+    64-bit hash.  Two hashes within `max_hamming` agree exactly on at
+    least one slice (Norouzi et al.), so an equi-join on (band, bv)
+    has guaranteed recall.  In production this table IS the persisted
+    visual dedup index (the phash twin of minhash_band_table)."""
+    nb = max_hamming + 1
+    w = 64 // nb
+    src = (df.select(F.col(id_col).alias("__id"),
+                     F.col(phash_col).alias("__ph"))
+           .filter(F.col("__ph").isNotNull()))
+    slices = []
+    for b in range(nb):
+        width = w if b < nb - 1 else 64 - w * (nb - 1)
+        mask = (1 << width) - 1
+        # shiftrightunsigned: bit 63 must not smear sign bits into
+        # the high slice
+        slices.append(F.struct(
+            F.lit(b).alias("band"),
+            F.shiftrightunsigned("__ph", b * w)
+             .bitwiseAND(F.lit(mask)).alias("bv")))
+    return (src.select("__id", "__ph",
+                       F.explode(F.array(*slices)).alias("s"))
+            .select("__id", "__ph", "s.band", "s.bv"))
+
+
 def phash_near_dups(df: DataFrame, max_hamming: int = 3,
                     id_col: str = "image_id",
                     phash_col: str = "phash",
@@ -659,24 +688,7 @@ def phash_near_dups(df: DataFrame, max_hamming: int = 3,
                     F.col("b.__mid").alias("id_b"),
                     F.lit(0).alias("hamming")))
         return cross.unionByName(within)
-    nb = max_hamming + 1
-    w = 64 // nb
-    src = (df.select(F.col(id_col).alias("__id"),
-                     F.col(phash_col).alias("__ph"))
-           .filter(F.col("__ph").isNotNull()))
-    slices = []
-    for b in range(nb):
-        width = w if b < nb - 1 else 64 - w * (nb - 1)
-        mask = (1 << width) - 1
-        # shiftrightunsigned: bit 63 must not smear sign bits into
-        # the high slice
-        slices.append(F.struct(
-            F.lit(b).alias("band"),
-            F.shiftrightunsigned("__ph", b * w)
-             .bitwiseAND(F.lit(mask)).alias("bv")))
-    banded = (src.select("__id", "__ph",
-                         F.explode(F.array(*slices)).alias("s"))
-              .select("__id", "__ph", "s.band", "s.bv"))
+    banded = phash_band_table(df, max_hamming, id_col, phash_col)
     # shuffle-hash, never broadcast: at corpus scale the banded side
     # cannot broadcast anyway, and locally a broadcast plan lets AQE
     # coalesce a post-aggregate probe side down to 1 partition — the
@@ -900,6 +912,62 @@ def incremental_dedup(batch: DataFrame, corpus: DataFrame,
     bgrams = _grams_of(batch)
     cm = _verified_min(cross, _grams_of(corpus), bgrams)
     bm = _verified_min(within, bgrams, bgrams)
+    return (batch.select(F.col(id_col).alias("id"))
+            .join(cm.select(F.col("bid").alias("id"),
+                            F.col("mid").alias("__cm")), "id", "left")
+            .join(bm.select(F.col("bid").alias("id"),
+                            F.col("mid").alias("__bm")), "id", "left")
+            .select(
+                "id",
+                F.when(F.col("__cm").isNotNull(), F.lit("dup_of_corpus"))
+                .when(F.col("__bm").isNotNull(), F.lit("dup_in_batch"))
+                .otherwise(F.lit("new")).alias("status"),
+                F.coalesce("__cm", "__bm").alias("match_id")))
+
+
+def incremental_image_dedup(batch: DataFrame, corpus: DataFrame,
+                            max_hamming: int = 3,
+                            id_col: str = "image_id",
+                            phash_col: str = "phash") -> DataFrame:
+    """Visual twin of incremental_dedup: dedup a NEW image batch
+    against an EXISTING corpus through the corpus' PERSISTED phash
+    band index (phash_band_table), never re-processing corpus pixels.
+
+    Per batch image: (id, status, match_id) with the same semantics
+    as the text operator — 'dup_of_corpus' (some corpus image within
+    `max_hamming`; match_id = smallest such corpus id, corpus copies
+    are canonical), else 'dup_in_batch' (some EARLIER batch id
+    matches, first-wins), else 'new'.  Images whose phash is NULL
+    (undecodable rows) are 'new' by definition.
+
+    Unlike the MinHash text index, the pigeonhole band index has
+    GUARANTEED recall at the hamming radius, so this incremental
+    answer provably equals the brute-force batch x corpus scan —
+    the DuckDB oracle checks exactly that.  Scale shape: the corpus
+    contributes only its band table ((max_hamming+1) rows of
+    (id, phash, band, bv) per image — the hashes ride along, so
+    verification needs NO second corpus fetch); cost per increment ~
+    |batch| x slice collision rate, independent of |corpus| except
+    through the index equi-join."""
+    bb = phash_band_table(batch, max_hamming, id_col, phash_col)
+    cb = phash_band_table(corpus, max_hamming, id_col, phash_col)
+
+    def _min_match(left: DataFrame, right: DataFrame,
+                   earlier_only: bool) -> DataFrame:
+        cond = ((F.col("a.band") == F.col("b.band"))
+                & (F.col("a.bv") == F.col("b.bv")))
+        if earlier_only:
+            cond = cond & (F.col("b.__id") < F.col("a.__id"))
+        return (left.alias("a").hint("shuffle_hash")
+                .join(right.alias("b"), cond)
+                .filter(F.bit_count(
+                    F.col("a.__ph").bitwiseXOR(F.col("b.__ph")))
+                    <= max_hamming)
+                .groupBy(F.col("a.__id").alias("bid"))
+                .agg(F.min("b.__id").alias("mid")))
+
+    cm = _min_match(bb, cb, earlier_only=False)
+    bm = _min_match(bb, bb, earlier_only=True)
     return (batch.select(F.col(id_col).alias("id"))
             .join(cm.select(F.col("bid").alias("id"),
                             F.col("mid").alias("__cm")), "id", "left")

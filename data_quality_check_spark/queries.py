@@ -4157,6 +4157,106 @@ def q_rule_heuristics_images(spark, sf_dir):
     )
 
 
+_URL_RE = r"https?://[^ \t\n\r]+"
+_DOMAIN_RE = r"^https?://([^/]+)"
+# curation-style domain blocklist (literal; a production list is a
+# broadcast table with identical plan shape)
+_BLOCKED_DOMAINS = ["example3.com", "example7.com", "example11.com"]
+
+
+def q_text_url_domains(spark, sf_dir):
+    """URL extraction + per-domain corpus stats + blocklist verdict —
+    the domain-level curation pass every crawl pipeline runs before
+    content filters.  regexp_extract_all in the scan stage (row-local
+    generator), one counts-only groupBy on the domain; the blocklist
+    is a literal IN (a production list broadcasts with the same
+    shape).  SQL-exact (RE2-portable patterns, the scrub-chain
+    discipline)."""
+    im = _images(spark, sf_dir)
+    urls = im.select(
+        "image_id",
+        F.explode(F.regexp_extract_all(
+            F.coalesce("caption", F.lit("")), F.lit(_URL_RE), 0))
+        .alias("url"))
+    doms = urls.select(
+        "image_id", F.regexp_extract("url", _DOMAIN_RE, 1).alias("domain"))
+    return (doms.groupBy("domain")
+            .agg(F.count("*").alias("n_urls"),
+                 F.countDistinct("image_id").alias("n_images"))
+            .withColumn("blocked",
+                        F.col("domain").isin(_BLOCKED_DOMAINS)))
+
+
+_BLOCKED_SQL = ", ".join(f"'{d}'" for d in _BLOCKED_DOMAINS)
+
+SQL_TEXT_URL_DOMAINS = f"""
+WITH u AS (
+  SELECT image_id,
+         unnest(regexp_extract_all(coalesce(caption, ''),
+                                   'https?://[^ \\t\\n\\r]+')) AS url
+  FROM {IMAGES_SF001}
+), d AS (
+  SELECT image_id, regexp_extract(url, '^https?://([^/]+)', 1) AS domain
+  FROM u
+)
+SELECT domain, count(*) AS n_urls,
+       count(DISTINCT image_id) AS n_images,
+       domain IN ({_BLOCKED_SQL}) AS blocked
+FROM d GROUP BY domain
+"""
+
+
+def q_agg_corr(spark, sf_dir):
+    """Pixel-count vs caption-length correlation — the sanity check
+    for caption/image alignment drift.  Pearson r and population
+    covariance are derived from EXACT int64 sums (n, Σx, Σy, Σxy,
+    Σx², Σy²) in one partial-aggregate pass, so both engines evaluate
+    identical IEEE expressions — never the engine-native corr()
+    aggregate, whose internal accumulation order differs."""
+    im = _images(spark, sf_dir)
+    x = (F.col("w").cast("long") * F.col("h")).alias("x")
+    y = F.length(F.coalesce("caption", F.lit(""))).cast("long").alias("y")
+    base = im.select(x, y)
+    s = base.agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"))
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    corr = ((n * sxy - sx * sy)
+            / (F.sqrt((n * sxx - sx * sx).cast("double"))
+               * F.sqrt((n * syy - sy * sy).cast("double"))))
+    covar = (sxy.cast("double") / n
+             - (sx.cast("double") / n) * (sy.cast("double") / n))
+    return s.select(
+        "n", F.round(corr, 6).alias("corr_px_caplen"),
+        F.round(covar, 4).alias("covar_pop"))
+
+
+SQL_AGG_CORR = f"""
+WITH b AS (
+  SELECT CAST(w AS BIGINT) * h AS x,
+         CAST(length(coalesce(caption, '')) AS BIGINT) AS y
+  FROM {IMAGES_SF001}
+), s AS (
+  SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+         sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy
+  FROM b
+)
+SELECT n,
+  round((n * sxy - sx * sy)
+        / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+           * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6)
+    AS corr_px_caplen,
+  round(CAST(sxy AS DOUBLE) / n
+        - (CAST(sx AS DOUBLE) / n) * (CAST(sy AS DOUBLE) / n), 4)
+    AS covar_pop
+FROM s
+"""
+
+
 # JVM/RE2-portable scrub chain: the production scrub (kernels/scrub.py)
 # runs Python `re` with lookarounds (phone) that RE2 cannot express;
 # this SQL-checked subset proves the regex REPLACEMENT semantics
@@ -4207,6 +4307,56 @@ SELECT image_id,
              / CAST(length(coalesce(caption, '')) AS DOUBLE)
         ELSE 0.0 END) <= {MAX_SYMBOL_DENSITY} AS symbol_ok
 FROM {IMAGES_SF001}
+"""
+
+
+def q_dedup_incremental_images(spark, sf_dir):
+    """Incremental VISUAL dedup — today's image batch (numeric id
+    suffix % 5 == 0) probed against the persisted phash band index of
+    the already-ingested corpus (the rest): dup_of_corpus /
+    dup_in_batch / new with first-wins match ids
+    (operators/dedup.py::incremental_image_dedup).  The pigeonhole
+    index has GUARANTEED recall at hamming <= 3, so DuckDB's
+    brute-force batch x corpus scan is value-exact ground truth, not
+    an approximation bound."""
+    im = _images(spark, sf_dir)
+    part = F.substring("image_id", 5, 12).cast("long") % 5
+    batch = im.filter(part == 0)
+    corpus = im.filter(part != 0)
+    return dedup.incremental_image_dedup(batch, corpus, max_hamming=3)
+
+
+SQL_DEDUP_INCREMENTAL_IMAGES = f"""
+WITH im AS (
+  SELECT image_id, phash FROM {IMAGES_SF001}
+), b AS (
+  SELECT * FROM im
+  WHERE CAST(substring(image_id, 5, 12) AS BIGINT) % 5 = 0
+    AND phash IS NOT NULL
+), c AS (
+  SELECT * FROM im
+  WHERE CAST(substring(image_id, 5, 12) AS BIGINT) % 5 <> 0
+    AND phash IS NOT NULL
+), cm AS (
+  SELECT b.image_id AS id, min(c.image_id) AS mid
+  FROM b JOIN c ON bit_count(xor(b.phash, c.phash)) <= 3
+  GROUP BY 1
+), bm AS (
+  SELECT a.image_id AS id, min(e.image_id) AS mid
+  FROM b a JOIN b e
+    ON e.image_id < a.image_id
+   AND bit_count(xor(a.phash, e.phash)) <= 3
+  GROUP BY 1
+)
+SELECT bb.image_id AS id,
+  CASE WHEN cm.mid IS NOT NULL THEN 'dup_of_corpus'
+       WHEN bm.mid IS NOT NULL THEN 'dup_in_batch'
+       ELSE 'new' END AS status,
+  coalesce(cm.mid, bm.mid) AS match_id
+FROM (SELECT image_id FROM im
+      WHERE CAST(substring(image_id, 5, 12) AS BIGINT) % 5 = 0) bb
+LEFT JOIN cm ON cm.id = bb.image_id
+LEFT JOIN bm ON bm.id = bb.image_id
 """
 
 
@@ -4554,8 +4704,12 @@ _ALL_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | No
     "dedup_image_pipeline": (q_dedup_image_pipeline, SQL_DEDUP_IMAGE_PIPELINE),
     "dedup_exact_images": (q_dedup_exact_images, SQL_DEDUP_EXACT_IMAGES),
     "dedup_phash_groups": (q_dedup_phash_groups, SQL_DEDUP_PHASH_GROUPS),
+    "dedup_incremental_images": (q_dedup_incremental_images,
+                                 SQL_DEDUP_INCREMENTAL_IMAGES),
     "bucket_assign_images": (q_bucket_assign_images, SQL_BUCKET_ASSIGN_IMAGES),
     "rule_heuristics_images": (q_rule_heuristics_images, SQL_RULE_HEURISTICS_IMAGES),
+    "text_url_domains": (q_text_url_domains, SQL_TEXT_URL_DOMAINS),
+    "agg_corr": (q_agg_corr, SQL_AGG_CORR),
     # pixel-level visual quality (operators/imgquality.py)
     "rule_image_geometry": (q_rule_image_geometry, SQL_RULE_IMAGE_GEOMETRY),
     "image_quality_stats": (q_image_quality_stats, SQL_IMAGE_QUALITY_STATS),

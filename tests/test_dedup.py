@@ -464,3 +464,66 @@ def test_containment_prefix_filter_exact_vs_bruteforce(spark):
         exp = {(a, b) for a, b in itertools.permutations(g, 2)
                if len(g[a] & g[b]) / len(g[a]) >= thr}
         assert got == exp, thr
+
+
+# ---------------------------------------------------------------------------
+# incremental image dedup (persisted phash band index probe)
+# ---------------------------------------------------------------------------
+
+def test_incremental_image_dedup_statuses(spark):
+    corpus = spark.createDataFrame(
+        [("c1", 0x0F0F0F0F0F0F0F0F), ("c2", 0x00FF00FF00FF00FF)],
+        "image_id string, phash long")
+    batch = spark.createDataFrame(
+        [("b1", 0x0F0F0F0F0F0F0F0F),   # exact corpus dup -> c1
+         ("b2", 0x0F0F0F0F0F0F0F0E),   # hamming 1 of c1 -> dup_of_corpus
+         ("b3", 0x0F0F0F0F0F0F0F0E),   # == b2 but corpus match WINS (c1)
+         ("b4", 0x7777777777777777),   # far from everything -> new
+         ("b5", 0x7777777777777775),   # hamming 1 of b4 -> dup_in_batch
+         ("b6", None)],                # undecodable -> new
+        "image_id string, phash long")
+    out = {r["id"]: (r["status"], r["match_id"])
+           for r in dedup.incremental_image_dedup(
+               batch, corpus, max_hamming=3).collect()}
+    assert out["b1"] == ("dup_of_corpus", "c1")
+    assert out["b2"] == ("dup_of_corpus", "c1")
+    assert out["b3"] == ("dup_of_corpus", "c1")  # corpus beats batch twin
+    assert out["b4"] == ("new", None)
+    assert out["b5"] == ("dup_in_batch", "b4")
+    assert out["b6"] == ("new", None)
+    assert len(out) == 6
+
+
+def test_incremental_image_equals_bruteforce(spark, images_pdf):
+    """Index-probe answer == brute-force batch x (corpus + earlier
+    batch) hamming scan on the real corpus (recall is structural)."""
+    import numpy as np
+
+    pdf = images_pdf[["image_id", "phash"]]
+    sfx = pdf["image_id"].str[4:].astype(int)
+    bmask = (sfx % 5 == 0).to_numpy()
+    im = spark.createDataFrame(pdf, "image_id string, phash long")
+    part = (F.substring("image_id", 5, 12).cast("long") % 5)
+    out = {r["id"]: (r["status"], r["match_id"])
+           for r in dedup.incremental_image_dedup(
+               im.filter(part == 0), im.filter(part != 0)).collect()}
+
+    ph = pdf["phash"].to_numpy()
+    ids = pdf["image_id"].to_numpy()
+    bidx = np.nonzero(bmask)[0]
+    cidx = np.nonzero(~bmask)[0]
+    assert len(out) == len(bidx)
+    for i in bidx:
+        ham_c = [ids[j] for j in cidx
+                 if bin((int(ph[i]) ^ int(ph[j])) & 0xFFFFFFFFFFFFFFFF
+                        ).count("1") <= 3]
+        ham_b = [ids[j] for j in bidx
+                 if ids[j] < ids[i]
+                 and bin((int(ph[i]) ^ int(ph[j])) & 0xFFFFFFFFFFFFFFFF
+                         ).count("1") <= 3]
+        if ham_c:
+            assert out[ids[i]] == ("dup_of_corpus", min(ham_c)), ids[i]
+        elif ham_b:
+            assert out[ids[i]] == ("dup_in_batch", min(ham_b)), ids[i]
+        else:
+            assert out[ids[i]] == ("new", None), ids[i]
