@@ -71,6 +71,35 @@ def start_visual_quality_stream(spark: SparkSession, in_path: str,
             .trigger(availableNow=True))
 
 
+def start_visual_risk_stream(spark: SparkSession, in_path: str,
+                             schema_ddl: str, catalog,
+                             checkpoint_dir: str,
+                             table: str = "visual_risk_reports",
+                             max_files_per_trigger: int = 4):
+    """Continuous visual RISK monitoring (watermark / NSFW /
+    aesthetic gates) over arriving image shards — the risk twin of
+    start_visual_quality_stream, sharing operators/imgscore.py's
+    with_image_risk + risk_report verbatim with the batch contract
+    key (queries.py::q_agg_image_risk), so streaming/batch parity is
+    by construction."""
+    from ..operators.imgscore import risk_report, with_image_risk
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        row = risk_report(with_image_risk(batch_df)).collect()[0]
+        catalog.append_rows(table, [{"batch_id": batch_id,
+                                     **row.asDict()}])
+
+    stream = (spark.readStream.schema(schema_ddl)
+              .option("maxFilesPerTrigger", max_files_per_trigger)
+              .parquet(in_path))
+    return (stream.writeStream
+            .foreachBatch(process)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True))
+
+
 def start_drift_stream(spark: SparkSession, in_path: str,
                        schema_ddl: str, baseline, col: str,
                        catalog, checkpoint_dir: str,

@@ -298,3 +298,46 @@ def test_streaming_drift_monitor(spark, shard_dir):
         assert len(flagged) == 1 and flagged[0]["psi"] == psis[1]
     finally:
         shutil.rmtree(out_root, ignore_errors=True)
+
+
+def test_streaming_visual_risk_reports(spark, shard_dir):
+    """Per-micro-batch risk reports equal the batch operator's
+    partials exactly (shared operator, not a re-impl) — the risk twin
+    of the visual-quality stream test."""
+    from data_quality_check_spark.operators.imgscore import (
+        risk_report, with_image_risk)
+    from data_quality_check_spark.plans.catalog import LocalParquetCatalog
+    from data_quality_check_spark.streaming.dq import (
+        start_visual_risk_stream)
+
+    pdf = IM.generate_pandas(0.001)
+    chunks = (pdf.iloc[:400], pdf.iloc[400:])
+    for i, chunk in enumerate(chunks):
+        tbl = pa.Table.from_pandas(chunk, schema=IM.ARROW_SCHEMA,
+                                   preserve_index=False)
+        pq.write_table(tbl, os.path.join(shard_dir, f"s{i}.parquet"))
+
+    out_root = tempfile.mkdtemp(prefix="dqc-vrstream-")
+    try:
+        cat = LocalParquetCatalog(spark, out_root)
+        q = start_visual_risk_stream(
+            spark, shard_dir, IM.IMAGES_DDL, cat,
+            checkpoint_dir=os.path.join(out_root, "ckpt"),
+            max_files_per_trigger=1).start()
+        q.awaitTermination(120)
+
+        rep = cat.read_table("visual_risk_reports").toPandas()
+        assert len(rep) == 2 and set(rep.batch_id) == {0, 1}
+        assert int(rep.n_images.sum()) == 1000
+
+        want = {}
+        for chunk in chunks:
+            sdf = spark.createDataFrame(chunk)
+            row = risk_report(with_image_risk(sdf)).collect()[0]
+            want[row["n_images"]] = row.asDict()
+        for _, got in rep.iterrows():
+            exp = want[int(got["n_images"])]
+            for k, v in exp.items():
+                assert got[k] == pytest.approx(v), k
+    finally:
+        shutil.rmtree(out_root, ignore_errors=True)
