@@ -148,6 +148,30 @@ def hash_split(df: DataFrame, id_col: str,
     return df.withColumn("split_key", hx).withColumn("split", label)
 
 
+def weighted_sample(df: DataFrame, id_col: str, weight_col: str,
+                    salt: str = "w:") -> DataFrame:
+    """Deterministic QUALITY-WEIGHTED Bernoulli sampling: keep a row
+    with probability = its weight column (clamped to [0, 0.999999] —
+    the hex threshold is 8 chars, so p = 1 would need 9).  The
+    per-row uniform is the keyed-md5 prefix (hash_sample's
+    construction); the threshold is the weight rendered as the same
+    8-hex-char prefix, so keep <=> md5_prefix < hex(floor(w * 2^32)).
+    Zero shuffle, zero RNG state: resume-stable and identical on any
+    partitioning / engine — upweighting high-quality documents in a
+    training mix without a single random() call."""
+    w = F.greatest(F.lit(0.0),
+                   F.least(F.col(weight_col).cast("double"),
+                           F.lit(0.999999)))
+    thr = F.lpad(F.lower(F.conv(
+        F.floor(w * F.lit(4294967296.0)).cast("long").cast("string"),
+        10, 16)), 8, "0")
+    hx = F.substring(
+        F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))), 1, 8)
+    return (df.withColumn("sample_key", hx)
+            .withColumn("keep_threshold", thr)
+            .filter(F.col("sample_key") < F.col("keep_threshold")))
+
+
 def pack_token_bins(df: DataFrame, group_col: str, id_col: str,
                     text_col: str, capacity: int) -> DataFrame:
     """Sequence packing for training: assign each doc to a

@@ -1675,6 +1675,67 @@ SQL_TEXT_QUALITY_SCORE = (
 )
 
 
+def q_sample_weighted(spark, sf_dir):
+    """Quality-weighted deterministic sampling
+    (operators/corpus.py::weighted_sample): each document kept with
+    probability = its quality score, from a keyed-md5 uniform — the
+    training-mix upweighting pass with zero RNG state.  SQL-exact:
+    DuckDB renders the identical hex threshold with to_hex."""
+    from .operators.corpus import weighted_sample
+
+    d = _t(spark, sf_dir, "documents")
+    score = (
+        0.4 * F.least(F.lit(1.0), F.length("text") / F.lit(200.0))
+        + 0.3 * _stop_ratio()
+        + 0.3 * _distinct_ratio()
+    )
+    return (weighted_sample(d.withColumn("__w", score), "doc_id", "__w")
+            .select("doc_id", "sample_key", "keep_threshold"))
+
+
+SQL_SAMPLE_WEIGHTED = f"""
+WITH w AS (
+  SELECT doc_id,
+    greatest(0.0, least(0.4 * least(1.0, length(text) / 200.0)
+                        + 0.3 * {_DOC_SR_SQL} + 0.3 * {_DOC_DR_SQL},
+                        0.999999)) AS wv
+  FROM documents
+)
+SELECT doc_id,
+  substring(md5('w:' || CAST(doc_id AS VARCHAR)), 1, 8) AS sample_key,
+  lpad(lower(to_hex(CAST(floor(wv * 4294967296.0) AS BIGINT))), 8, '0')
+    AS keep_threshold
+FROM w
+WHERE substring(md5('w:' || CAST(doc_id AS VARCHAR)), 1, 8)
+      < lpad(lower(to_hex(CAST(floor(wv * 4294967296.0) AS BIGINT))),
+             8, '0')
+"""
+
+
+def q_sample_topk_hash(spark, sf_dir):
+    """Fixed-SIZE deterministic sample: the k smallest keyed-md5
+    prefixes (id tiebreak) — the reservoir-sample replacement that is
+    reproducible, resume-stable and engine-exact.  Executes as
+    TakeOrderedAndProject (per-partition heaps merged at the driver),
+    never a full sort — the scalable fixed-k pattern."""
+    d = _t(spark, sf_dir, "documents")
+    hx = F.substring(
+        F.md5(F.concat(F.lit("tk:"), F.col("doc_id").cast("string"))),
+        1, 8)
+    return (d.select("doc_id", hx.alias("sample_key"))
+            .orderBy("sample_key", "doc_id").limit(100))
+
+
+SQL_SAMPLE_TOPK_HASH = """
+SELECT doc_id,
+       substring(md5('tk:' || CAST(doc_id AS VARCHAR)), 1, 8)
+         AS sample_key
+FROM documents
+ORDER BY sample_key, doc_id
+LIMIT 100
+"""
+
+
 def q_text_tfidf_topk(spark, sf_dir):
     """Characteristic terms per source by tf-idf (the classic corpus
     exploration op): tf = term count within the source, idf =
@@ -4310,6 +4371,72 @@ FROM {IMAGES_SF001}
 """
 
 
+# per-format compressed-size floors: encoded bytes per raw pixel byte
+# below these smells like truncation/corruption (the generator plants
+# a halved-blob population).  raw is 1:1 + header; ppm similar; png
+# row-filtered deflate on gradient+noise stays well above 0.3; rawq
+# v2 quantizes to 2 bits (~0.25) so its floor sits at 0.1.
+_COMPRESSION_FLOORS = {"raw": 0.9, "ppm": 0.9, "png": 0.3, "rawq": 0.1}
+
+
+def q_rule_compression_ratio(spark, sf_dir):
+    """Compression-ratio corruption signal: encoded blob size per raw
+    pixel byte (octet_length(bytes) / (w*h*3)), flagged against a
+    per-format floor — catches truncated blobs WITHOUT paying for the
+    decode UDF (pure JVM length(), no Python hop; the scan still
+    reads the blob, so a production table would persist blob_len as a
+    metadata column and prune `bytes` entirely — SCALE.md note).
+    SQL-exact."""
+    im = _images(spark, sf_dir)
+    ratio = (F.length("bytes").cast("double")
+             / (F.col("w").cast("double") * F.col("h") * 3.0))
+    floor = F.lit(None).cast("double")
+    for fmt, fl in _COMPRESSION_FLOORS.items():
+        floor = F.when(F.col("fmt") == fmt, F.lit(fl)).otherwise(floor)
+    return im.select(
+        "image_id", "fmt",
+        F.round(ratio, 6).alias("bytes_per_px"),
+        (ratio >= floor).alias("ratio_ok"))
+
+
+_FLOOR_SQL = " ".join(
+    f"WHEN fmt = '{k}' THEN {v}" for k, v in _COMPRESSION_FLOORS.items())
+
+SQL_RULE_COMPRESSION_RATIO = f"""
+SELECT image_id, fmt,
+  round(octet_length(bytes) / (CAST(w AS DOUBLE) * h * 3.0), 6)
+    AS bytes_per_px,
+  octet_length(bytes) / (CAST(w AS DOUBLE) * h * 3.0)
+    >= (CASE {_FLOOR_SQL} END) AS ratio_ok
+FROM {IMAGES_SF001}
+"""
+
+
+def q_dedup_caption_conflict(spark, sf_dir):
+    """Caption-duplicate conflict report: captions shared by several
+    images whose VISUALS differ (distinct phash > 1) — the
+    stock-photo / spam-caption curation signal that pure text dedup
+    and pure visual dedup each miss.  One counts-only groupBy on the
+    caption; SQL-exact."""
+    im = _images(spark, sf_dir).filter(F.col("caption").isNotNull())
+    return (im.groupBy("caption")
+            .agg(F.count("*").alias("n_rows"),
+                 F.countDistinct("phash").alias("n_visuals"),
+                 F.min("image_id").alias("first_id"))
+            .filter((F.col("n_rows") > 1) & (F.col("n_visuals") > 1)))
+
+
+SQL_DEDUP_CAPTION_CONFLICT = f"""
+SELECT caption, count(*) AS n_rows,
+       count(DISTINCT phash) AS n_visuals,
+       min(image_id) AS first_id
+FROM {IMAGES_SF001}
+WHERE caption IS NOT NULL
+GROUP BY caption
+HAVING count(*) > 1 AND count(DISTINCT phash) > 1
+"""
+
+
 def q_dedup_incremental_images(spark, sf_dir):
     """Incremental VISUAL dedup — today's image batch (numeric id
     suffix % 5 == 0) probed against the persisted phash band index of
@@ -4682,6 +4809,8 @@ _ALL_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | No
         q_text_repetition_signals, SQL_TEXT_REPETITION_SIGNALS),
     "sample_quota": (q_sample_quota, SQL_SAMPLE_QUOTA),
     "sample_hash": (q_sample_hash, SQL_SAMPLE_HASH),
+    "sample_weighted": (q_sample_weighted, SQL_SAMPLE_WEIGHTED),
+    "sample_topk_hash": (q_sample_topk_hash, SQL_SAMPLE_TOPK_HASH),
     "sample_mixture": (q_sample_mixture, SQL_SAMPLE_MIXTURE),
     "sample_split": (q_sample_split, SQL_SAMPLE_SPLIT),
     "pack_token_bins": (q_pack_token_bins, SQL_PACK_TOKEN_BINS),
@@ -4706,6 +4835,10 @@ _ALL_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | No
     "dedup_phash_groups": (q_dedup_phash_groups, SQL_DEDUP_PHASH_GROUPS),
     "dedup_incremental_images": (q_dedup_incremental_images,
                                  SQL_DEDUP_INCREMENTAL_IMAGES),
+    "rule_compression_ratio": (q_rule_compression_ratio,
+                               SQL_RULE_COMPRESSION_RATIO),
+    "dedup_caption_conflict": (q_dedup_caption_conflict,
+                               SQL_DEDUP_CAPTION_CONFLICT),
     "bucket_assign_images": (q_bucket_assign_images, SQL_BUCKET_ASSIGN_IMAGES),
     "rule_heuristics_images": (q_rule_heuristics_images, SQL_RULE_HEURISTICS_IMAGES),
     "text_url_domains": (q_text_url_domains, SQL_TEXT_URL_DOMAINS),
