@@ -48,6 +48,7 @@ HEADLINE_KEYS = [
     "join_fuzzy",
     "dedup_containment",
     "text_bm25_topk",
+    "dedup_visual_decontaminate",
 ]
 
 

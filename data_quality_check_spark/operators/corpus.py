@@ -643,3 +643,60 @@ def cluster_size_stats(df: DataFrame, text_col: str = "text",
                     F.round(F.col("cluster_size") * F.col("n_clusters")
                             / F.col("__total").cast("double"), 6)
                     .alias("pct_docs")))
+
+
+def temperature_sample(df: DataFrame, group_col: str, id_col: str,
+                       alpha: float = 0.5, budget_frac: float = 0.5,
+                       salt: str = "T:") -> DataFrame:
+    """Temperature-scaled source mixing (the multilingual-training
+    resampling rule: group g sampled proportionally to n_g^alpha,
+    alpha < 1 flattening the head so rare languages/domains are
+    upweighted) under a total budget of `budget_frac` x corpus rows.
+    Every per-row decision is a keyed-md5 threshold — zero RNG state,
+    resume-stable — and every rate is derived from EXACT integer
+    count aggregates so the keep set is bit-identical on any engine:
+    weights are micro-unit quantized (floor(n^alpha * 1e6) as int64),
+    the rate-saturation test (rate >= 1, i.e. keep ALL of a rare
+    group) is the INTEGER cross-multiplication T*wq >= sumW*n — no
+    float boundary anywhere a ULP could flip a row.  alpha = 0.5 uses
+    sqrt (IEEE-exact in every engine); other alphas go through pow,
+    whose last-ulp behavior is libm-specific — document before
+    relying on cross-engine exactness there.
+
+    Returns the input UNFILTERED with (sample_key, rate_ppm, kept):
+    callers filter on `kept`; reports aggregate pre/post counts in
+    one pass.  Scale shape: two counts-only aggregates (group dim ~
+    #groups rows), dim broadcast back, per-row expression map-side —
+    the sample itself adds ZERO shuffle to the corpus scan."""
+    g = (df.groupBy(F.col(group_col).alias("__g"))
+         .agg(F.count("*").alias("__n")))
+    wexpr = (F.sqrt(F.col("__n")) if alpha == 0.5
+             else F.pow(F.col("__n"), F.lit(float(alpha))))
+    g = g.withColumn("__wq",
+                     F.floor(wexpr * F.lit(1000000.0)).cast("long"))
+    tot = g.agg(F.sum("__n").alias("__tot"), F.sum("__wq").alias("__sw"))
+    dim = (g.crossJoin(F.broadcast(tot))
+           .withColumn("__T", F.floor(F.col("__tot")
+                                      * F.lit(float(budget_frac)))
+                       .cast("long"))
+           .withColumn("__rate", F.least(
+               F.lit(1.0),
+               F.col("__T").cast("double") * F.col("__wq")
+               / F.col("__sw") / F.col("__n")))
+           .withColumn("__full", F.col("__T") * F.col("__wq")
+                       >= F.col("__sw") * F.col("__n"))
+           .withColumn("rate_ppm",
+                       F.floor(F.col("__rate") * F.lit(1000000.0))
+                       .cast("long"))
+           .withColumn("__thr", F.lpad(F.lower(F.conv(
+               F.floor(F.col("__rate") * F.lit(4294967296.0))
+               .cast("long").cast("string"), 10, 16)), 8, "0")))
+    hx = F.substring(
+        F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))), 1, 8)
+    return (df.withColumn("sample_key", hx)
+            .join(F.broadcast(dim.select(
+                "__g", "__full", "rate_ppm", "__thr")),
+                F.col(group_col) == F.col("__g"))
+            .withColumn("kept", F.col("__full")
+                        | (F.col("sample_key") < F.col("__thr")))
+            .drop("__g", "__full", "__thr"))

@@ -1079,3 +1079,59 @@ def keepers_by_score(df: DataFrame, pairs: DataFrame, id_col: str,
             .withColumn("keeper_id", F.first("id").over(w))
             .select("id", "keeper_id",
                     (F.col("keeper_id") != F.col("id")).alias("is_dup")))
+
+
+def visual_decontaminate(train: DataFrame, eval_df: DataFrame,
+                         max_hamming: int = 3,
+                         id_col: str = "image_id",
+                         phash_col: str = "phash") -> DataFrame:
+    """Benchmark decontamination for IMAGES: flag every training
+    image that is a visual near-duplicate (phash hamming <=
+    `max_hamming`) of some held-out eval image — the visual twin of
+    corpus.decontaminate, and the gate every multimodal training run
+    needs before it can trust its eval numbers.
+
+    Returns one row per train image: (id, contaminated, eval_match =
+    smallest matching eval id, min_hamming = closest match distance;
+    -1 when clean so the output stays non-null for exact engine
+    compare).  Train images with NULL phash (undecodable) are clean
+    by definition — they never reach the index join.
+
+    Scale shape (10^12 train x 10^4..10^6 eval): the EVAL side is the
+    tiny one, so its pigeonhole band table (phash_band_table,
+    (max_hamming+1) rows per eval image) is BROADCAST and the train
+    band rows LEFT-join it — every train image keeps its
+    (max_hamming+1) band rows whether or not a bucket collides, so
+    ONE groupBy on the train id yields the verdict for hit AND clean
+    rows alike: no second join back to the corpus, and the only
+    exchange in the whole plan is that ids-only groupBy (map-side
+    combine first collapses the constant band fan-out).  Null-phash
+    rows, which the band table excludes, re-enter through a trivial
+    union.  Recall is GUARANTEED (Norouzi et al. pigeonhole slices,
+    not probabilistic LSH), so this equals the brute-force train x
+    eval scan exactly — the DuckDB oracle checks precisely that."""
+    tb = phash_band_table(train, max_hamming, id_col, phash_col)
+    eb = phash_band_table(eval_df, max_hamming, id_col, phash_col)
+    dist = F.bit_count(F.col("a.__ph").bitwiseXOR(F.col("b.__ph")))
+    scored = (tb.alias("a")
+              .join(F.broadcast(eb.alias("b")),
+                    (F.col("a.band") == F.col("b.band"))
+                    & (F.col("a.bv") == F.col("b.bv")), "left")
+              .groupBy(F.col("a.__id").alias("id"))
+              .agg(F.min(F.when(dist <= max_hamming, F.col("b.__id")))
+                   .alias("eval_match"),
+                   F.min(F.when(dist <= max_hamming, dist))
+                   .alias("__mh")))
+    out = scored.select(
+        "id",
+        F.col("eval_match").isNotNull().alias("contaminated"),
+        "eval_match",
+        F.coalesce(F.col("__mh"), F.lit(-1)).cast("int")
+         .alias("min_hamming"))
+    id_type = dict(train.dtypes)[id_col]
+    nulls = (train.filter(F.col(phash_col).isNull())
+             .select(F.col(id_col).alias("id"),
+                     F.lit(False).alias("contaminated"),
+                     F.lit(None).cast(id_type).alias("eval_match"),
+                     F.lit(-1).cast("int").alias("min_hamming")))
+    return out.unionByName(nulls)

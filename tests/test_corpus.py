@@ -545,3 +545,42 @@ def test_cluster_size_stats_histogram(spark, docs):
     assert out.loc[3, "n_clusters"] == 1
     assert out.loc[3, "n_docs"] == 3
     assert abs(out["pct_docs"].sum() - 1.0) < 1e-9
+
+
+# ---------------------------------------------------------------------------
+
+
+def test_temperature_sample_flattens_and_saturates(spark):
+    from data_quality_check_spark.operators.corpus import temperature_sample
+
+    rows = ([("big", i) for i in range(400)]
+            + [("rare", i + 1000) for i in range(16)])
+    df = spark.createDataFrame(rows, "g string, id long")
+    out = temperature_sample(df, "g", "id", alpha=0.5, budget_frac=0.5)
+    rep = {r["g"]: r for r in
+           (out.groupBy("g")
+            .agg(F.sum(F.col("kept").cast("long")).alias("k"),
+                 F.count("*").alias("n"),
+                 F.max("rate_ppm").alias("ppm")).collect())}
+    # sqrt weights: w_big = 20, w_rare = 4, T = 208
+    # rate_rare = 208*4/24/16 = 2.17 -> saturates at 1.0 (keep ALL)
+    assert rep["rare"]["k"] == 16 and rep["rare"]["ppm"] == 1000000
+    # rate_big = 208*20/24/400 = 0.433..
+    assert 0 < rep["big"]["k"] < 400
+    assert abs(rep["big"]["ppm"] / 1e6 - 208 * 20 / 24 / 400) < 1e-4
+    # sampled count concentrates near rate * n (md5 uniforms)
+    assert abs(rep["big"]["k"] - 400 * 0.4333) < 60
+
+
+def test_temperature_sample_partitioning_invariant(spark):
+    """The keep SET is a pure function of (salt, id, group counts) —
+    repartitioning must not change a single row's fate."""
+    from data_quality_check_spark.operators.corpus import temperature_sample
+
+    rows = [(f"s{i % 7}", i) for i in range(500)]
+    df = spark.createDataFrame(rows, "g string, id long")
+    a = {r["id"] for r in temperature_sample(df, "g", "id")
+         .filter("kept").select("id").collect()}
+    b = {r["id"] for r in temperature_sample(df.repartition(13), "g", "id")
+         .filter("kept").select("id").collect()}
+    assert a == b and len(a) > 0

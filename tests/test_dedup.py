@@ -527,3 +527,64 @@ def test_incremental_image_equals_bruteforce(spark, images_pdf):
             assert out[ids[i]] == ("dup_in_batch", min(ham_b)), ids[i]
         else:
             assert out[ids[i]] == ("new", None), ids[i]
+
+
+# ---------------------------------------------------------------------------
+
+
+def test_visual_decontaminate_semantics(spark):
+    ev = spark.createDataFrame(
+        [("e1", 0x0F0F0F0F0F0F0F0F), ("e2", 0x00FF00FF00FF00FF)],
+        "image_id string, phash long")
+    train = spark.createDataFrame(
+        [("t1", 0x0F0F0F0F0F0F0F0F),   # exact eval dup -> hamming 0
+         ("t2", 0x0F0F0F0F0F0F0F0C),   # hamming 2 of e1
+         ("t3", 0x7777777777777777),   # far from both -> clean
+         ("t4", None)],                # undecodable -> clean
+        "image_id string, phash long")
+    out = {r["id"]: (r["contaminated"], r["eval_match"], r["min_hamming"])
+           for r in dedup.visual_decontaminate(train, ev).collect()}
+    assert out["t1"] == (True, "e1", 0)
+    assert out["t2"] == (True, "e1", 2)
+    assert out["t3"] == (False, None, -1)
+    assert out["t4"] == (False, None, -1)
+    assert len(out) == 4  # eval rows never appear in the output
+
+
+def test_visual_decontaminate_equals_bruteforce(spark, images_pdf):
+    """Broadcast-index answer == brute-force train x eval hamming scan
+    (pigeonhole recall is structural, not probabilistic)."""
+    import numpy as np
+    import pandas as pd
+
+    pdf = images_pdf[["image_id", "phash"]]
+    sfx = pdf["image_id"].str[4:].astype(int)
+    emask = (sfx % 10 == 0).to_numpy()
+    im = spark.createDataFrame(pdf, "image_id string, phash long")
+    part = F.substring("image_id", 5, 12).cast("long") % 10
+    out = {r["id"]: (r["contaminated"], r["eval_match"], r["min_hamming"])
+           for r in dedup.visual_decontaminate(
+               im.filter(part != 0), im.filter(part == 0)).collect()}
+
+    ph = pdf["phash"].to_numpy()
+    ids = pdf["image_id"].to_numpy()
+    tidx = np.nonzero(~emask)[0]
+    eidx = np.nonzero(emask)[0]
+    assert len(out) == len(tidx)
+    evh = ph[eidx]
+    ev_ok = ~pd.isna(evh)
+    for i in tidx:
+        tid = ids[i]
+        if pd.isna(ph[i]):
+            assert out[tid] == (False, None, -1)
+            continue
+        d = np.array([bin((int(ph[i]) ^ int(h)) & 0xFFFFFFFFFFFFFFFF
+                          ).count("1") if ok else 99
+                      for h, ok in zip(evh, ev_ok)])
+        hit = d <= 3
+        if hit.any():
+            assert out[tid][0] is True
+            assert out[tid][1] == min(ids[eidx][hit])
+            assert out[tid][2] == int(d.min())
+        else:
+            assert out[tid] == (False, None, -1)
