@@ -406,3 +406,42 @@ def quantize_int8_report(df: DataFrame, vec_col: str = "embedding",
         F.round(scale, 6).alias("scale"),
         (err_max <= scale / 2 + F.lit(1e-9)).alias("err_ok"),
         (cos >= 0.999).alias("cos_ok"))
+
+
+def phash_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
+               max_hamming: int = 8, id_col: str = "image_id",
+               phash_col: str = "phash") -> DataFrame:
+    """Query-by-image retrieval in hamming space: for every query
+    image, the k nearest corpus images by phash hamming distance,
+    restricted to distance <= `max_hamming` (ties broken by corpus
+    id).  Within the radius the answer is EXACT and complete —
+    pigeonhole banding (phash_band_table, max_hamming+1 disjoint
+    slices) has guaranteed recall, unlike MinHash/hyperplane LSH —
+    and a query with fewer than k in-radius neighbours returns the
+    true shorter list, never a padded guess.
+
+    Scale shape: the QUERY side is the small one (dedup forensics,
+    eval probes, takedown scans), so its band table broadcasts and
+    the corpus is scanned map-side — zero corpus shuffle; the only
+    exchange is the per-query row_number window over candidates
+    (queries x in-radius matches).  A viral query with 10^6 matches
+    makes that window a hot key — swap the final window for
+    operators/topk.py::topk_per_group (two-phase, map-side k-heaps)
+    when match cardinality is unbounded."""
+    from .dedup import phash_band_table
+
+    qb = phash_band_table(queries, max_hamming, id_col, phash_col)
+    cb = phash_band_table(corpus, max_hamming, id_col, phash_col)
+    dist = F.bit_count(F.col("a.__ph").bitwiseXOR(F.col("b.__ph")))
+    cand = (cb.alias("a")
+            .join(F.broadcast(qb.alias("b")),
+                  (F.col("a.band") == F.col("b.band"))
+                  & (F.col("a.bv") == F.col("b.bv")))
+            .filter(dist <= max_hamming)
+            .select(F.col("b.__id").alias("query_id"),
+                    F.col("a.__id").alias("corpus_id"),
+                    dist.cast("int").alias("ham"))
+            .dropDuplicates(["query_id", "corpus_id"]))
+    w = Window.partitionBy("query_id").orderBy("ham", "corpus_id")
+    return (cand.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= k))

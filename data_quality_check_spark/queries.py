@@ -4590,6 +4590,44 @@ FROM b GROUP BY 1
 """
 
 
+def q_sim_phash_topk(spark, sf_dir):
+    """Query-by-image retrieval
+    (operators/similarity.py::phash_topk): for each eval image (id
+    suffix % 10 == 0), the 5 nearest train images by phash hamming
+    within radius 8 — dedup forensics / takedown scan as a query op.
+    The query band index broadcasts; the corpus never shuffles.
+    Exact within the radius (pigeonhole recall), so DuckDB's
+    brute-force distance window is value-exact ground truth."""
+    from .operators.similarity import phash_topk
+
+    im = _images(spark, sf_dir)
+    part = F.substring("image_id", 5, 12).cast("long") % 10
+    return phash_topk(im.filter(part != 0), im.filter(part == 0),
+                      k=5, max_hamming=8)
+
+
+SQL_SIM_PHASH_TOPK = f"""
+WITH im AS (
+  SELECT image_id, phash FROM {IMAGES_SF001} WHERE phash IS NOT NULL
+), q AS (
+  SELECT * FROM im
+  WHERE CAST(substring(image_id, 5, 12) AS BIGINT) % 10 = 0
+), c AS (
+  SELECT * FROM im
+  WHERE CAST(substring(image_id, 5, 12) AS BIGINT) % 10 <> 0
+), d AS (
+  SELECT q.image_id AS query_id, c.image_id AS corpus_id,
+         CAST(bit_count(xor(q.phash, c.phash)) AS INT) AS ham
+  FROM q, c WHERE bit_count(xor(q.phash, c.phash)) <= 8
+)
+SELECT query_id, corpus_id, ham, rk FROM (
+  SELECT *, CAST(row_number() OVER (
+      PARTITION BY query_id ORDER BY ham, corpus_id) AS INT) AS rk
+  FROM d
+) WHERE rk <= 5
+"""
+
+
 def q_dedup_threshold_sweep(spark, sf_dir):
     """Dedup-threshold sensitivity curve: how many image pairs would
     be merged at EVERY hamming radius 0..8 — the analysis a curation
@@ -5182,6 +5220,7 @@ _ALL_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | No
     "train_shard_assign": (q_train_shard_assign, SQL_TRAIN_SHARD_ASSIGN),
     "dedup_threshold_sweep": (q_dedup_threshold_sweep,
                               SQL_DEDUP_THRESHOLD_SWEEP),
+    "sim_phash_topk": (q_sim_phash_topk, SQL_SIM_PHASH_TOPK),
     "curation_pipeline": (q_curation_pipeline, SQL_CURATION_PIPELINE),
     "bucket_assign_images": (q_bucket_assign_images, SQL_BUCKET_ASSIGN_IMAGES),
     "rule_heuristics_images": (q_rule_heuristics_images, SQL_RULE_HEURISTICS_IMAGES),

@@ -163,3 +163,41 @@ def start_drift_stream(spark: SparkSession, in_path: str,
             .foreachBatch(process)
             .option("checkpointLocation", checkpoint_dir)
             .trigger(availableNow=True))
+
+
+def start_decontamination_stream(spark: SparkSession, in_path: str,
+                                 schema_ddl: str, eval_df: DataFrame,
+                                 catalog, checkpoint_dir: str,
+                                 table: str = "decontamination_verdicts",
+                                 max_hamming: int = 3,
+                                 max_files_per_trigger: int = 4):
+    """Streaming visual decontamination gate: every arriving image
+    shard is probed against the STATIC held-out eval split's phash
+    band index (operators/dedup.py::visual_decontaminate — broadcast
+    index, guaranteed pigeonhole recall), and per-image verdicts
+    (contaminated / eval_match / min_hamming) are appended to the
+    catalog.  The ingest-time twin of the batch
+    dedup_visual_decontaminate contract key, sharing the operator
+    verbatim, so stream == batch is by construction: the union of
+    micro-batch verdicts equals one batch run over the union.  State
+    = none (the eval index is closed over and re-broadcast per
+    trigger; eval splits are small by definition)."""
+    from pyspark.sql import functions as F
+
+    from ..operators.dedup import visual_decontaminate
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        out = visual_decontaminate(batch_df, eval_df,
+                                   max_hamming=max_hamming)
+        catalog.append(table, out.withColumn(
+            "batch_id", F.lit(batch_id).cast("long")))
+
+    stream = (spark.readStream.schema(schema_ddl)
+              .option("maxFilesPerTrigger", max_files_per_trigger)
+              .parquet(in_path))
+    return (stream.writeStream
+            .foreachBatch(process)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True))

@@ -265,3 +265,46 @@ def test_semantic_dedup_kmeans_production_path(spark):
     cells = got
     for r in out[~out.keep].itertuples():
         assert r.dup_of < r.id and cells[int(r.dup_of)] == cells[r.id]
+
+
+def test_phash_topk_exact_order_and_radius(spark):
+    from data_quality_check_spark.operators.similarity import phash_topk
+
+    corpus = spark.createDataFrame(
+        [("c1", 0b0000),        # ham 0 to q1
+         ("c2", 0b0001),        # ham 1
+         ("c3", 0b0011),        # ham 2
+         ("c4", 0b0111),        # ham 3
+         ("c5", 0b1111),        # ham 4 -> cut by k=3
+         ("c6", 0x7777777777777777),  # far outside radius
+         ("c7", None)],         # null phash never matches
+        "image_id string, phash long")
+    queries = spark.createDataFrame(
+        [("q1", 0b0000), ("q2", 0x0F0F0F0F0F0F0F0F)],
+        "image_id string, phash long")
+    out = phash_topk(corpus, queries, k=3, max_hamming=4)
+    rows = {(r["query_id"], r["rk"]): (r["corpus_id"], r["ham"])
+            for r in out.collect()}
+    # exact order by (ham, id), truncated at k
+    assert rows[("q1", 1)] == ("c1", 0)
+    assert rows[("q1", 2)] == ("c2", 1)
+    assert rows[("q1", 3)] == ("c3", 2)
+    assert ("q1", 4) not in rows
+    # q2 has no in-radius neighbour -> honestly empty, never padded
+    assert not any(q == "q2" for q, _ in rows)
+    assert len(rows) == 3
+
+
+def test_phash_topk_tiebreak_and_short_list(spark):
+    from data_quality_check_spark.operators.similarity import phash_topk
+
+    corpus = spark.createDataFrame(
+        [("cB", 0b0001), ("cA", 0b0010)],  # both ham 1 from 0b0000... 
+        "image_id string, phash long")
+    queries = spark.createDataFrame(
+        [("q", 0b0000)], "image_id string, phash long")
+    out = phash_topk(corpus, queries, k=5, max_hamming=2)
+    got = [(r["rk"], r["corpus_id"], r["ham"]) for r in
+           out.orderBy("rk").collect()]
+    # equal distance -> id ascending; fewer than k -> shorter list
+    assert got == [(1, "cA", 1), (2, "cB", 1)]

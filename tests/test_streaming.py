@@ -341,3 +341,51 @@ def test_streaming_visual_risk_reports(spark, shard_dir):
                 assert got[k] == pytest.approx(v), k
     finally:
         shutil.rmtree(out_root, ignore_errors=True)
+
+
+def test_streaming_decontamination_matches_batch(spark, shard_dir):
+    """Union of per-micro-batch decontamination verdicts == one batch
+    visual_decontaminate run over the union (shared operator; the
+    stream adds only the batch_id tag)."""
+    from data_quality_check_spark.operators.dedup import (
+        visual_decontaminate)
+    from data_quality_check_spark.plans.catalog import LocalParquetCatalog
+    from data_quality_check_spark.streaming.dq import (
+        start_decontamination_stream)
+
+    pdf = IM.generate_pandas(0.001)
+    sfx = pdf["image_id"].str[4:].astype(int)
+    ev_pdf = pdf[(sfx % 10 == 0).to_numpy()]
+    tr_pdf = pdf[(sfx % 10 != 0).to_numpy()]
+    ev = spark.createDataFrame(
+        ev_pdf[["image_id", "phash"]], "image_id string, phash long")
+
+    chunks = (tr_pdf.iloc[:450], tr_pdf.iloc[450:])
+    for i, chunk in enumerate(chunks):
+        tbl = pa.Table.from_pandas(chunk, schema=IM.ARROW_SCHEMA,
+                                   preserve_index=False)
+        pq.write_table(tbl, os.path.join(shard_dir, f"d{i}.parquet"))
+
+    out_root = tempfile.mkdtemp(prefix="dqc-decon-stream-")
+    try:
+        cat = LocalParquetCatalog(spark, out_root)
+        q = start_decontamination_stream(
+            spark, shard_dir, IM.IMAGES_DDL, ev, cat,
+            checkpoint_dir=os.path.join(out_root, "ckpt"),
+            max_files_per_trigger=1).start()
+        q.awaitTermination(120)
+
+        got = cat.read_table("decontamination_verdicts").toPandas()
+        assert len(got) == len(tr_pdf)
+        assert set(got.batch_id) == {0, 1}
+
+        tr = spark.createDataFrame(
+            tr_pdf[["image_id", "phash"]], "image_id string, phash long")
+        want = visual_decontaminate(tr, ev).toPandas()
+        cols = ["id", "contaminated", "eval_match", "min_hamming"]
+        a = got[cols].sort_values("id").reset_index(drop=True)
+        b = want[cols].sort_values("id").reset_index(drop=True)
+        assert a.equals(b)
+        assert bool(a.contaminated.any())  # fixture has real hits
+    finally:
+        shutil.rmtree(out_root, ignore_errors=True)
