@@ -198,6 +198,73 @@ def one_run():
     out.agg(F.bit_xor(F.xxhash64(F.struct(*out.columns)))).collect()
     return time.time() - t0
 """,
+    "visual_decontam": """
+# broadcast eval-band-index probe (operators/dedup.py::
+# visual_decontaminate): pure-JVM band join + ids-only groupBy — the
+# shuffle-light broadcast-join regime.  The train side is replicated
+# 20x with distinct id suffixes (phash unchanged) so probe work
+# dominates the ~fixed multi-stage latency at 2 cores; replication is
+# materialized (localCheckpoint) before timing starts.  R = 80 sizes
+# the 8-core run at ~10 s so the ~1-2 s fixed stage latency cannot
+# masquerade as poor scaling (collapse-first made the probe itself
+# R-invariant; what scales with R is the distinct pre-aggregate and
+# the verdict map join).
+from pyspark.sql import functions as F
+from data_quality_check_spark.operators.dedup import visual_decontaminate
+from data_quality_check_spark.sources import images as IM
+
+R = 80
+im = IM.read_images(spark, sf).select("image_id", "phash")
+part = F.substring("image_id", 5, 12).cast("long") % 10
+ev = im.filter(part == 0).localCheckpoint()
+sufs = F.array(*[F.lit(f"-{i:02d}") for i in range(R)])
+train = (im.filter(part != 0)
+         .select(F.explode(sufs).alias("__sfx"), "image_id", "phash")
+         .select(F.concat("image_id", "__sfx").alias("image_id"),
+                 "phash")
+         .localCheckpoint())
+N_UNITS = train.count()
+
+def one_run():
+    import time
+    t0 = time.time()
+    out = visual_decontaminate(train, ev)
+    out.agg(F.bit_xor(F.xxhash64(F.struct(*out.columns)))).collect()
+    return time.time() - t0
+""",
+    "visual_decontam_big": """
+# visual_decontam with the probe itself scaled: the plain variant
+# replicates ids but reuses hashes, so collapse-first makes its
+# probe R-invariant and the pair measures mostly fixed stage latency
+# (0.70 eff at 4 s/run).  Here each replica XORs bits 41-44 into the
+# phash, so DISTINCT hashes (and therefore band-join probe volume,
+# ~18M joined rows per replica set) scale with R=12 and the data
+# stages dominate at both levels.
+from pyspark.sql import functions as F
+from data_quality_check_spark.operators.dedup import visual_decontaminate
+from data_quality_check_spark.sources import images as IM
+
+R = 12
+im = IM.read_images(spark, sf).select("image_id", "phash")
+part = F.substring("image_id", 5, 12).cast("long") % 10
+ev = im.filter(part == 0).localCheckpoint()
+train = (im.filter(part != 0)
+         .crossJoin(spark.range(R).select(F.col("id").alias("__rep")))
+         .select(F.concat("image_id", F.lit("-"),
+                          F.col("__rep").cast("string"))
+                 .alias("image_id"),
+                 F.col("phash").bitwiseXOR(
+                     F.shiftleft(F.col("__rep"), 41)).alias("phash"))
+         .localCheckpoint())
+N_UNITS = train.count()
+
+def one_run():
+    import time
+    t0 = time.time()
+    out = visual_decontaminate(train, ev)
+    out.agg(F.bit_xor(F.xxhash64(F.struct(*out.columns)))).collect()
+    return time.time() - t0
+""",
     "fuzzy_join": """
 # PassJoin edit-distance self-join over part names: segment
 # equi-joins + levenshtein verify — shuffle-bound (no Python), the
@@ -298,7 +365,8 @@ def main() -> None:
     job = sys.argv[3] if len(sys.argv) > 3 else "pipeline"
     if job not in JOB_BODIES:
         raise SystemExit(f"unknown job {job!r}; one of {sorted(JOB_BODIES)}")
-    if job in ("pipeline", "image_keepers", "image_quality"):
+    if job in ("pipeline", "image_keepers", "image_quality",
+               "visual_decontam", "visual_decontam_big"):
         from data_quality_check_spark.sources import images as IM
         IM.ensure_images(sf)
 
