@@ -1002,21 +1002,30 @@ def containment_pairs(df: DataFrame, text_col: str, id_col: str,
     RAREST grams, per-gram fan-out is its df, which is exactly what
     the prefix ordering minimizes.
 
-    Scale shape (10^12 rows): candidates are generated IDS-ONLY
-    (prefix table carries (gram, id) pairs, never arrays); gram
-    arrays are fetched post-candidates by semi-join-pruned id joins
-    (the ngram_jaccard_pairs pattern); verification cost is exactly
-    candidate-pairs x array_intersect.  The df groupBy and the
-    row_number window both shuffle (gram,count)/(id,gram,df) scalar
-    rows.  A hot gram shared by k docs costs its prefix holders k
-    probe rows each — bounded by prefix ordering, and a df cap would
-    break the recall guarantee, so none is applied."""
+    Scale shape (10^12 rows): the gram table is MATERIALIZED once
+    (localCheckpoint — the inverted-index build pass every
+    PPJoin-family system performs; without the lineage cut the
+    optimizer inlines the gram expression into each of its 4+
+    consumers and rebuilds it per reference, the CLAUDE.md
+    CollapseProject trap); candidates are generated IDS-ONLY (prefix
+    table carries (gram, id, sz) scalars, never arrays) with the
+    PPJoin LENGTH filter — containment >= t forces
+    |B| >= ceil(t|A|), so shorter dst docs are pruned inside the
+    probe join before the pair distinct; gram arrays are fetched
+    post-candidates by semi-join-pruned id joins against the
+    materialized table; verification cost is exactly candidate-pairs
+    x array_intersect.  The df groupBy and the row_number window
+    both shuffle (gram,count)/(id,gram,df) scalar rows.  A hot gram
+    shared by k docs costs its prefix holders k probe rows each —
+    bounded by prefix ordering, and a df cap would break the recall
+    guarantee, so none is applied."""
     tokd = _widen(df).select(
         F.col(id_col),
         F.filter(F.split(F.lower(F.col(text_col)), " "),
                  lambda t: t != F.lit("")).alias("__toks"))
     base = tokd.select(F.col(id_col),
-                       _gram_expr(F.col("__toks"), n).alias("grams"))
+                       _gram_expr(F.col("__toks"), n).alias("grams")
+                       ).localCheckpoint()
     ex = base.select(F.col(id_col).alias("gid"),
                      F.size("grams").alias("sz"),
                      F.explode("grams").alias("gram"))
@@ -1028,9 +1037,13 @@ def containment_pairs(df: DataFrame, text_col: str, id_col: str,
     prefix = ranked.filter(
         F.col("__pos") <= F.col("sz")
         - F.ceil(F.lit(threshold) * F.col("sz")) + 1)
-    cand = (prefix.select(F.col("gid").alias("src_id"), "gram")
-            .join(ex.select(F.col("gid").alias("dst_id"), "gram"), "gram")
-            .filter(F.col("src_id") != F.col("dst_id"))
+    cand = (prefix.select(F.col("gid").alias("src_id"),
+                          F.col("sz").alias("__ssz"), "gram")
+            .join(ex.select(F.col("gid").alias("dst_id"),
+                            F.col("sz").alias("__dsz"), "gram"), "gram")
+            .filter((F.col("src_id") != F.col("dst_id"))
+                    & (F.col("__dsz")
+                       >= F.ceil(F.lit(threshold) * F.col("__ssz"))))
             .select("src_id", "dst_id")
             .distinct())
     cand_ids = (cand.select(F.col("src_id").alias("cid"))
