@@ -700,3 +700,86 @@ def temperature_sample(df: DataFrame, group_col: str, id_col: str,
             .withColumn("kept", F.col("__full")
                         | (F.col("sample_key") < F.col("__thr")))
             .drop("__g", "__full", "__thr"))
+
+
+# ---------------------------------------------------------------------------
+# DSIR — data selection via importance resampling (Xie et al., 2023)
+# ---------------------------------------------------------------------------
+
+DSIR_BUCKETS = 4096  # 3 hex chars of md5(gram) — the hashed feature space
+
+
+def dsir_select(df: DataFrame, target_col: str, k: int,
+                text_col: str = "text", id_col: str = "doc_id",
+                alpha: float = 1.0, salt: str = "dsir:") -> DataFrame:
+    """DSIR (Data Selection via Importance Resampling, Xie et al.
+    2023): pick the k raw documents whose hashed-n-gram distribution
+    looks most like a TARGET corpus, via Gumbel-top-k over estimated
+    log importance weights.
+
+    * features: unigrams + bigrams hashed into DSIR_BUCKETS buckets
+      (bucket key = 3 hex chars of md5(gram) — a STRING key, so the
+      DuckDB oracle shares it without any hex->int conversion);
+    * bag-of-grams models with add-alpha smoothing fit on the target
+      rows (target_col = true) and the raw pool (false):
+      log w(x) = sum_g [ln p_t(b(g)) - ln p_r(b(g))];
+    * per-BUCKET log-ratios are floor-quantized to integer
+      micro-units BEFORE the per-doc sum (the repo's BM25 rule), so a
+      document's score is an exact BIGINT — aggregation-order- and
+      engine-invariant;
+    * resampling: Gumbel-top-k with the Gumbel noise derived from a
+      keyed md5 of the doc id — zero RNG state, resume-stable, and
+      a faithful sample-without-replacement from the softmax of the
+      weights rather than a hard argmax.
+
+    Scale shape (10^12 rows): gram instances collapse to bucket
+    counts by ONE partial-aggregating groupBy on a 4096-key space;
+    the weight table is then a ~4096-row broadcast joined back to the
+    exploded gram stream map-side, and per-doc sums partial-aggregate
+    on the doc key.  Selection is orderBy(key).limit(k) =
+    TakeOrdered: per-partition top-k, k rows to the driver merge —
+    no global sort.  Nothing but (bucket) / (doc_id, w) scalars ever
+    shuffles."""
+    b = float(DSIR_BUCKETS)
+    toks = _widen(df).select(
+        F.col(id_col), F.col(target_col).alias("__tgt"),
+        _toks(text_col).alias("__toks"))
+    gb = (toks.select(
+        F.col(id_col), F.col("__tgt"),
+        F.explode(F.concat(F.col("__toks"), _word_ngrams("__toks", 2)))
+        .alias("__g"))
+        .select(F.col(id_col), F.col("__tgt"),
+                F.substring(F.md5("__g"), 1, 3).alias("bucket")))
+    cnt = gb.groupBy("bucket").agg(
+        F.sum(F.when(F.col("__tgt"), 1).otherwise(0)).alias("ct"),
+        F.sum(F.when(F.col("__tgt"), 0).otherwise(1)).alias("cr"))
+    tot = cnt.agg(F.sum("ct").cast("double").alias("tt"),
+                  F.sum("cr").cast("double").alias("tr"))
+    lw = (F.log((F.col("ct") + alpha) / (F.col("tt") + alpha * b))
+          - F.log((F.col("cr") + alpha) / (F.col("tr") + alpha * b)))
+    wt = (cnt.crossJoin(F.broadcast(tot))
+          .select("bucket",
+                  F.floor(lw * 1e6).cast("long").alias("w_ppm")))
+    doc_w = (gb.filter(~F.col("__tgt"))
+             .join(F.broadcast(wt), "bucket")
+             .groupBy(id_col)
+             .agg(F.sum("w_ppm").alias("logw_ppm")))
+    # Gumbel key: u in (0, 1) from the keyed md5 prefix (exact 32-bit
+    # integer + half-ulp offset, so u is the same double everywhere)
+    u = ((F.conv(F.substring(
+        F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))),
+        1, 8), 16, 10).cast("long").cast("double") + 0.5)
+        / 4294967296.0)
+    lwp = F.coalesce(F.col("logw_ppm"), F.lit(0))
+    raw = (df.filter(~F.col(target_col))
+           .select(F.col(id_col))
+           .join(doc_w, id_col, "left")
+           .select(F.col(id_col), lwp.alias("logw_ppm"),
+                   (lwp.cast("double") / 1e6
+                    - F.log(-F.log(u))).alias("__key")))
+    top = (raw.orderBy(F.col("__key").desc(), F.col(id_col).asc())
+           .limit(k))
+    w = Window.orderBy(F.col("__key").desc(), F.col(id_col).asc())
+    return (top.withColumn("rank", F.row_number().over(w).cast("int"))
+            .select(id_col, "logw_ppm",
+                    F.round("__key", 6).alias("sel_key"), "rank"))

@@ -1159,3 +1159,109 @@ def visual_decontaminate(train: DataFrame, eval_df: DataFrame,
                      F.lit(None).cast(id_type).alias("eval_match"),
                      F.lit(-1).cast("int").alias("min_hamming")))
     return out.unionByName(nulls)
+
+
+# ---------------------------------------------------------------------------
+# orientation-robust (dihedral) visual decontamination
+# ---------------------------------------------------------------------------
+
+# The stored phash is kernels/codecs.py::ahash64: an 8x8 grid of
+# block-mean bits packed row-major, MSB-first — the bit for block
+# (r, c) sits at int64 bit position 63 - (8r + c).  A dihedral
+# transform of the IMAGE (flip / rotate / transpose) permutes the 8x8
+# blocks, and the threshold (mean of the 64 block means) is
+# permutation-invariant, so the transformed image's hash is a pure
+# BIT PERMUTATION of the stored hash — EXACT when both dims divide by
+# 8 (block grids map 1:1; measured hamming 0 on white noise) and for
+# transpose at any dims (floor grids are per-axis, no reversal).
+# Reversal-based transforms on non-8-divisible dims shift the
+# floor-quantized block boundaries by <1 block: measured hamming
+# ~10-24 bits on WHITE NOISE (the adversarial case — every boundary
+# pixel is independent); smooth real content keeps block means stable
+# under sub-block boundary shifts.  Each entry maps DESTINATION block
+# (r, c) of the transformed image to its SOURCE block in the
+# original.
+DIHEDRAL_MAPS: list[tuple[str, object]] = [
+    ("identity", lambda r, c: (r, c)),
+    ("rot90", lambda r, c: (7 - c, r)),          # 90 deg clockwise
+    ("rot180", lambda r, c: (7 - r, 7 - c)),
+    ("rot270", lambda r, c: (c, 7 - r)),         # 90 deg CCW
+    ("hflip", lambda r, c: (r, 7 - c)),          # mirror left-right
+    ("vflip", lambda r, c: (7 - r, c)),          # mirror top-bottom
+    ("transpose", lambda r, c: (c, r)),
+    ("antitranspose", lambda r, c: (7 - c, 7 - r)),
+]
+
+_I64_MIN = "-9223372036854775807 - 1"  # min long; the bare literal
+# does not parse as int64 in either engine (unary minus binds after
+# the out-of-range positive literal)
+
+
+def dihedral_phash_sql(col: str) -> list[str]:
+    """The 8 dihedral variants of an ahash64 column as SQL expression
+    strings in the shared Spark/DuckDB dialect (`>>` is arithmetic in
+    both, `& 1` recovers the bit; the sign bit term is a CASE because
+    DuckDB's `<<` raises on 1 << 63).  Identity stays the bare column
+    so the common case adds zero codegen.  All 64 output bits are
+    disjoint, so the integer sum equals the bitwise OR and no partial
+    sum can overflow (the only negative term is the sign bit)."""
+    out = []
+    for name, m in DIHEDRAL_MAPS:
+        if name == "identity":
+            out.append(col)
+            continue
+        terms = []
+        for p in range(64):
+            r, c = divmod(p, 8)
+            r2, c2 = m(r, c)
+            src = 63 - (8 * r2 + c2)
+            bit = f"(({col} >> {src}) & 1)"
+            if p == 0:
+                terms.append(f"(CASE WHEN {bit} = 1 THEN {_I64_MIN} "
+                             "ELSE 0 END)")
+            else:
+                terms.append(f"({bit} << {63 - p})")
+        out.append(" + ".join(terms))
+    return out
+
+
+def dihedral_phash_py(h: int, t: int) -> int:
+    """Python twin of dihedral_phash_sql for tests / numpy oracles:
+    variant t (index into DIHEDRAL_MAPS) of a signed-int64 ahash."""
+    u = h & 0xFFFFFFFFFFFFFFFF
+    _, m = DIHEDRAL_MAPS[t]
+    v = 0
+    for p in range(64):
+        r, c = divmod(p, 8)
+        r2, c2 = m(r, c)
+        v |= ((u >> (63 - (8 * r2 + c2))) & 1) << (63 - p)
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+def visual_decontaminate_dihedral(train: DataFrame, eval_df: DataFrame,
+                                  max_hamming: int = 2,
+                                  id_col: str = "image_id",
+                                  phash_col: str = "phash") -> DataFrame:
+    """Orientation-robust visual decontamination: flag every training
+    image whose phash is within `max_hamming` of ANY dihedral variant
+    (flip / rotation / transpose) of a held-out eval image — a
+    mirrored or rotated eval copy evades plain phash matching
+    (hamming(h, hflip(h)) is ~32 on real content) but not this gate.
+
+    The expansion happens on the EVAL side only, as 7 extra bit
+    permutations of the already-stored hash (zero decode, zero
+    Python): the eval band index grows 8x and still broadcasts, while
+    the 10^12-row corpus side keeps the collapse-first probe of
+    visual_decontaminate unchanged.  Symmetric hashes (solid fills)
+    collapse via distinct before banding.  Output schema and
+    semantics match visual_decontaminate: eval_match = min matching
+    eval id over ALL orientations, min_hamming = closest variant
+    distance."""
+    exprs = dihedral_phash_sql(phash_col)
+    ev = (eval_df.filter(F.col(phash_col).isNotNull())
+          .select(F.col(id_col),
+                  F.explode(F.array(*[F.expr(s) for s in exprs]))
+                  .alias("__dph"))
+          .select(F.col(id_col), F.col("__dph").alias(phash_col))
+          .distinct())
+    return visual_decontaminate(train, ev, max_hamming, id_col, phash_col)

@@ -1788,6 +1788,71 @@ GROUP BY 1, 2, 4
 """
 
 
+def q_sample_dsir(spark, sf_dir):
+    """DSIR importance resampling (operators/corpus.py::dsir_select,
+    Xie et al. 2023): pick the 100 non-English-labeled docs whose
+    hashed unigram+bigram distribution best matches the lang='en'
+    target corpus, by Gumbel-top-k over add-1-smoothed bucket
+    log-ratios.  Bucket log-ratios quantize to integer micro-units
+    before the per-doc sum, so logw_ppm is an exact BIGINT in both
+    engines; the Gumbel noise comes from a keyed md5, so the sample
+    is RNG-free and resume-stable."""
+    from .operators.corpus import dsir_select
+
+    d = _t(spark, sf_dir, "documents")
+    return dsir_select(d.withColumn("__is_en", F.col("lang") == "en"),
+                       "__is_en", k=100)
+
+
+SQL_SAMPLE_DSIR = """
+WITH d AS (
+  SELECT doc_id, (lang = 'en') AS tgt,
+         list_filter(string_split(text, ' '), x -> x != '') AS toks
+  FROM documents
+), g0 AS (
+  SELECT doc_id, tgt,
+         list_concat(toks,
+           CASE WHEN len(toks) >= 2
+                THEN list_transform(range(1, len(toks)),
+                     i -> toks[i] || ' ' || toks[i+1])
+                ELSE CAST([] AS VARCHAR[]) END) AS grams
+  FROM d
+), gb AS (
+  SELECT doc_id, tgt, substring(md5(unnest(grams)), 1, 3) AS bucket
+  FROM g0
+), cnt AS (
+  SELECT bucket,
+         CAST(sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS BIGINT) AS ct,
+         CAST(sum(CASE WHEN tgt THEN 0 ELSE 1 END) AS BIGINT) AS cr
+  FROM gb GROUP BY 1
+), tot AS (
+  SELECT CAST(sum(ct) AS DOUBLE) AS tt,
+         CAST(sum(cr) AS DOUBLE) AS tr FROM cnt
+), wt AS (
+  SELECT bucket,
+         CAST(floor((ln((ct + 1.0) / (tt + 1.0 * 4096))
+                   - ln((cr + 1.0) / (tr + 1.0 * 4096))) * 1000000.0)
+              AS BIGINT) AS w_ppm
+  FROM cnt, tot
+), docw AS (
+  SELECT gb.doc_id, CAST(sum(wt.w_ppm) AS BIGINT) AS logw_ppm
+  FROM gb JOIN wt USING (bucket) WHERE NOT gb.tgt GROUP BY 1
+), raw AS (
+  SELECT d.doc_id,
+         coalesce(docw.logw_ppm, 0) AS logw_ppm,
+         coalesce(docw.logw_ppm, 0) / 1000000.0
+           - ln(-ln((('0x' || substring(md5('dsir:'
+                 || CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT + 0.5)
+               / 4294967296.0)) AS key
+  FROM d LEFT JOIN docw USING (doc_id) WHERE NOT d.tgt
+)
+SELECT doc_id, logw_ppm, round(key, 6) AS sel_key,
+       CAST(row_number() OVER (ORDER BY key DESC, doc_id ASC) AS INT)
+         AS rank
+FROM raw ORDER BY key DESC, doc_id ASC LIMIT 100
+"""
+
+
 def q_text_tfidf_topk(spark, sf_dir):
     """Characteristic terms per source by tf-idf (the classic corpus
     exploration op): tf = term count within the source, idf =
@@ -4534,6 +4599,58 @@ FROM tr LEFT JOIN m ON m.id = tr.image_id
 """
 
 
+def q_dedup_visual_flips(spark, sf_dir):
+    """Orientation-robust visual decontamination
+    (operators/dedup.py::visual_decontaminate_dihedral): the eval
+    phash index is expanded to all 8 dihedral variants (flips,
+    rotations, transposes — pure bit permutations of the stored
+    ahash64, no decode), so a mirrored or rotated eval copy cannot
+    slip past the gate.  The DuckDB oracle recomputes every variant
+    with the SAME generated bit-permutation SQL and brute-forces the
+    train x eval scan, so all 7 x 64 permutation terms are
+    value-checked per image."""
+    im = _images(spark, sf_dir)
+    part = F.substring("image_id", 5, 12).cast("long") % 10
+    ev = im.filter(part == 0)
+    train = im.filter(part != 0)
+    return dedup.visual_decontaminate_dihedral(train, ev, max_hamming=2)
+
+
+_DIHEDRAL_EVAL_SQL = ",\n           ".join(dedup.dihedral_phash_sql("phash"))
+
+SQL_DEDUP_VISUAL_FLIPS = f"""
+WITH im AS (
+  SELECT image_id, phash FROM {IMAGES_SF001}
+), e0 AS (
+  SELECT * FROM im
+  WHERE CAST(substring(image_id, 5, 12) AS BIGINT) % 10 = 0
+    AND phash IS NOT NULL
+), e AS (
+  SELECT DISTINCT image_id, phash FROM (
+    SELECT image_id,
+           unnest([{_DIHEDRAL_EVAL_SQL}]) AS phash
+    FROM e0)
+), tr AS (
+  SELECT image_id FROM im
+  WHERE CAST(substring(image_id, 5, 12) AS BIGINT) % 10 <> 0
+), tp AS (
+  SELECT image_id, phash FROM im
+  WHERE CAST(substring(image_id, 5, 12) AS BIGINT) % 10 <> 0
+    AND phash IS NOT NULL
+), m AS (
+  SELECT tp.image_id AS id, min(e.image_id) AS eval_match,
+         min(bit_count(xor(tp.phash, e.phash))) AS mh
+  FROM tp JOIN e ON bit_count(xor(tp.phash, e.phash)) <= 2
+  GROUP BY 1
+)
+SELECT tr.image_id AS id,
+       m.eval_match IS NOT NULL AS contaminated,
+       m.eval_match,
+       CAST(coalesce(m.mh, -1) AS INT) AS min_hamming
+FROM tr LEFT JOIN m ON m.id = tr.image_id
+"""
+
+
 # SDXL-style training aspect buckets (ratios, not resolutions — the
 # synthetic table's w/h span 8..65).  Assignment = nearest bucket in
 # LOG space, which reduces to interval tests against the geometric
@@ -5186,6 +5303,7 @@ _ALL_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | No
     "sample_weighted": (q_sample_weighted, SQL_SAMPLE_WEIGHTED),
     "sample_topk_hash": (q_sample_topk_hash, SQL_SAMPLE_TOPK_HASH),
     "sample_temperature": (q_sample_temperature, SQL_SAMPLE_TEMPERATURE),
+    "sample_dsir": (q_sample_dsir, SQL_SAMPLE_DSIR),
     "sample_mixture": (q_sample_mixture, SQL_SAMPLE_MIXTURE),
     "sample_split": (q_sample_split, SQL_SAMPLE_SPLIT),
     "pack_token_bins": (q_pack_token_bins, SQL_PACK_TOKEN_BINS),
@@ -5216,6 +5334,7 @@ _ALL_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | No
                                SQL_DEDUP_CAPTION_CONFLICT),
     "dedup_visual_decontaminate": (q_dedup_visual_decontaminate,
                                    SQL_DEDUP_VISUAL_DECONTAMINATE),
+    "dedup_visual_flips": (q_dedup_visual_flips, SQL_DEDUP_VISUAL_FLIPS),
     "train_ar_buckets": (q_train_ar_buckets, SQL_TRAIN_AR_BUCKETS),
     "train_shard_assign": (q_train_shard_assign, SQL_TRAIN_SHARD_ASSIGN),
     "dedup_threshold_sweep": (q_dedup_threshold_sweep,

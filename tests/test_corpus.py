@@ -584,3 +584,30 @@ def test_temperature_sample_partitioning_invariant(spark):
     b = {r["id"] for r in temperature_sample(df.repartition(13), "g", "id")
          .filter("kept").select("id").collect()}
     assert a == b and len(a) > 0
+
+
+def test_dsir_select_prefers_target_like_docs(spark):
+    """DSIR (Xie et al. 2023): raw docs sharing the target corpus's
+    n-gram distribution must outscore raw docs that don't, and the
+    selection must be deterministic and partitioning-invariant."""
+    from data_quality_check_spark.operators.corpus import dsir_select
+
+    cat = "the small cat sat on the warm mat near the fire"
+    dog = "ein grosser hund lief schnell durch den dunklen wald heute"
+    rows = ([(i, cat + f" v{i}", True) for i in range(20)]
+            + [(100 + i, cat + f" w{i}", False) for i in range(5)]
+            + [(200 + i, dog + f" x{i}", False) for i in range(5)])
+    df = spark.createDataFrame(rows, "doc_id long, text string, tgt boolean")
+    out = dsir_select(df, "tgt", k=10).collect()
+    assert len(out) == 10
+    w = {r["doc_id"]: r["logw_ppm"] for r in out}
+    # every cat-like raw doc outweighs every dog-like raw doc
+    assert min(w[i] for i in range(100, 105)) > max(
+        w[i] for i in range(200, 205))
+    # rank ordering consistent with sel_key desc
+    ranks = [r["rank"] for r in sorted(out, key=lambda r: -r["sel_key"])]
+    assert ranks == sorted(ranks)
+    # partitioning-invariant (exact bigint weights + keyed gumbel)
+    again = dsir_select(df.repartition(7), "tgt", k=10).collect()
+    assert {(r["doc_id"], r["logw_ppm"], r["rank"]) for r in again} == \
+           {(r["doc_id"], r["logw_ppm"], r["rank"]) for r in out}

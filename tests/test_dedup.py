@@ -588,3 +588,71 @@ def test_visual_decontaminate_equals_bruteforce(spark, images_pdf):
             assert out[tid][2] == int(d.min())
         else:
             assert out[tid] == (False, None, -1)
+
+
+# ---------------------------------------------------------------------
+# orientation-robust (dihedral) visual decontamination
+# ---------------------------------------------------------------------
+
+def test_dihedral_permutation_matches_kernel_exactly():
+    """For 8-divisible dims the dihedral variant of the stored ahash64
+    IS the hash of the transformed image — bit-for-bit, all 8
+    transforms (the operator's core claim)."""
+    import numpy as np
+
+    from data_quality_check_spark.kernels import codecs
+
+    ops = [lambda a: a,
+           lambda a: np.rot90(a, -1),
+           lambda a: np.rot90(a, 2),
+           lambda a: np.rot90(a, 1),
+           lambda a: a[:, ::-1],
+           lambda a: a[::-1, :],
+           lambda a: np.transpose(a, (1, 0, 2)),
+           lambda a: np.rot90(np.transpose(a, (1, 0, 2)), 2)]
+    rng = np.random.default_rng(7)
+    for h, w in [(64, 64), (32, 56), (48, 16), (8, 40)]:
+        pix = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        base = codecs.ahash64(pix)
+        for t, op in enumerate(ops):
+            assert codecs.ahash64(op(pix)) == dedup.dihedral_phash_py(
+                base, t), (h, w, dedup.DIHEDRAL_MAPS[t][0])
+
+
+def test_dihedral_sql_matches_python_twin(spark):
+    """The generated shared-dialect SQL expressions evaluate (in
+    Spark) to exactly dihedral_phash_py for hashes with and without
+    the sign bit set."""
+    hashes = [0, -1, 1, -9223372036854775808, 9223372036854775807,
+              0x0123456789ABCDEF, -81985529216486896]
+    df = spark.createDataFrame([(h,) for h in hashes], "phash long")
+    exprs = dedup.dihedral_phash_sql("phash")
+    out = df.select("phash",
+                    *[F.expr(e).alias(f"v{t}")
+                      for t, e in enumerate(exprs)]).collect()
+    for row in out:
+        for t in range(8):
+            assert row[f"v{t}"] == dedup.dihedral_phash_py(
+                row["phash"], t), (row["phash"], t)
+
+
+def test_flipped_eval_copy_caught_only_by_dihedral(spark):
+    """A training image that is a MIRRORED copy of an eval image:
+    plain phash decontamination misses it (hamming(h, hflip(h)) is
+    large on asymmetric content), the dihedral gate flags it."""
+    eval_hash = 0x0123456789ABCDEF
+    flipped = dedup.dihedral_phash_py(eval_hash, 4)  # hflip
+    train = spark.createDataFrame(
+        [("t1", flipped), ("t2", 0x7777000011112222)],
+        "image_id string, phash long")
+    ev = spark.createDataFrame([("e1", eval_hash)],
+                               "image_id string, phash long")
+    plain = {r["id"]: r["contaminated"]
+             for r in dedup.visual_decontaminate(train, ev, 2).collect()}
+    dihed = {r["id"]: (r["contaminated"], r["eval_match"],
+                       r["min_hamming"])
+             for r in dedup.visual_decontaminate_dihedral(
+                 train, ev, 2).collect()}
+    assert plain == {"t1": False, "t2": False}
+    assert dihed["t1"] == (True, "e1", 0)
+    assert dihed["t2"] == (False, None, -1)
