@@ -14,7 +14,7 @@ MERGE case: big target, small source).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -71,3 +71,41 @@ def table_diff(old: DataFrame, new: DataFrame, key: str,
     news = [F.col(f"__n_{c}").alias(f"new_{c}") for c in value_cols]
     return (j.select(F.col(key), *olds, *news, change.alias("change"))
             .filter(F.col("change").isNotNull()))
+
+
+def scd2_history(changes: DataFrame, key: str, ts_col: str,
+                 value_col: str, seq_col: str | None = None) -> DataFrame:
+    """SCD-2 history build from a change log: collapse consecutive
+    no-op updates, then turn each surviving change into a validity
+    interval (valid_from, valid_to, is_current) — the slowly-changing-
+    dimension table every warehouse derives from its CDC feed.
+
+    A change row survives iff its value differs (null-safely) from
+    the key's previous surviving value; valid_to is the NEXT
+    surviving change's timestamp, open (NULL) on the latest.  Ties on
+    ts break on seq_col (default: the value column — pass the change
+    id for real feeds).
+
+    Scale shape: both windows partition on the SAME key, so the plan
+    is ONE shuffle — the lag/filter stage and the lead stage reuse
+    the exchange (Catalyst collapses equal-partitioning windows into
+    a single sort within one exchange).  No joins, no payload
+    replication; skew = one hot entity's history on one task, which
+    is the floor any per-entity ordering pays."""
+    seq = seq_col or value_col
+    w = Window.partitionBy(key).orderBy(F.col(ts_col).asc(),
+                                        F.col(seq).asc())
+    changed = (changes
+               .withColumn("__prev", F.lag(value_col).over(w))
+               .withColumn("__first",
+                           F.row_number().over(w) == 1)
+               .filter(F.col("__first")
+                       | ~F.col(value_col).eqNullSafe(F.col("__prev"))))
+    w2 = Window.partitionBy(key).orderBy(F.col(ts_col).asc(),
+                                         F.col(seq).asc())
+    return (changed
+            .withColumn("valid_to", F.lead(ts_col).over(w2))
+            .select(F.col(key), F.col(value_col),
+                    F.col(ts_col).alias("valid_from"),
+                    "valid_to",
+                    F.col("valid_to").isNull().alias("is_current")))

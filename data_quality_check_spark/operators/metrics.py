@@ -5,7 +5,7 @@ enabled — grouped-agg pandas UDFs would disable it)."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..constants import RULE_ORDER
@@ -148,3 +148,47 @@ def retention_cohorts(df: DataFrame, user_col: str = "user_id",
             .select("cohort", "offset", "n_users",
                     F.round(F.col("n_users") / F.col("__c0"), 6)
                     .alias("retained_frac")))
+
+
+def rule_ablation(df: DataFrame, rules: dict[str, Column]) -> DataFrame:
+    """Leave-one-out rule ablation: for every filter rule, what the
+    keep rate would be WITHOUT it — the report a curation team reads
+    before tightening or dropping a threshold.  Per rule: rows it
+    fires on (n_hits), rows kept if it were removed (n_keep_without,
+    >= n_keep_all by construction; the difference is the rows this
+    rule alone blocks), and the keep-rate lift from removing it.
+
+    Single-pass: every per-rule sum is a conditional aggregate over
+    the same one scan (2 + 2R cells for R rules), reduced map-side to
+    ONE row; the per-rule rows are then unpivoted from that row with
+    a literal explode — zero extra scans, zero joins, scale cost =
+    the scan itself."""
+    names = list(rules)
+    flags = df.select(*[c.alias(f"__{n}") for n, c in rules.items()])
+    keep_all = F.lit(True)
+    for n in names:
+        keep_all = keep_all & F.col(f"__{n}")
+    aggs = [F.count(F.lit(1)).alias("n_rows"),
+            F.sum(keep_all.cast("long")).alias("n_keep_all")]
+    for n in names:
+        others = F.lit(True)
+        for m in names:
+            if m != n:
+                others = others & F.col(f"__{m}")
+        aggs.append(F.sum((~F.col(f"__{n}")).cast("long"))
+                    .alias(f"__hits_{n}"))
+        aggs.append(F.sum(others.cast("long")).alias(f"__kw_{n}"))
+    one = flags.agg(*aggs)
+    per_rule = F.array(*[
+        F.struct(F.lit(n).alias("rule"),
+                 F.col(f"__hits_{n}").alias("n_hits"),
+                 F.col(f"__kw_{n}").alias("n_keep_without"))
+        for n in names])
+    ex = one.select("n_rows", "n_keep_all",
+                    F.explode(per_rule).alias("r"))
+    return ex.select(
+        F.col("r.rule").alias("rule"), "n_rows", "n_keep_all",
+        F.col("r.n_hits").alias("n_hits"),
+        F.col("r.n_keep_without").alias("n_keep_without"),
+        F.round((F.col("r.n_keep_without") - F.col("n_keep_all"))
+                .cast("double") / F.col("n_rows"), 6).alias("keep_lift"))

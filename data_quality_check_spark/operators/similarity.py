@@ -445,3 +445,47 @@ def phash_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     w = Window.partitionBy("query_id").orderBy("ham", "corpus_id")
     return (cand.withColumn("rk", F.row_number().over(w))
             .filter(F.col("rk") <= k))
+
+
+def hard_negatives(corpus: DataFrame, queries: DataFrame,
+                   label_col: str = "label", k: int = 5,
+                   dup_ceiling: float = 0.99,
+                   id_col: str = "vec_id",
+                   vec_col: str = "embedding") -> DataFrame:
+    """Hard-negative mining for contrastive training (the CLIP /
+    SigLIP data trick): per anchor, the k most cosine-similar vectors
+    that (a) carry a DIFFERENT label and (b) sit BELOW a near-dup
+    ceiling — maximally confusable true negatives.  Excluding
+    cos >= dup_ceiling keeps mislabeled twins / exact re-encodes of
+    the anchor out of the negative set, where they would poison the
+    contrastive loss with false negatives.
+
+    Scale shape: same as cosine_topk — the anchor set broadcasts
+    (hard-negative mining runs per training batch / per probe set,
+    not all-pairs), the corpus side streams map-side, and the only
+    shuffle is the per-anchor top-k window on (anchor, cos) scalar
+    rows.  For corpus-wide mining swap the candidate generator for
+    lsh_cosine_topk's banded tables; the filter/rank logic is
+    unchanged."""
+    def _pren(df, id_a, vec_a, norm_a, lbl_a):
+        # _prenormed with the label carried through (no self-join)
+        return (df.select(F.col(id_col).alias(id_a),
+                          F.col(label_col).alias(lbl_a),
+                          _dvec(F.col(vec_col)).alias(vec_a))
+                .select(id_a, lbl_a, vec_a,
+                        _norm(F.col(vec_a)).alias(norm_a)))
+
+    q = _pren(queries, "query_id", "qvec", "__qn", "__ql")
+    c = _pren(_widen(corpus), "neighbor_id", "cvec", "__cn", "__cl")
+    joined = (c.crossJoin(F.broadcast(q))
+              .filter((F.col("neighbor_id") != F.col("query_id"))
+                      & (F.col("__cl") != F.col("__ql"))))
+    scored = _score_pairs(joined, "qvec", "cvec", "__qn", "__cn").filter(
+        F.col("cos") < dup_ceiling)
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"),
+                                               F.asc("neighbor_id"))
+    return (scored.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= k)
+            .select("query_id", F.col("__ql").alias("anchor_label"),
+                    "neighbor_id", F.col("__cl").alias("negative_label"),
+                    "cos", "rk"))

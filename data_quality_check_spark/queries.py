@@ -242,6 +242,59 @@ SQL_KEEP_DECISION = (
 )
 
 
+def q_rule_ablation(spark, sf_dir):
+    """Leave-one-out rule ablation (operators/metrics.py::
+    rule_ablation) over the 4 SQL-portable caption heuristics: per
+    rule, its hit count, the keep count without it, and the keep-rate
+    lift from removing it — the threshold-tuning report.  One scan,
+    one 1-row aggregate, a literal unpivot."""
+    d = _t(spark, sf_dir, "documents")
+    rules = {
+        "length": F.length("text").between(MIN_CAPTION_LEN,
+                                           MAX_CAPTION_LEN),
+        "distinct": _distinct_ratio() >= MIN_DISTINCT_TOKEN_RATIO,
+        "stopword": _stop_ratio() >= MIN_STOPWORD_RATIO,
+        "symbol": _symbol_density() <= MAX_SYMBOL_DENSITY,
+    }
+    return metrics.rule_ablation(d, rules)
+
+
+_ABLATION_FLAGS_SQL = f"""
+  SELECT (length(text) BETWEEN {MIN_CAPTION_LEN} AND {MAX_CAPTION_LEN})
+           AS f_length,
+         ({_DOC_DR_SQL} >= {MIN_DISTINCT_TOKEN_RATIO}) AS f_distinct,
+         ({_DOC_SR_SQL} >= {MIN_STOPWORD_RATIO}) AS f_stopword,
+         ({_DOC_SD_SQL} <= {MAX_SYMBOL_DENSITY}) AS f_symbol
+  FROM documents
+"""
+
+_ABLATION_RULES = ["length", "distinct", "stopword", "symbol"]
+
+
+def _ablation_sums_sql() -> str:
+    cells = ["CAST(count(*) AS BIGINT) AS n_rows",
+             "CAST(sum(CASE WHEN " + " AND ".join(
+                 f"f_{r}" for r in _ABLATION_RULES)
+             + " THEN 1 ELSE 0 END) AS BIGINT) AS n_keep_all"]
+    for r in _ABLATION_RULES:
+        others = " AND ".join(f"f_{m}" for m in _ABLATION_RULES if m != r)
+        cells.append(f"CAST(sum(CASE WHEN NOT f_{r} THEN 1 ELSE 0 END)"
+                     f" AS BIGINT) AS hits_{r}")
+        cells.append(f"CAST(sum(CASE WHEN {others} THEN 1 ELSE 0 END)"
+                     f" AS BIGINT) AS kw_{r}")
+    return ", ".join(cells)
+
+
+SQL_RULE_ABLATION = f"""
+WITH f AS ({_ABLATION_FLAGS_SQL}),
+s AS (SELECT {_ablation_sums_sql()} FROM f)
+""" + "\nUNION ALL\n".join(
+    f"SELECT '{r}' AS rule, n_rows, n_keep_all, hits_{r} AS n_hits, "
+    f"kw_{r} AS n_keep_without, "
+    f"round(CAST(kw_{r} - n_keep_all AS DOUBLE) / n_rows, 6) AS keep_lift "
+    "FROM s" for r in _ABLATION_RULES)
+
+
 # ---------------------------------------------------------------------------
 # C/D. UDF surface (rows-only: DuckDB cannot express the models)
 # ---------------------------------------------------------------------------
@@ -1367,6 +1420,41 @@ WITH scored AS (
   FROM scored
 )
 SELECT query_id, neighbor_id, cos, rk FROM ranked WHERE rk <= 5
+"""
+
+
+def q_sim_hard_negatives(spark, sf_dir):
+    """Hard-negative mining for contrastive training
+    (operators/similarity.py::hard_negatives): per anchor (vec_id <
+    8), the 5 most cosine-similar DIFFERENT-label vectors below the
+    0.99 near-dup ceiling — maximally confusable true negatives,
+    with suspected relabeled twins excluded.  Brute-force exact
+    against the broadcast anchor set; DuckDB runs the same scan."""
+    from .operators.similarity import hard_negatives
+    em = _t(spark, sf_dir, "embeddings")
+    return hard_negatives(em, em.filter(F.col("vec_id") < 8), k=5)
+
+
+SQL_SIM_HARD_NEGATIVES = """
+WITH scored AS (
+  SELECT q.vec_id AS query_id, q.label AS anchor_label,
+    n.vec_id AS neighbor_id, n.label AS negative_label,
+    round(
+      list_sum(list_transform(list_zip(q.embedding, n.embedding),
+               t -> CAST(t[1] AS DOUBLE) * CAST(t[2] AS DOUBLE)))
+      / (sqrt(list_sum(list_transform(q.embedding,
+               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+       * sqrt(list_sum(list_transform(n.embedding,
+               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6) AS cos
+  FROM embeddings q, embeddings n
+  WHERE q.vec_id < 8 AND n.vec_id <> q.vec_id AND n.label <> q.label
+), ranked AS (
+  SELECT *, row_number() OVER
+    (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rk
+  FROM scored WHERE cos < 0.99
+)
+SELECT query_id, anchor_label, neighbor_id, negative_label, cos, rk
+FROM ranked WHERE rk <= 5
 """
 
 
@@ -3237,6 +3325,38 @@ WHERE CASE WHEN o.o_orderkey IS NULL THEN 'added'
            WHEN NOT (o.o_orderstatus IS NOT DISTINCT FROM n.o_orderstatus
                      AND o.o_totalprice IS NOT DISTINCT FROM n.o_totalprice)
            THEN 'changed' END IS NOT NULL
+"""
+
+
+def q_cdc_scd2(spark, sf_dir):
+    """SCD-2 history build (operators/cdc.py::scd2_history): the
+    events stream as a per-user change log of event_type — collapse
+    consecutive no-op repeats, emit validity intervals with an open
+    current row.  One shuffle: both windows share the user_id
+    partitioning."""
+    from .operators.cdc import scd2_history
+
+    ev = _t(spark, sf_dir, "events")
+    return scd2_history(ev, "user_id", "ts", "event_type",
+                        seq_col="event_id")
+
+
+SQL_CDC_SCD2 = """
+WITH c AS (
+  SELECT user_id, ts, event_type, event_id,
+         lag(event_type) OVER w AS prev,
+         row_number() OVER w AS rn
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+), s AS (
+  SELECT user_id, event_type, ts, event_id FROM c
+  WHERE rn = 1 OR event_type IS DISTINCT FROM prev
+)
+SELECT user_id, event_type, ts AS valid_from,
+       lead(ts) OVER w2 AS valid_to,
+       (lead(ts) OVER w2) IS NULL AS is_current
+FROM s
+WINDOW w2 AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
 """
 
 
@@ -5220,6 +5340,7 @@ _ALL_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | No
     "rule_repetition": (q_rule_repetition, SQL_RULE_REPETITION),
     "rule_stopword_symbol": (q_rule_stopword_symbol, SQL_RULE_STOPWORD_SYMBOL),
     "keep_decision": (q_keep_decision, SQL_KEEP_DECISION),
+    "rule_ablation": (q_rule_ablation, SQL_RULE_ABLATION),
     # UDF surface
     "udf_langid": (q_udf_langid, SQL_UDF_LANGID),
     "udf_perplexity": (q_udf_perplexity, SQL_UDF_PPL),
@@ -5279,6 +5400,7 @@ _ALL_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | No
                               SQL_DEDUP_KEEPERS_QUALITY),
     "dedup_minhash_recall": (q_dedup_minhash_recall, SQL_DEDUP_MINHASH_RECALL),
     "sim_topk_cosine": (q_sim_topk_cosine, SQL_SIM_TOPK_COSINE),
+    "sim_hard_negatives": (q_sim_hard_negatives, SQL_SIM_HARD_NEGATIVES),
     "sim_lsh_topk": (q_sim_lsh_topk, SQL_SIM_LSH_TOPK),
     "sim_ivf_topk": (q_sim_ivf_topk, SQL_SIM_IVF_TOPK),
     "dedup_embedding": (q_dedup_embedding, SQL_DEDUP_EMBEDDING),
@@ -5374,6 +5496,7 @@ _ALL_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | No
     # lakehouse change-data ops (operators/cdc.py)
     "merge_upsert": (q_merge_upsert, SQL_MERGE_UPSERT),
     "table_diff": (q_table_diff, SQL_TABLE_DIFF),
+    "cdc_scd2": (q_cdc_scd2, SQL_CDC_SCD2),
     # corpus boilerplate + quantile sketch
     "text_boilerplate": (q_text_boilerplate, SQL_TEXT_BOILERPLATE),
     "agg_approx_quantiles": (q_agg_approx_quantiles,

@@ -101,3 +101,23 @@ def test_image_quality_hist_partitions_decoded(spark):
     assert pdf.entropy_bin.between(0, 15).all()
     assert pdf.keep_rate.between(0, 1).all()
     assert pdf.n.gt(0).all()
+
+
+def test_rule_ablation_counts_and_lift(spark):
+    """Hand-checkable 2-rule ablation: n_keep_without - n_keep_all =
+    rows blocked ONLY by that rule; lift = that / n_rows."""
+    from pyspark.sql import functions as F
+
+    from data_quality_check_spark.operators import metrics
+
+    rows = [("a", True, True), ("b", False, True), ("c", False, True),
+            ("d", True, False), ("e", False, False)]
+    df = spark.createDataFrame(rows, "id string, r1 boolean, r2 boolean")
+    out = {r["rule"]: r for r in metrics.rule_ablation(
+        df, {"one": F.col("r1"), "two": F.col("r2")}).collect()}
+    assert out["one"]["n_rows"] == 5 and out["one"]["n_keep_all"] == 1
+    assert out["one"]["n_hits"] == 3          # b, c, e fail r1
+    assert out["one"]["n_keep_without"] == 3  # a, b, c pass r2
+    assert out["one"]["keep_lift"] == 0.4     # (3-1)/5
+    assert out["two"]["n_hits"] == 2 and out["two"]["n_keep_without"] == 2
+    assert out["two"]["keep_lift"] == 0.2

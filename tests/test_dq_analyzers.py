@@ -128,3 +128,49 @@ def test_boilerplate_fraction(spark):
     assert out[0]["boiler_frac"] == 1.0 and out[0]["n_grams"] == 4
     assert out[10]["boiler_frac"] == 0.0
     assert 11 not in out  # no grams -> no row
+
+
+def test_scd2_history_collapses_noops_and_builds_intervals(spark):
+    """SCD-2: consecutive equal values collapse into one interval;
+    value flips reopen; NULL transitions are null-safe; the latest
+    interval is open (is_current)."""
+    from datetime import datetime
+
+    from data_quality_check_spark.operators.cdc import scd2_history
+
+    t = [datetime(2026, 1, d) for d in range(1, 8)]
+    rows = [
+        ("u1", t[0], "A", 1), ("u1", t[1], "A", 2),   # no-op: collapse
+        ("u1", t[2], "B", 3), ("u1", t[3], "B", 4),   # flip then no-op
+        ("u1", t[4], "A", 5),                          # back to A: new row
+        ("u2", t[0], None, 6), ("u2", t[1], None, 7),  # null-safe no-op
+        ("u2", t[2], "X", 8),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id string, ts timestamp, event_type string, "
+              "event_id long")
+    out = {(r["user_id"], r["valid_from"]):
+           (r["event_type"], r["valid_to"], r["is_current"])
+           for r in scd2_history(df, "user_id", "ts", "event_type",
+                                 seq_col="event_id").collect()}
+    assert out == {
+        ("u1", t[0]): ("A", t[2], False),
+        ("u1", t[2]): ("B", t[4], False),
+        ("u1", t[4]): ("A", None, True),
+        ("u2", t[0]): (None, t[2], False),
+        ("u2", t[2]): ("X", None, True),
+    }
+
+
+def test_scd2_history_single_exchange(spark):
+    """Both windows partition on the same key: the physical plan must
+    contain exactly ONE shuffle."""
+    from data_quality_check_spark.operators.cdc import scd2_history
+
+    df = spark.createDataFrame([("u", 1.0, "A", 1)],
+                               "user_id string, ts double, "
+                               "event_type string, event_id long")
+    plan = scd2_history(df, "user_id", "ts", "event_type",
+                        "event_id")._jdf.queryExecution().executedPlan() \
+        .toString()
+    assert plan.count("Exchange") == 1, plan

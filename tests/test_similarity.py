@@ -308,3 +308,27 @@ def test_phash_topk_tiebreak_and_short_list(spark):
            out.orderBy("rk").collect()]
     # equal distance -> id ascending; fewer than k -> shorter list
     assert got == [(1, "cA", 1), (2, "cB", 1)]
+
+
+def test_hard_negatives_excludes_same_label_and_near_dups(spark):
+    """The mined negative must be the most similar DIFFERENT-label
+    vector below the near-dup ceiling: same-label twins and suspected
+    relabeled duplicates (cos >= 0.99) never enter the negative set."""
+    from data_quality_check_spark.operators.similarity import hard_negatives
+
+    rows = [
+        (0, [1.0, 0.0, 0.0], "cat"),       # anchor
+        (1, [0.999, 0.01, 0.0], "cat"),    # same label: excluded
+        (2, [1.0, 0.001, 0.0], "dog"),     # diff label but ~1.0: ceiling
+        (3, [0.8, 0.6, 0.0], "dog"),       # the true hard negative (cos 0.8)
+        (4, [0.0, 1.0, 0.0], "dog"),       # easy negative
+    ]
+    df = spark.createDataFrame(rows,
+                               "vec_id long, embedding array<float>, "
+                               "label string")
+    out = hard_negatives(df, df.filter("vec_id = 0"), k=2).collect()
+    got = [(r["neighbor_id"], r["rk"]) for r in
+           sorted(out, key=lambda r: r["rk"])]
+    assert got == [(3, 1), (4, 2)]
+    assert all(r["anchor_label"] == "cat" and r["negative_label"] == "dog"
+               for r in out)
