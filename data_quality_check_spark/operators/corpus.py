@@ -736,9 +736,13 @@ def dsir_select(df: DataFrame, target_col: str, k: int,
     counts by ONE partial-aggregating groupBy on a 4096-key space;
     the weight table is then a ~4096-row broadcast joined back to the
     exploded gram stream map-side, and per-doc sums partial-aggregate
-    on the doc key.  Selection is orderBy(key).limit(k) =
-    TakeOrdered: per-partition top-k, k rows to the driver merge —
-    no global sort.  Nothing but (bucket) / (doc_id, w) scalars ever
+    on the doc key.  The gram projection is evaluated once per
+    consumer (Catalyst has no cross-consumer subtree reuse), i.e. two
+    MAP passes over the corpus — the same fit-then-score pass
+    structure DSIR itself prescribes; neither pass shuffles gram
+    instances.  Selection is orderBy(key).limit(k) = TakeOrdered:
+    per-partition top-k, k rows to the driver merge — no global
+    sort.  Nothing but (bucket) / (doc_id, w) scalars ever
     shuffles."""
     b = float(DSIR_BUCKETS)
     toks = _widen(df).select(

@@ -5575,15 +5575,18 @@ _DRIVER_WINDOW = [
     "dedup_incremental",
     "dedup_minhash_recall",
     "dedup_embedding_lsh",
-    "dedup_ngram_jaccard",
+    # dedup_ngram_jaccard rotated out (driver-verified green in r2)
+    # for the wave-7 orientation-robust decontamination gate
+    "dedup_visual_flips",
     "dedup_simhash_invariant",
     "dedup_components_star",
     "dedup_exact_images",
     "dedup_cluster_stats",
-    # similarity / embeddings (4) — sim_topk_cosine rotated out
-    # (driver-verified r1+r2); its LSH/IVF scale paths stay in
-    "sim_lsh_topk",
-    "sim_ivf_topk",
+    # similarity / embeddings (4) — sim_topk_cosine (r1+r2) and the
+    # LSH/IVF scale paths (r2) rotated out driver-verified, in favour
+    # of the wave-7 contrastive hard-negative miner and DSIR
+    "sim_hard_negatives",
+    "sample_dsir",
     "image_quality_hist",
     # round-3 fourth wave: the visual risk family is the tier focus
     # (quality_filter x image) — win_funnel / win_retention rotate

@@ -170,7 +170,8 @@ def start_decontamination_stream(spark: SparkSession, in_path: str,
                                  catalog, checkpoint_dir: str,
                                  table: str = "decontamination_verdicts",
                                  max_hamming: int = 3,
-                                 max_files_per_trigger: int = 4):
+                                 max_files_per_trigger: int = 4,
+                                 dihedral: bool = False):
     """Streaming visual decontamination gate: every arriving image
     shard is probed against the STATIC held-out eval split's phash
     band index (operators/dedup.py::visual_decontaminate — broadcast
@@ -181,16 +182,23 @@ def start_decontamination_stream(spark: SparkSession, in_path: str,
     verbatim, so stream == batch is by construction: the union of
     micro-batch verdicts equals one batch run over the union.  State
     = none (the eval index is closed over and re-broadcast per
-    trigger; eval splits are small by definition)."""
+    trigger; eval splits are small by definition).  With
+    dihedral=True the gate also catches FLIPPED / ROTATED eval
+    copies (operators/dedup.py::visual_decontaminate_dihedral — the
+    eval index grows 8x in bit-permutation variants, the stream side
+    is untouched)."""
     from pyspark.sql import functions as F
 
-    from ..operators.dedup import visual_decontaminate
+    from ..operators.dedup import (visual_decontaminate,
+                                   visual_decontaminate_dihedral)
+
+    gate = (visual_decontaminate_dihedral if dihedral
+            else visual_decontaminate)
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        out = visual_decontaminate(batch_df, eval_df,
-                                   max_hamming=max_hamming)
+        out = gate(batch_df, eval_df, max_hamming)
         catalog.append(table, out.withColumn(
             "batch_id", F.lit(batch_id).cast("long")))
 

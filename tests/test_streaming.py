@@ -389,3 +389,57 @@ def test_streaming_decontamination_matches_batch(spark, shard_dir):
         assert bool(a.contaminated.any())  # fixture has real hits
     finally:
         shutil.rmtree(out_root, ignore_errors=True)
+
+
+def test_streaming_decontamination_dihedral_gate(spark, shard_dir):
+    """dihedral=True: a streamed shard containing a MIRRORED eval
+    copy is flagged; stream verdicts == the batch dihedral operator
+    over the union."""
+    from data_quality_check_spark.operators.dedup import (
+        dihedral_phash_py, visual_decontaminate_dihedral)
+    from data_quality_check_spark.plans.catalog import LocalParquetCatalog
+    from data_quality_check_spark.streaming.dq import (
+        start_decontamination_stream)
+
+    pdf = IM.generate_pandas(0.001)
+    sfx = pdf["image_id"].str[4:].astype(int)
+    ev_pdf = pdf[(sfx % 10 == 0).to_numpy()]
+    tr_pdf = pdf[(sfx % 10 != 0).to_numpy()].copy()
+    # plant a mirrored copy of an eval image in the second shard
+    src = int(ev_pdf["phash"].iloc[3])
+    tr_pdf.iloc[-1, tr_pdf.columns.get_loc("phash")] = \
+        dihedral_phash_py(src, 4)
+    planted = tr_pdf["image_id"].iloc[-1]
+    ev = spark.createDataFrame(
+        ev_pdf[["image_id", "phash"]], "image_id string, phash long")
+
+    chunks = (tr_pdf.iloc[:450], tr_pdf.iloc[450:])
+    for i, chunk in enumerate(chunks):
+        tbl = pa.Table.from_pandas(chunk, schema=IM.ARROW_SCHEMA,
+                                   preserve_index=False)
+        pq.write_table(tbl, os.path.join(shard_dir, f"d{i}.parquet"))
+
+    out_root = tempfile.mkdtemp(prefix="dqc-decon-flip-")
+    try:
+        cat = LocalParquetCatalog(spark, out_root)
+        q = start_decontamination_stream(
+            spark, shard_dir, IM.IMAGES_DDL, ev, cat,
+            checkpoint_dir=os.path.join(out_root, "ckpt"),
+            max_hamming=2, max_files_per_trigger=1,
+            dihedral=True).start()
+        q.awaitTermination(120)
+
+        got = cat.read_table("decontamination_verdicts").toPandas()
+        assert len(got) == len(tr_pdf)
+        hit = got[got.id == planted].iloc[0]
+        assert bool(hit.contaminated) and hit.min_hamming == 0
+
+        tr = spark.createDataFrame(
+            tr_pdf[["image_id", "phash"]], "image_id string, phash long")
+        want = visual_decontaminate_dihedral(tr, ev, 2).toPandas()
+        cols = ["id", "contaminated", "eval_match", "min_hamming"]
+        a = got[cols].sort_values("id").reset_index(drop=True)
+        b = want[cols].sort_values("id").reset_index(drop=True)
+        assert a.equals(b)
+    finally:
+        shutil.rmtree(out_root, ignore_errors=True)
