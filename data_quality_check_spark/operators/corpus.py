@@ -787,3 +787,58 @@ def dsir_select(df: DataFrame, target_col: str, k: int,
     return (top.withColumn("rank", F.row_number().over(w).cast("int"))
             .select(id_col, "logw_ppm",
                     F.round("__key", 6).alias("sel_key"), "rank"))
+
+
+def bigram_nll_score(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id",
+                     alpha: float = 1.0) -> DataFrame:
+    """Corpus-fit bigram LM scoring — perplexity filtering without a
+    pretrained model (the CCNet/KenLM recipe, self-fit): estimate
+    p(w2|w1) = (c(w1 w2) + a) / (c(w1) + a*V) over the corpus itself,
+    then score every document by its mean bigram negative
+    log-likelihood.  Gibberish, boilerplate-free spam and wrong-
+    language docs sit in the high-NLL tail; formulaic boilerplate
+    sits in the low tail — both ends are what a quality filter cuts.
+
+    Per-bigram costs quantize to integer micro-units before the
+    per-doc sum (order- and engine-invariant BIGINT); avg_nll =
+    that sum / n_bigrams, rounded.  Docs with < 2 tokens score NULL
+    (no evidence), kept in the output for gate composition.
+
+    Scale shape (10^12 rows): fit = two counts-only partial
+    aggregates (bigram key, unigram key); score = the instance
+    stream joins the bigram-count table on the bigram key — the one
+    genuinely big shuffle, payload (doc_id, w1, w2) — then the
+    unigram table on w1.  Hot bigrams ('of the') skew the join: AQE
+    skew-join splits them, and both count tables partial-aggregate
+    map-side so the reducer state is one long per key.  V (distinct
+    vocab) is a 1-row broadcast."""
+    toks = _widen(df).select(F.col(id_col),
+                             _toks(text_col).alias("__toks"))
+    bi = (toks.select(
+        F.col(id_col),
+        F.explode(_word_ngrams("__toks", 2)).alias("__bg"))
+        .withColumn("__w1", F.substring_index("__bg", " ", 1)))
+    uni = toks.select(F.explode("__toks").alias("__w"))
+    cbg = bi.groupBy("__bg").agg(F.count("*").alias("__cbg"))
+    cw1 = uni.groupBy("__w").agg(F.count("*").alias("__cw1"))
+    v = uni.agg(F.countDistinct("__w").cast("double").alias("__v"))
+    cost = F.floor(
+        -F.log((F.col("__cbg") + alpha)
+               / (F.col("__cw1") + alpha * F.col("__v"))) * 1e6
+    ).cast("long")
+    scored = (bi.join(cbg, "__bg")
+              .join(cw1, F.col("__w1") == F.col("__w"))
+              .crossJoin(F.broadcast(v))
+              .select(F.col(id_col), cost.alias("__cost")))
+    per_doc = scored.groupBy(id_col).agg(
+        F.count("*").alias("n_bigrams"),
+        F.sum("__cost").alias("nll_ppm_sum"))
+    return (df.select(id_col)
+            .join(per_doc, id_col, "left")
+            .select(F.col(id_col),
+                    F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+                    F.coalesce("nll_ppm_sum", F.lit(0)).alias("nll_ppm_sum"),
+                    F.round(F.col("nll_ppm_sum").cast("double")
+                            / F.col("n_bigrams") / 1e6, 6)
+                    .alias("avg_nll")))

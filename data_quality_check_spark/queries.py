@@ -3438,6 +3438,60 @@ def q_text_word_entropy(spark, sf_dir):
     return word_entropy(_t(spark, sf_dir, "documents"), "text", "doc_id")
 
 
+def q_text_bigram_nll(spark, sf_dir):
+    """Corpus-fit bigram LM perplexity filtering
+    (operators/corpus.py::bigram_nll_score): the CCNet/KenLM recipe
+    with the model fit on the corpus itself — per-doc mean bigram
+    negative log-likelihood under add-1-smoothed corpus counts,
+    micro-unit quantized per bigram so the per-doc sum is an exact
+    BIGINT in both engines.  Complements udf_perplexity (fixed
+    kernel model, rows-only) with a fully SQL-checked, JVM-only
+    corpus-adaptive score."""
+    from .operators.corpus import bigram_nll_score
+
+    return bigram_nll_score(_t(spark, sf_dir, "documents"))
+
+
+SQL_TEXT_BIGRAM_NLL = """
+WITH t AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '')
+           AS toks
+  FROM documents
+), bi AS (
+  SELECT doc_id, unnest(CASE WHEN len(toks) >= 2
+           THEN list_transform(range(1, len(toks)),
+                i -> toks[i] || ' ' || toks[i+1])
+           ELSE CAST([] AS VARCHAR[]) END) AS bg
+  FROM t
+), biw AS (
+  SELECT doc_id, bg, string_split(bg, ' ')[1] AS w1 FROM bi
+), uni AS (
+  SELECT unnest(toks) AS w FROM t
+), cbg AS (
+  SELECT bg, CAST(count(*) AS BIGINT) AS cbg FROM biw GROUP BY 1
+), cw1 AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS cw1 FROM uni GROUP BY 1
+), v AS (
+  SELECT CAST(count(DISTINCT w) AS DOUBLE) AS v FROM uni
+), scored AS (
+  SELECT biw.doc_id,
+         CAST(floor(-ln((cbg.cbg + 1.0) / (cw1.cw1 + 1.0 * v.v))
+                    * 1000000.0) AS BIGINT) AS cost
+  FROM biw JOIN cbg USING (bg) JOIN cw1 ON biw.w1 = cw1.w CROSS JOIN v
+), per AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         CAST(sum(cost) AS BIGINT) AS nll_ppm_sum
+  FROM scored GROUP BY 1
+)
+SELECT d.doc_id,
+       coalesce(per.n_bigrams, 0) AS n_bigrams,
+       coalesce(per.nll_ppm_sum, 0) AS nll_ppm_sum,
+       round(CAST(per.nll_ppm_sum AS DOUBLE) / per.n_bigrams
+             / 1000000.0, 6) AS avg_nll
+FROM documents d LEFT JOIN per USING (doc_id)
+"""
+
+
 SQL_TEXT_WORD_ENTROPY = """
 WITH w AS (
   SELECT doc_id AS id,
@@ -5502,6 +5556,7 @@ _ALL_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | No
     "agg_approx_quantiles": (q_agg_approx_quantiles,
                              SQL_AGG_APPROX_QUANTILES),
     "text_word_entropy": (q_text_word_entropy, SQL_TEXT_WORD_ENTROPY),
+    "text_bigram_nll": (q_text_bigram_nll, SQL_TEXT_BIGRAM_NLL),
     "corpus_source_overlap": (q_corpus_source_overlap,
                               SQL_CORPUS_SOURCE_OVERLAP),
     # round-3 additions: dup-span coverage, Bloom decontamination,

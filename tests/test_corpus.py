@@ -611,3 +611,23 @@ def test_dsir_select_prefers_target_like_docs(spark):
     again = dsir_select(df.repartition(7), "tgt", k=10).collect()
     assert {(r["doc_id"], r["logw_ppm"], r["rank"]) for r in again} == \
            {(r["doc_id"], r["logw_ppm"], r["rank"]) for r in out}
+
+
+def test_bigram_nll_separates_gibberish_from_formulaic(spark):
+    """Corpus-fit bigram LM: unseen-transition gibberish must score a
+    higher mean NLL than docs made of corpus-frequent bigrams; docs
+    with < 2 tokens carry NULL avg_nll with zero counts."""
+    from data_quality_check_spark.operators.corpus import bigram_nll_score
+
+    common = "the cat sat on the mat"
+    rows = [(i, common) for i in range(10)]
+    rows += [(50, "zq xv jk wp mn bt")]       # gibberish: unique bigrams
+    rows += [(60, "single")]                   # too short to score
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in bigram_nll_score(df).collect()}
+    assert out[60]["n_bigrams"] == 0 and out[60]["avg_nll"] is None
+    assert out[0]["n_bigrams"] == 5 and out[50]["n_bigrams"] == 5
+    assert out[50]["avg_nll"] > out[0]["avg_nll"]
+    # identical docs score identically (pure function of the corpus)
+    assert all(out[i]["nll_ppm_sum"] == out[0]["nll_ppm_sum"]
+               for i in range(10))
