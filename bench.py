@@ -49,6 +49,9 @@ HEADLINE_KEYS = [
     "dedup_containment",
     "text_bm25_topk",
     "dedup_visual_decontaminate",
+    "dedup_visual_flips",
+    "sample_dsir",
+    "text_bigram_nll",
 ]
 
 

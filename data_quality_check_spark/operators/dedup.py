@@ -1265,3 +1265,63 @@ def visual_decontaminate_dihedral(train: DataFrame, eval_df: DataFrame,
           .select(F.col(id_col), F.col("__dph").alias(phash_col))
           .distinct())
     return visual_decontaminate(train, ev, max_hamming, id_col, phash_col)
+
+
+def dihedral_near_dups(df: DataFrame, max_hamming: int = 2,
+                       id_col: str = "image_id",
+                       phash_col: str = "phash") -> DataFrame:
+    """Within-corpus orientation-robust near-dup pairs: (a, b) such
+    that SOME dihedral variant (flip / rotation / transpose) of a's
+    phash is within `max_hamming` of b's stored phash — the mirrored
+    re-upload / rotated crop-dodge case plain hamming dedup misses.
+
+    Only ONE side expands (group closure: hamming(d(A), B) =
+    hamming(A, d_inv(B)) because bit permutations preserve hamming,
+    so every relative orientation is covered and the a < b dedup is
+    safe).  Candidates come from the same pigeonhole band slices as
+    phash_near_dups — variant-side band table joins the stored-side
+    band table, ids+hashes only — and verification re-derives all 8
+    variant distances from the STORED hashes per candidate pair,
+    reporting the best (min_hamming, orientation) via an exact
+    integer min over code = hamming * 8 + orientation.
+
+    Scale shape: the variant band table is 8x the standard probe
+    (scalar rows); candidate pairs are distinct-ed before the
+    verify join; nothing wider than (id, hash) ever shuffles.
+    Recall is GUARANTEED (pigeonhole per variant), so a brute-force
+    variant scan is value-exact ground truth."""
+    base = (df.filter(F.col(phash_col).isNotNull())
+            .select(F.col(id_col).alias("__id"),
+                    F.col(phash_col).alias("__ph")))
+    exprs = dihedral_phash_sql("__ph")
+    va = (base.select("__id",
+                      F.explode(F.array(*[F.expr(s) for s in exprs]))
+                      .alias("__vph"))
+          .distinct())
+    ab = phash_band_table(va, max_hamming, "__id", "__vph")
+    bb = phash_band_table(base, max_hamming, "__id", "__ph")
+    cand = (ab.alias("a")
+            .join(bb.alias("b"),
+                  (F.col("a.band") == F.col("b.band"))
+                  & (F.col("a.bv") == F.col("b.bv")))
+            .filter(F.col("a.__id") < F.col("b.__id"))
+            .select(F.col("a.__id").alias("id_a"),
+                    F.col("b.__id").alias("id_b"))
+            .distinct())
+    pa = base.select(F.col("__id").alias("id_a"),
+                     F.col("__ph").alias("__pa"))
+    pb = base.select(F.col("__id").alias("id_b"),
+                     F.col("__ph").alias("__pb"))
+    vexprs = dihedral_phash_sql("__pa")
+    codes = []
+    for t, s in enumerate(vexprs):
+        d = F.bit_count(F.expr(s).bitwiseXOR(F.col("__pb")))
+        codes.append(F.when(d <= max_hamming, d * 8 + t))
+    best = F.least(*codes)
+    return (cand.join(pa, "id_a").join(pb, "id_b")
+            .withColumn("__code", best)
+            .filter(F.col("__code").isNotNull())
+            .select("id_a", "id_b",
+                    F.floor(F.col("__code") / 8).cast("int")
+                    .alias("min_hamming"),
+                    (F.col("__code") % 8).cast("int").alias("orientation")))

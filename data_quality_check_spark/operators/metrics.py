@@ -192,3 +192,36 @@ def rule_ablation(df: DataFrame, rules: dict[str, Column]) -> DataFrame:
         F.col("r.n_keep_without").alias("n_keep_without"),
         F.round((F.col("r.n_keep_without") - F.col("n_keep_all"))
                 .cast("double") / F.col("n_rows"), 6).alias("keep_lift"))
+
+
+def calibration_report(df: DataFrame, score_col: str, label_col: str,
+                       bins: int = 10) -> DataFrame:
+    """Reliability diagram for a quality classifier: bucket the score
+    into `bins` equal-width bins and compare mean predicted score to
+    the observed positive rate per bin — the calibration audit run
+    before a fastText-style quality score is used as a keep
+    probability or a sampling weight (an over-confident scorer
+    silently starves the mixture).  The expected-calibration-error
+    is sum over bins of n/N * abs_gap.
+
+    Scores quantize to integer micro-units before the per-bin sum
+    (exact BIGINT — aggregation-order- and engine-invariant);
+    everything else is counts.  Single partial-aggregating groupBy
+    on a <= `bins`-key space: scale cost = the scan."""
+    s = F.col(score_col).cast("double")
+    b = F.least(F.greatest(F.floor(s * bins), F.lit(0)),
+                F.lit(bins - 1)).cast("int")
+    mean_pred = F.col("__sppm") / F.col("n") / 1e6
+    frac_pos = F.col("__pos") / F.col("n")
+    return (df.select(b.alias("bin"),
+                      F.floor(s * 1e6).cast("long").alias("__ppm"),
+                      F.col(label_col).cast("long").alias("__y"))
+            .groupBy("bin")
+            .agg(F.count("*").alias("n"),
+                 F.sum("__ppm").alias("__sppm"),
+                 F.sum("__y").alias("__pos"))
+            .select("bin", "n",
+                    F.round(mean_pred, 6).alias("mean_pred"),
+                    F.round(frac_pos, 6).alias("frac_pos"),
+                    F.round(F.abs(mean_pred - frac_pos), 6)
+                    .alias("abs_gap")))

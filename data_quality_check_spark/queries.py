@@ -295,6 +295,48 @@ s AS (SELECT {_ablation_sums_sql()} FROM f)
     "FROM s" for r in _ABLATION_RULES)
 
 
+def q_classifier_calibration(spark, sf_dir):
+    """Reliability diagram (operators/metrics.py::calibration_report)
+    for the heuristic quality score against the length labels — the
+    calibration audit before a score is used as a keep probability
+    or sampling weight.  Scores quantize to micro-units before the
+    per-bin sum, so every cell is engine-exact."""
+    d = _t(spark, sf_dir, "documents")
+    score = (
+        0.4 * F.least(F.lit(1.0), F.length("text") / F.lit(200.0))
+        + 0.3 * _stop_ratio()
+        + 0.3 * _distinct_ratio()
+    )
+    labeled = d.select(score.alias("score"),
+                       F.col("n_chars").between(100, 400).alias("y"))
+    return metrics.calibration_report(labeled, "score", "y", bins=10)
+
+
+SQL_CLASSIFIER_CALIBRATION = f"""
+WITH s AS (
+  SELECT 0.4 * least(1.0, length(text) / 200.0)
+       + 0.3 * {_DOC_SR_SQL} + 0.3 * {_DOC_DR_SQL} AS sc,
+       (n_chars BETWEEN 100 AND 400) AS y
+  FROM documents
+), b AS (
+  SELECT CAST(least(greatest(floor(sc * 10), 0), 9) AS INT) AS bin,
+         CAST(floor(sc * 1000000.0) AS BIGINT) AS ppm,
+         CASE WHEN y THEN 1 ELSE 0 END AS yv
+  FROM s
+), g AS (
+  SELECT bin, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(ppm) AS BIGINT) AS sppm,
+         CAST(sum(yv) AS BIGINT) AS pos
+  FROM b GROUP BY 1
+)
+SELECT bin, n, round(sppm / n / 1000000.0, 6) AS mean_pred,
+       round(CAST(pos AS DOUBLE) / n, 6) AS frac_pos,
+       round(abs(sppm / n / 1000000.0 - CAST(pos AS DOUBLE) / n), 6)
+         AS abs_gap
+FROM g
+"""
+
+
 # ---------------------------------------------------------------------------
 # C/D. UDF surface (rows-only: DuckDB cannot express the models)
 # ---------------------------------------------------------------------------
@@ -4825,6 +4867,43 @@ FROM tr LEFT JOIN m ON m.id = tr.image_id
 """
 
 
+def q_dedup_dihedral_pairs(spark, sf_dir):
+    """Within-corpus orientation-robust near-dup pairs
+    (operators/dedup.py::dihedral_near_dups): mirrored / rotated
+    re-uploads that plain hamming dedup misses, on the suffix%4==0
+    quarter of the table (bounds the 8-variant brute-force oracle;
+    the operator itself is corpus-general).  Pigeonhole recall per
+    variant is guaranteed, so DuckDB's variant-expanded scan is
+    value-exact ground truth, including the (min_hamming,
+    orientation) integer-min encoding."""
+    im = _images(spark, sf_dir)
+    part = F.substring("image_id", 5, 12).cast("long") % 4
+    return dedup.dihedral_near_dups(im.filter(part == 0), max_hamming=2)
+
+
+SQL_DEDUP_DIHEDRAL_PAIRS = f"""
+WITH im AS (
+  SELECT image_id, phash FROM {IMAGES_SF001}
+  WHERE phash IS NOT NULL
+    AND CAST(substring(image_id, 5, 12) AS BIGINT) % 4 = 0
+), va AS (
+  SELECT image_id, unnest(range(8)) AS t,
+         unnest([{_DIHEDRAL_EVAL_SQL}]) AS vph
+  FROM im
+), p AS (
+  SELECT a.image_id AS id_a, b.image_id AS id_b,
+         min(bit_count(xor(a.vph, b.phash)) * 8 + a.t) AS code
+  FROM va a JOIN im b
+    ON a.image_id < b.image_id
+   AND bit_count(xor(a.vph, b.phash)) <= 2
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, CAST(code // 8 AS INT) AS min_hamming,
+       CAST(code % 8 AS INT) AS orientation
+FROM p
+"""
+
+
 # SDXL-style training aspect buckets (ratios, not resolutions — the
 # synthetic table's w/h span 8..65).  Assignment = nearest bucket in
 # LOG space, which reduces to interval tests against the geometric
@@ -5395,6 +5474,8 @@ _ALL_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | No
     "rule_stopword_symbol": (q_rule_stopword_symbol, SQL_RULE_STOPWORD_SYMBOL),
     "keep_decision": (q_keep_decision, SQL_KEEP_DECISION),
     "rule_ablation": (q_rule_ablation, SQL_RULE_ABLATION),
+    "classifier_calibration": (q_classifier_calibration,
+                               SQL_CLASSIFIER_CALIBRATION),
     # UDF surface
     "udf_langid": (q_udf_langid, SQL_UDF_LANGID),
     "udf_perplexity": (q_udf_perplexity, SQL_UDF_PPL),
@@ -5511,6 +5592,8 @@ _ALL_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | No
     "dedup_visual_decontaminate": (q_dedup_visual_decontaminate,
                                    SQL_DEDUP_VISUAL_DECONTAMINATE),
     "dedup_visual_flips": (q_dedup_visual_flips, SQL_DEDUP_VISUAL_FLIPS),
+    "dedup_dihedral_pairs": (q_dedup_dihedral_pairs,
+                             SQL_DEDUP_DIHEDRAL_PAIRS),
     "train_ar_buckets": (q_train_ar_buckets, SQL_TRAIN_AR_BUCKETS),
     "train_shard_assign": (q_train_shard_assign, SQL_TRAIN_SHARD_ASSIGN),
     "dedup_threshold_sweep": (q_dedup_threshold_sweep,

@@ -121,3 +121,28 @@ def test_rule_ablation_counts_and_lift(spark):
     assert out["one"]["keep_lift"] == 0.4     # (3-1)/5
     assert out["two"]["n_hits"] == 2 and out["two"]["n_keep_without"] == 2
     assert out["two"]["keep_lift"] == 0.2
+
+
+def test_calibration_report_bins_and_gap(spark):
+    """Hand-computed reliability diagram: a perfectly calibrated bin
+    shows ~zero gap; an over-confident bin shows the exact gap."""
+    from pyspark.sql import functions as F
+
+    from data_quality_check_spark.operators import metrics
+
+    rows = ([(0.95, True)] * 9 + [(0.95, False)]        # bin 9: well calibrated (0.9)
+            + [(0.85, False)] * 10)                      # bin 8: overconfident
+    df = spark.createDataFrame(rows, "score double, y boolean")
+    out = {r["bin"]: r for r in metrics.calibration_report(
+        df, "score", "y", bins=10).collect()}
+    assert set(out) == {8, 9}
+    assert out[9]["n"] == 10 and out[9]["frac_pos"] == 0.9
+    assert out[9]["mean_pred"] == 0.95
+    assert abs(out[9]["abs_gap"] - 0.05) < 1e-9
+    assert out[8]["frac_pos"] == 0.0 and out[8]["abs_gap"] == 0.85
+    # scores outside [0, 1) clamp into the edge bins
+    edge = spark.createDataFrame([(1.0, True), (-0.2, False)],
+                                 "score double, y boolean")
+    bins = {r["bin"] for r in metrics.calibration_report(
+        edge, "score", "y", bins=10).collect()}
+    assert bins == {0, 9}

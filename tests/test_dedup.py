@@ -656,3 +656,30 @@ def test_flipped_eval_copy_caught_only_by_dihedral(spark):
     assert plain == {"t1": False, "t2": False}
     assert dihed["t1"] == (True, "e1", 0)
     assert dihed["t2"] == (False, None, -1)
+
+
+def test_dihedral_near_dups_finds_rotated_copy(spark):
+    """A rot90 re-upload inside the corpus: plain hamming banding
+    misses it, the dihedral pair miner reports it with the right
+    orientation and distance; unrelated hashes stay unpaired."""
+    base = 0x0123456789ABCDEF
+    rot = dedup.dihedral_phash_py(base, 1)          # rot90 copy
+    df = spark.createDataFrame(
+        [("a", base), ("b", rot), ("c", 0x00FF00FF11221122)],
+        "image_id string, phash long")
+    out = {(r["id_a"], r["id_b"]): (r["min_hamming"], r["orientation"])
+           for r in dedup.dihedral_near_dups(df, 2).collect()}
+    assert ("a", "b") in out
+    ham, orient = out[("a", "b")]
+    assert ham == 0
+    # variant applied to id_a: rot90(a) == b, so orientation 1 —
+    # unless an equal-distance symmetric variant wins the tie at a
+    # lower index (not the case for this asymmetric hash)
+    assert orient == 1
+    assert ("a", "c") not in out and ("b", "c") not in out
+    # exact dup (identity) still reported, orientation 0
+    df2 = spark.createDataFrame([("a", base), ("b", base)],
+                                "image_id string, phash long")
+    out2 = dedup.dihedral_near_dups(df2, 2).collect()
+    assert [(r["id_a"], r["id_b"], r["min_hamming"], r["orientation"])
+            for r in out2] == [("a", "b", 0, 0)]

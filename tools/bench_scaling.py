@@ -232,6 +232,34 @@ def one_run():
     out.agg(F.bit_xor(F.xxhash64(F.struct(*out.columns)))).collect()
     return time.time() - t0
 """,
+    "dsir": """
+# DSIR importance resampling (operators/corpus.py::dsir_select): two
+# gram MAP passes + counts-only bucket/doc aggregates + broadcast
+# weight scoring — the hashed-feature plan family of the wave-7
+# keys.  The corpus replicates 20x with distinct ids (materialized
+# before timing) so gram work dominates fixed stage latency at
+# sandbox sf; every replica re-tokenizes, re-hashes and re-scores,
+# so work scales linearly with R while the bucket space stays 4096.
+from pyspark.sql import functions as F
+from data_quality_check_spark.operators.corpus import dsir_select
+
+R = 20
+base = spark.read.parquet(f"/root/testdata/sf{sf:g}/documents.parquet")
+reps = spark.range(R).select(F.col("id").alias("__r"))
+docs = (base.crossJoin(reps)
+        .select((F.col("doc_id") * R + F.col("__r")).alias("doc_id"),
+                "text", (F.col("lang") == "en").alias("__tgt"))
+        .repartition(64)
+        .localCheckpoint())
+N_UNITS = docs.count()
+
+def one_run():
+    import time
+    t0 = time.time()
+    out = dsir_select(docs, "__tgt", k=100)
+    out.agg(F.bit_xor(F.xxhash64(F.struct(*out.columns)))).collect()
+    return time.time() - t0
+""",
     "visual_decontam_big": """
 # visual_decontam with the probe itself scaled: the plain variant
 # replicates ids but reuses hashes, so collapse-first makes its
