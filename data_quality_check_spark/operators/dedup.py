@@ -1286,18 +1286,22 @@ def dihedral_near_dups(df: DataFrame, max_hamming: int = 2,
     integer min over code = hamming * 8 + orientation.
 
     Scale shape: the variant band table is 8x the standard probe
-    (scalar rows); candidate pairs are distinct-ed before the
-    verify join; nothing wider than (id, hash) ever shuffles.
-    Recall is GUARANTEED (pigeonhole per variant), so a brute-force
-    variant scan is value-exact ground truth."""
+    (scalar rows); candidate pairs are distinct-ed before the verify
+    join; nothing wider than (id, hash / 8-long array) ever
+    shuffles.  The 64-term permutation expressions evaluate ONCE PER
+    IMAGE into an 8-long variant array — verification is then 8
+    xor+bit_counts per candidate pair, not 8 x 64 shift terms (the
+    first cut did the latter: 6.7 s -> see BENCH notes, on a
+    band-dense synthetic corpus with ~60 candidates/image).  Recall
+    is GUARANTEED (pigeonhole per variant), so a brute-force variant
+    scan is value-exact ground truth."""
     base = (df.filter(F.col(phash_col).isNotNull())
             .select(F.col(id_col).alias("__id"),
                     F.col(phash_col).alias("__ph")))
     exprs = dihedral_phash_sql("__ph")
-    va = (base.select("__id",
-                      F.explode(F.array(*[F.expr(s) for s in exprs]))
-                      .alias("__vph"))
-          .distinct())
+    varr = base.select("__id", F.array(*[F.expr(s) for s in exprs])
+                       .alias("__va"))
+    va = varr.select("__id", F.explode("__va").alias("__vph")).distinct()
     ab = phash_band_table(va, max_hamming, "__id", "__vph")
     bb = phash_band_table(base, max_hamming, "__id", "__ph")
     cand = (ab.alias("a")
@@ -1308,14 +1312,13 @@ def dihedral_near_dups(df: DataFrame, max_hamming: int = 2,
             .select(F.col("a.__id").alias("id_a"),
                     F.col("b.__id").alias("id_b"))
             .distinct())
-    pa = base.select(F.col("__id").alias("id_a"),
-                     F.col("__ph").alias("__pa"))
+    pa = varr.select(F.col("__id").alias("id_a"), "__va")
     pb = base.select(F.col("__id").alias("id_b"),
                      F.col("__ph").alias("__pb"))
-    vexprs = dihedral_phash_sql("__pa")
     codes = []
-    for t, s in enumerate(vexprs):
-        d = F.bit_count(F.expr(s).bitwiseXOR(F.col("__pb")))
+    for t in range(8):
+        d = F.bit_count(F.element_at("__va", t + 1)
+                        .bitwiseXOR(F.col("__pb")))
         codes.append(F.when(d <= max_hamming, d * 8 + t))
     best = F.least(*codes)
     return (cand.join(pa, "id_a").join(pb, "id_b")
