@@ -1116,36 +1116,40 @@ def visual_decontaminate(train: DataFrame, eval_df: DataFrame,
     by row count; replicated/duplicated corpora probe each hash
     once) enter the band join against the BROADCAST eval index
     (phash_band_table, (max_hamming+1) rows per eval image).  The
-    rep band rows LEFT-join the index, so one groupBy on the rep
-    hash yields the verdict for hit AND clean hashes alike; train
-    rows then pick up their hash's verdict through one skinny
-    (phash -> verdict) join — auto-broadcast while the distinct-hash
-    map is small, an ordinary 16-byte-key shuffle join when it
-    isn't.  Measured on a 20x-replicated sf0.1 corpus this collapse
-    cut the probe stream 400x (710M -> 1.8M joined rows).  Null-
-    phash rows, which the band table excludes, re-enter through a
-    trivial union.  Recall is GUARANTEED (Norouzi et al. pigeonhole
-    slices, not probabilistic LSH), so this equals the brute-force
-    train x eval scan exactly — the DuckDB oracle checks precisely
-    that."""
+    rep band rows INNER-join the index and filter to real hits
+    (dist <= max_hamming) BEFORE any aggregation, so the band-bucket
+    fan-out (hot low-entropy slices produce ~90 candidates per probe
+    row on this corpus — 26.8M pairs at sf0.1) flows through one
+    codegen xor+bit_count+compare stage with NO aggregation state on
+    misses; only the contaminated hashes (tiny by definition — eval
+    overlap is the anomaly) reach the min-aggregate.  Train rows
+    then LEFT-join that hit map BROADCAST: the 10^12-row train side
+    never shuffles at all.  (The previous form aggregated all 26.8M
+    joined rows — string-min state per pair — and shuffle-joined the
+    74k-hash verdict map back: 10.2 s -> 2.5 s floor at sf0.1.)
+    Measured on a 20x-replicated sf0.1 corpus the collapse cuts the
+    probe stream 400x (710M -> 1.8M joined rows).  Null-phash rows,
+    which the band table excludes, re-enter through a trivial
+    union.  Recall is GUARANTEED (Norouzi et al. pigeonhole slices,
+    not probabilistic LSH), so this equals the brute-force train x
+    eval scan exactly — the DuckDB oracle checks precisely that."""
     reps = (train.filter(F.col(phash_col).isNotNull())
             .select(F.col(phash_col).alias("__rp")).distinct())
     eb = phash_band_table(eval_df, max_hamming, id_col, phash_col)
     tb = phash_band_table(reps, max_hamming, "__rp", "__rp")
     dist = F.bit_count(F.col("a.__ph").bitwiseXOR(F.col("b.__ph")))
-    verdict = (tb.alias("a")
-               .join(F.broadcast(eb.alias("b")),
-                     (F.col("a.band") == F.col("b.band"))
-                     & (F.col("a.bv") == F.col("b.bv")), "left")
-               .groupBy(F.col("a.__ph").alias("__vh"))
-               .agg(F.min(F.when(dist <= max_hamming, F.col("b.__id")))
-                    .alias("eval_match"),
-                    F.min(F.when(dist <= max_hamming, dist))
-                    .alias("__mh")))
+    hits = (tb.alias("a")
+            .join(F.broadcast(eb.alias("b")),
+                  (F.col("a.band") == F.col("b.band"))
+                  & (F.col("a.bv") == F.col("b.bv")))
+            .filter(dist <= max_hamming)
+            .groupBy(F.col("a.__ph").alias("__vh"))
+            .agg(F.min(F.col("b.__id")).alias("eval_match"),
+                 F.min(dist).alias("__mh")))
     out = (train.filter(F.col(phash_col).isNotNull())
            .select(F.col(id_col).alias("id"),
                    F.col(phash_col).alias("__vh"))
-           .join(verdict, "__vh")
+           .join(F.broadcast(hits), "__vh", "left")
            .select(
                "id",
                F.col("eval_match").isNotNull().alias("contaminated"),
