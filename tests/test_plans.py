@@ -212,3 +212,30 @@ def test_scrub_luhn_plan_shape(spark):
     assert "ArrowEvalPython" not in plan  # pure JVM expressions
     ex_lines = [ln for ln in plan.splitlines() if "Exchange" in ln]
     assert ex_lines and all("caption" not in ln for ln in ex_lines)
+
+
+def test_visual_decontaminate_train_never_shuffles(spark):
+    """The corpus side of the decontamination gate must LEFT-join a
+    BROADCAST hit map — no SortMergeJoin anywhere (the 10^12-row
+    train table never shuffles; the only exchanges serve the
+    distinct-hash collapse and the tiny hit aggregate)."""
+    from data_quality_check_spark.queries import REGISTRY
+
+    for key in ("dedup_visual_decontaminate", "dedup_visual_flips"):
+        plan = _plan(REGISTRY[key][0](spark, "/root/testdata/sf0.001"))
+        assert plan.count("SortMergeJoin") == 0, key
+        assert plan.count("BroadcastHashJoin") >= 2, key  # index + hits
+
+
+def test_dsir_plan_shape(spark):
+    """DSIR: top-k selection must be TakeOrdered (never a global
+    sort); the 4096-bucket weight table must broadcast; no exchange
+    carries document text."""
+    from data_quality_check_spark.queries import REGISTRY
+
+    plan = _plan(REGISTRY["sample_dsir"][0](
+        spark, "/root/testdata/sf0.001"))
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+    ex_lines = [ln for ln in plan.splitlines() if "Exchange" in ln]
+    assert ex_lines and all("text" not in ln for ln in ex_lines)

@@ -236,14 +236,16 @@ def one_run():
 # DSIR importance resampling (operators/corpus.py::dsir_select): two
 # gram MAP passes + counts-only bucket/doc aggregates + broadcast
 # weight scoring — the hashed-feature plan family of the wave-7
-# keys.  The corpus replicates 20x with distinct ids (materialized
+# keys.  The corpus replicates 300x with distinct ids (materialized
 # before timing) so gram work dominates fixed stage latency at
-# sandbox sf; every replica re-tokenizes, re-hashes and re-scores,
+# sandbox sf (R=20 probed: ~5 s at 2 cores, ~2.6 s at 8 — fixed
+# stage latency read as ~0.5 efficiency; R=100: 11.4 s / 3.6 s =
+# 0.78, the last ~1.5 s of fixed floor still biting); every replica re-tokenizes, re-hashes and re-scores,
 # so work scales linearly with R while the bucket space stays 4096.
 from pyspark.sql import functions as F
 from data_quality_check_spark.operators.corpus import dsir_select
 
-R = 20
+R = 300
 base = spark.read.parquet(f"/root/testdata/sf{sf:g}/documents.parquet")
 reps = spark.range(R).select(F.col("id").alias("__r"))
 docs = (base.crossJoin(reps)

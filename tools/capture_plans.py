@@ -242,6 +242,37 @@ def main() -> None:
         f"inverted-index join (ids + single grams only).",
     ))
 
+    # 16. dihedral decontamination: broadcast hit map, corpus side
+    # never shuffles
+    vf = REGISTRY["dedup_visual_flips"][0](spark, sf_dir)
+    p = plan_of(vf)
+    sections.append((
+        "Orientation-robust visual decontamination (dedup_visual_flips)",
+        p,
+        f"BroadcastHashJoin count: {p.count('BroadcastHashJoin')} — "
+        f"the 8x-variant eval band index AND the post-filter hit map "
+        f"both broadcast; SortMergeJoin count: "
+        f"{p.count('SortMergeJoin')} (must be 0 — the train corpus "
+        f"never shuffles; its only exchanges serve the distinct-hash "
+        f"collapse and the tiny hit aggregate).",
+    ))
+
+    # 17. DSIR: closed 4096-bucket feature space -> broadcast weights,
+    # TakeOrdered selection (no global sort)
+    ds = REGISTRY["sample_dsir"][0](spark, sf_dir)
+    p = plan_of(ds)
+    sections.append((
+        "DSIR importance resampling (sample_dsir)",
+        p,
+        f"TakeOrderedAndProject present: "
+        f"{'TakeOrderedAndProject' in p} (top-k never globally "
+        f"sorts); BroadcastHashJoin present: "
+        f"{'BroadcastHashJoin' in p} — the 4096-row bucket weight "
+        f"table broadcasts back onto the gram stream; every "
+        f"hashpartitioning exchange carries (bucket)/(doc_id) counts "
+        f"and integer weights only.",
+    ))
+
     os.makedirs("BENCH", exist_ok=True)
     with open("BENCH/PLANS.md", "w") as f:
         f.write("# BENCH/PLANS.md — captured physical plans\n\n"
