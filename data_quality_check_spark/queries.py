@@ -4745,6 +4745,101 @@ FROM {IMAGES_SF001}
 """
 
 
+def q_rule_phash_entropy(spark, sf_dir):
+    """Degenerate-phash detector: flat or smooth-gradient images
+    produce ahash bit grids with few 0/1 transitions, and those
+    hashes poison every hamming-banding structure downstream (the
+    measured 26.8M-pair hot-bucket fan-out in visual decontamination
+    is exactly low-transition hashes colliding on band slices).
+    Per image: popcount, horizontal and vertical bit-transition
+    counts over the 8x8 grid (mask-and-shift only — NO left shifts,
+    so the shared SQL dialect has no sign-bit overflow anywhere),
+    and hash_informative = enough transitions to band on.  Route
+    uninformative-hash images to exact-dup handling instead of the
+    band index.  Pure JVM scan-stage expressions; SQL-exact."""
+    im = _images(spark, sf_dir)
+    ph = F.col("phash")
+    # horizontal neighbors: bit (r,c) vs (r,c+1) — (ph >> 1) aligns
+    # c+1 under c; the 0x7F mask per byte drops cross-row wraps AND
+    # the arithmetic-shift sign smear
+    h_tr = F.bit_count((ph.bitwiseXOR(F.shiftright(ph, 1)))
+                       .bitwiseAND(F.lit(0x7F7F7F7F7F7F7F7F)))
+    v_tr = F.bit_count((ph.bitwiseXOR(F.shiftright(ph, 8)))
+                       .bitwiseAND(F.lit(0x00FFFFFFFFFFFFFF)))
+    pc = F.bit_count(ph)
+    return im.filter(ph.isNotNull()).select(
+        "image_id", pc.alias("popcount"),
+        h_tr.alias("h_transitions"), v_tr.alias("v_transitions"),
+        ((h_tr + v_tr) >= 8).alias("hash_informative"))
+
+
+SQL_RULE_PHASH_ENTROPY = f"""
+SELECT image_id,
+  bit_count(phash) AS popcount,
+  bit_count(xor(phash, phash >> 1) & 9187201950435737471)
+    AS h_transitions,
+  bit_count(xor(phash, phash >> 8) & 72057594037927935)
+    AS v_transitions,
+  (bit_count(xor(phash, phash >> 1) & 9187201950435737471)
+   + bit_count(xor(phash, phash >> 8) & 72057594037927935)) >= 8
+    AS hash_informative
+FROM {IMAGES_SF001}
+WHERE phash IS NOT NULL
+"""
+
+
+def q_dedup_band_stats(spark, sf_dir):
+    """Band-index health report (the operational diagnostic for
+    every pigeonhole/LSH structure in this engine): per band slice,
+    the bucket-count / max- and p99-bucket-size distribution of the
+    phash band table over DISTINCT corpus hashes.  A hot bucket of
+    size k costs k probe rows per probe hit — this report is how a
+    pipeline notices (and then salts or exact-routes) the
+    degenerate-hash mass BEFORE a 10^12-row band join fans out.
+    Counts-only double aggregation; SQL-exact."""
+    im = _images(spark, sf_dir)
+    reps = (im.filter(F.col("phash").isNotNull())
+            .select("phash").distinct())
+    bt = dedup.phash_band_table(reps, 3, "phash", "phash")
+    sizes = (bt.groupBy("band", "bv")
+             .agg(F.count("*").alias("sz")))
+    return (sizes.groupBy("band")
+            .agg(F.count("*").alias("n_buckets"),
+                 F.max("sz").alias("max_bucket"),
+                 F.sum("sz").alias("n_hashes"),
+                 F.sum((F.col("sz") > 100).cast("long"))
+                 .alias("n_hot_buckets"),
+                 F.sum(F.when(F.col("sz") > 100, F.col("sz"))
+                       .otherwise(0)).alias("hashes_in_hot"))
+            .orderBy("band"))
+
+
+SQL_DEDUP_BAND_STATS = f"""
+WITH reps AS (
+  SELECT DISTINCT phash FROM {IMAGES_SF001} WHERE phash IS NOT NULL
+), bt AS (
+  SELECT b.band,
+         CASE b.band
+           WHEN 0 THEN (phash >> 0) & 65535
+           WHEN 1 THEN (phash >> 16) & 65535
+           WHEN 2 THEN (phash >> 32) & 65535
+           ELSE (phash >> 48) & 65535 END AS bv
+  FROM reps, (SELECT unnest(range(4)) AS band) b
+), sizes AS (
+  SELECT band, bv, CAST(count(*) AS BIGINT) AS sz
+  FROM bt GROUP BY 1, 2
+)
+SELECT CAST(band AS INT) AS band, CAST(count(*) AS BIGINT) AS n_buckets,
+       max(sz) AS max_bucket,
+       CAST(sum(sz) AS BIGINT) AS n_hashes,
+       CAST(sum(CASE WHEN sz > 100 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_hot_buckets,
+       CAST(sum(CASE WHEN sz > 100 THEN sz ELSE 0 END) AS BIGINT)
+         AS hashes_in_hot
+FROM sizes GROUP BY 1 ORDER BY 1
+"""
+
+
 def q_dedup_caption_conflict(spark, sf_dir):
     """Caption-duplicate conflict report: captions shared by several
     images whose VISUALS differ (distinct phash > 1) — the
@@ -5587,6 +5682,8 @@ _ALL_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | No
                                  SQL_DEDUP_INCREMENTAL_IMAGES),
     "rule_compression_ratio": (q_rule_compression_ratio,
                                SQL_RULE_COMPRESSION_RATIO),
+    "rule_phash_entropy": (q_rule_phash_entropy, SQL_RULE_PHASH_ENTROPY),
+    "dedup_band_stats": (q_dedup_band_stats, SQL_DEDUP_BAND_STATS),
     "dedup_caption_conflict": (q_dedup_caption_conflict,
                                SQL_DEDUP_CAPTION_CONFLICT),
     "dedup_visual_decontaminate": (q_dedup_visual_decontaminate,

@@ -683,3 +683,33 @@ def test_dihedral_near_dups_finds_rotated_copy(spark):
     out2 = dedup.dihedral_near_dups(df2, 2).collect()
     assert [(r["id_a"], r["id_b"], r["min_hamming"], r["orientation"])
             for r in out2] == [("a", "b", 0, 0)]
+
+
+def test_phash_entropy_rule_flags_degenerate_hashes(spark):
+    """Flat hash (all zeros) has zero transitions; alternating-column
+    hash maxes horizontal transitions; alternating-row hash maxes
+    vertical ones — only the flat one is uninformative."""
+    from data_quality_check_spark.queries import q_rule_phash_entropy
+
+    rows = [("flat", 0),
+            ("cols", 0x5555555555555555),       # alternate columns
+            ("rows", 0x00FF00FF00FF00FF)]        # alternate rows
+    df = spark.createDataFrame(rows, "image_id string, phash long")
+    import data_quality_check_spark.queries as Q
+    orig = Q._images
+    Q._images = lambda s, d: df
+    try:
+        out = {r["image_id"]: r for r in
+               q_rule_phash_entropy(spark, "ignored").collect()}
+    finally:
+        Q._images = orig
+    assert out["flat"]["popcount"] == 0
+    assert out["flat"]["h_transitions"] == 0
+    assert out["flat"]["v_transitions"] == 0
+    assert not out["flat"]["hash_informative"]
+    assert out["cols"]["h_transitions"] == 56   # 7 per row x 8 rows
+    assert out["cols"]["v_transitions"] == 0
+    assert out["cols"]["hash_informative"]
+    assert out["rows"]["v_transitions"] == 56   # 7 per col x 8 cols
+    assert out["rows"]["h_transitions"] == 0
+    assert out["rows"]["hash_informative"]
