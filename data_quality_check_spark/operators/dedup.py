@@ -1261,11 +1261,17 @@ def visual_decontaminate_dihedral(train: DataFrame, eval_df: DataFrame,
     semantics match visual_decontaminate: eval_match = min matching
     eval id over ALL orientations, min_hamming = closest variant
     distance."""
+    # project-then-materialize the variant array BEFORE exploding:
+    # CollapseProject would otherwise inline the 8x64-term array into
+    # the explode and re-evaluate it per element (the CLAUDE.md HOF
+    # trap; the eval split is small by definition, so the checkpoint
+    # costs ~nothing)
     exprs = dihedral_phash_sql(phash_col)
-    ev = (eval_df.filter(F.col(phash_col).isNotNull())
-          .select(F.col(id_col),
-                  F.explode(F.array(*[F.expr(s) for s in exprs]))
-                  .alias("__dph"))
+    ev0 = (eval_df.filter(F.col(phash_col).isNotNull())
+           .select(F.col(id_col),
+                   F.array(*[F.expr(e) for e in exprs]).alias("__va"))
+           .localCheckpoint())
+    ev = (ev0.select(F.col(id_col), F.explode("__va").alias("__dph"))
           .select(F.col(id_col), F.col("__dph").alias(phash_col))
           .distinct())
     return visual_decontaminate(train, ev, max_hamming, id_col, phash_col)
@@ -1299,15 +1305,29 @@ def dihedral_near_dups(df: DataFrame, max_hamming: int = 2,
     band-dense synthetic corpus with ~60 candidates/image).  Recall
     is GUARANTEED (pigeonhole per variant), so a brute-force variant
     scan is value-exact ground truth."""
-    base = (df.filter(F.col(phash_col).isNotNull())
+    # _widen: the band join's fan-out materializes in the PROBE
+    # side's tasks — a narrow scan (or 1-partition localCheckpoint)
+    # serializes millions of candidate pairs on a couple of cores
+    # (measured: 2->8 cores read 0.47 efficiency before this line)
+    base = (_widen(df).filter(F.col(phash_col).isNotNull())
             .select(F.col(id_col).alias("__id"),
                     F.col(phash_col).alias("__ph")))
+    # Project the variant array in its OWN select and MATERIALIZE it
+    # (localCheckpoint): downstream consumers then reference a bound
+    # attribute.  Without the cut, CollapseProject inlines the
+    # 8x64-term array into the explode AND into every element_at of
+    # the verify codes — measured 133us/row (per-element
+    # re-evaluation, the CLAUDE.md HOF trap) vs ~1 s for the whole
+    # sf0.01 table materialized once.  Production persists this
+    # table anyway: it IS the orientation-expanded dedup index.
     exprs = dihedral_phash_sql("__ph")
-    varr = base.select("__id", F.array(*[F.expr(s) for s in exprs])
-                       .alias("__va"))
+    varr = (base.select("__id", "__ph",
+                        F.array(*[F.expr(e) for e in exprs])
+                        .alias("__va"))
+            .localCheckpoint())
     va = varr.select("__id", F.explode("__va").alias("__vph")).distinct()
     ab = phash_band_table(va, max_hamming, "__id", "__vph")
-    bb = phash_band_table(base, max_hamming, "__id", "__ph")
+    bb = phash_band_table(varr, max_hamming, "__id", "__ph")
     cand = (ab.alias("a")
             .join(bb.alias("b"),
                   (F.col("a.band") == F.col("b.band"))
@@ -1317,7 +1337,7 @@ def dihedral_near_dups(df: DataFrame, max_hamming: int = 2,
                     F.col("b.__id").alias("id_b"))
             .distinct())
     pa = varr.select(F.col("__id").alias("id_a"), "__va")
-    pb = base.select(F.col("__id").alias("id_b"),
+    pb = varr.select(F.col("__id").alias("id_b"),
                      F.col("__ph").alias("__pb"))
     codes = []
     for t in range(8):

@@ -262,6 +262,31 @@ def one_run():
     out.agg(F.bit_xor(F.xxhash64(F.struct(*out.columns)))).collect()
     return time.time() - t0
 """,
+    "dihedral_pairs": """
+# orientation-robust near-dup pair mining (operators/dedup.py::
+# dihedral_near_dups): 8x variant band table, band-dense candidate
+# join, array-based 8-way verify — the wave-8 plan family.  Runs on
+# the full sf images table (suffix%4 quarter is only a brute-force-
+# oracle bound) on the FULL table: the suffix%4 quarter probed
+# latency-bound (4.2 s at 2 cores, eff 0.32 — the array-verify fix
+# made ~150k candidates too cheap to measure); the full table's
+# band-dense candidate volume (~2.4M pairs at sf0.01) is what the
+# N->4N pair must exercise.
+from pyspark.sql import functions as F
+from data_quality_check_spark.operators.dedup import dihedral_near_dups
+from data_quality_check_spark.sources import images as IM
+
+im = (IM.read_images(spark, sf).select("image_id", "phash")
+      .localCheckpoint())
+N_UNITS = im.count()
+
+def one_run():
+    import time
+    t0 = time.time()
+    out = dihedral_near_dups(im, 2)
+    out.agg(F.bit_xor(F.xxhash64(F.struct(*out.columns)))).collect()
+    return time.time() - t0
+""",
     "visual_decontam_big": """
 # visual_decontam with the probe itself scaled: the plain variant
 # replicates ids but reuses hashes, so collapse-first makes its
