@@ -2235,6 +2235,88 @@ SQL_TEXT_FINGERPRINT = (
 )
 
 
+_CONTAM_NS = [3, 5, 8]
+
+
+def q_text_contamination_sweep(spark, sf_dir):
+    """Decontamination severity profile across n-gram sizes (the
+    GPT-3/PaLM-style sweep: small n = aggressive/recall-heavy, large
+    n = precise): per n in {3, 5, 8}, how many training docs overlap
+    the eval split and the mean per-doc overlap fraction.  The
+    per-doc fraction quantizes to micro-units BEFORE the mean so
+    every cell is engine-exact; each n is one broadcast-semi-join
+    pass (corpus.decontaminate), unioned as a literal 3-row
+    profile."""
+    from .operators import corpus
+
+    d = _t(spark, sf_dir, "documents")
+    ev = d.filter((F.col("doc_id") % 37) == 0)
+    tr = d.filter((F.col("doc_id") % 37) != 0)
+    outs = []
+    for n in _CONTAM_NS:
+        per = corpus.decontaminate(tr, ev, n=n)
+        frac_ppm = F.floor(F.col("n_hits") * 1000000.0
+                           / F.greatest(F.col("n_grams"), F.lit(1)))
+        outs.append(per.agg(
+            F.lit(n).alias("n"),
+            F.count("*").alias("n_docs"),
+            F.sum(F.col("contaminated").cast("long"))
+            .alias("n_contaminated"),
+            F.round(F.sum(F.col("contaminated").cast("long"))
+                    / F.count("*"), 6).alias("contaminated_rate"),
+            F.round(F.sum(frac_ppm) / F.count("*") / 1e6, 6)
+            .alias("mean_contam_frac")))
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
+def _contam_gram_sql(n: int) -> str:
+    terms = " || ' ' || ".join(f"w[i+{j}]" if j else "w[i]"
+                               for j in range(n))
+    return (f"list_distinct(CASE WHEN len(w) >= {n} "
+            f"THEN list_transform(generate_series(1, len(w) - {n - 1}), "
+            f"i -> {terms}) ELSE [] END)")
+
+
+def _contam_sweep_branch_sql(n: int) -> str:
+    return f"""
+SELECT {n} AS n, CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(CASE WHEN n_hits > 0 THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_contaminated,
+  round(CAST(sum(CASE WHEN n_hits > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        / CAST(count(*) AS BIGINT), 6) AS contaminated_rate,
+  round(CAST(sum(frac_ppm) AS BIGINT) / CAST(count(*) AS BIGINT)
+        / 1000000.0, 6) AS mean_contam_frac
+FROM (
+  WITH toks AS (
+    SELECT doc_id, list_filter(string_split(text, ' '), t -> t != '')
+      AS w
+    FROM documents
+  ), grams AS (
+    SELECT doc_id, {_contam_gram_sql(n)} AS g FROM toks
+  ), ev AS (
+    SELECT DISTINCT unnest(g) AS gram FROM grams WHERE doc_id % 37 = 0
+  ), tg AS (
+    SELECT doc_id, unnest(g) AS gram FROM grams WHERE doc_id % 37 <> 0
+  ), hits AS (
+    SELECT tg.doc_id, CAST(count(*) AS BIGINT) AS n_hits
+    FROM tg SEMI JOIN ev USING (gram) GROUP BY tg.doc_id
+  )
+  SELECT coalesce(h.n_hits, 0) AS n_hits,
+         CAST(floor(coalesce(h.n_hits, 0) * 1000000.0
+                    / greatest(len(g.g), 1)) AS BIGINT) AS frac_ppm
+  FROM grams g LEFT JOIN hits h ON g.doc_id = h.doc_id
+  WHERE g.doc_id % 37 <> 0
+)
+"""
+
+
+SQL_TEXT_CONTAMINATION_SWEEP = "\nUNION ALL\n".join(
+    _contam_sweep_branch_sql(n) for n in _CONTAM_NS)
+
+
 def q_text_decontaminate(spark, sf_dir):
     """Benchmark decontamination: word 4-gram overlap of each training
     doc against the (deterministic doc_id % 37 == 0) eval split.  Eval
@@ -5648,6 +5730,8 @@ _ALL_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | No
     "text_tfidf_topk": (q_text_tfidf_topk, SQL_TEXT_TFIDF_TOPK),
     "text_bm25_topk": (q_text_bm25_topk, SQL_TEXT_BM25_TOPK),
     "text_decontaminate": (q_text_decontaminate, SQL_TEXT_DECONTAMINATE),
+    "text_contamination_sweep": (q_text_contamination_sweep,
+                                 SQL_TEXT_CONTAMINATION_SWEEP),
     "text_repetition_signals": (
         q_text_repetition_signals, SQL_TEXT_REPETITION_SIGNALS),
     "sample_quota": (q_sample_quota, SQL_SAMPLE_QUOTA),

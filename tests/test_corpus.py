@@ -631,3 +631,21 @@ def test_bigram_nll_separates_gibberish_from_formulaic(spark):
     # identical docs score identically (pure function of the corpus)
     assert all(out[i]["nll_ppm_sum"] == out[0]["nll_ppm_sum"]
                for i in range(10))
+
+
+def test_contamination_sweep_monotone_in_n(spark):
+    """Longer n-grams can only match less: contaminated count and
+    mean overlap fraction are nonincreasing in n, and every rate is a
+    valid fraction."""
+    from data_quality_check_spark.queries import q_text_contamination_sweep
+
+    rows = sorted(q_text_contamination_sweep(
+        spark, "/root/testdata/sf0.001").collect(), key=lambda r: r["n"])
+    assert [r["n"] for r in rows] == [3, 5, 8]
+    cont = [r["n_contaminated"] for r in rows]
+    frac = [r["mean_contam_frac"] for r in rows]
+    assert cont == sorted(cont, reverse=True)
+    assert frac == sorted(frac, reverse=True)
+    for r in rows:
+        assert 0 <= r["contaminated_rate"] <= 1
+        assert r["n_docs"] > 0
