@@ -489,3 +489,48 @@ def hard_negatives(corpus: DataFrame, queries: DataFrame,
             .select("query_id", F.col("__ql").alias("anchor_label"),
                     "neighbor_id", F.col("__cl").alias("negative_label"),
                     "cos", "rk"))
+
+
+def hard_negatives_lsh(corpus: DataFrame, queries: DataFrame,
+                       label_col: str = "label", k: int = 5,
+                       dup_ceiling: float = 0.99, bits: int = 3,
+                       tables: int = 8, dim: int = 64,
+                       id_col: str = "vec_id",
+                       vec_col: str = "embedding") -> DataFrame:
+    """Scale path for hard-negative mining: candidates from the same
+    multi-table hyperplane-LSH banding as lsh_cosine_topk (ids-only
+    band join, pair-dedup before scoring), then the hard_negatives
+    filter chain — different label, cosine below the near-dup
+    ceiling, per-anchor top-k.  Candidates/query ~ |corpus| * tables
+    / 2^bits, independent of the anchor count — the regime where the
+    exact miner's broadcast corpus scan stops being affordable."""
+    wc = _widen(corpus)
+    c = _banded_sigs(wc, "neighbor_id", "cvec", dim, bits, tables,
+                     id_col, vec_col).drop("cvec")
+    q = _banded_sigs(queries, "query_id", "qvec", dim, bits, tables,
+                     id_col, vec_col).drop("qvec")
+    cand = (c.join(F.broadcast(q), ["band", "sig"])
+            .filter(F.col("neighbor_id") != F.col("query_id"))
+            .select("query_id", "neighbor_id").distinct())
+    qv = (queries.select(F.col(id_col).alias("query_id"),
+                         F.col(label_col).alias("__ql"),
+                         _dvec(F.col(vec_col)).alias("qvec"))
+          .select("query_id", "__ql", "qvec",
+                  _norm(F.col("qvec")).alias("__qn")))
+    cv = (wc.select(F.col(id_col).alias("neighbor_id"),
+                    F.col(label_col).alias("__cl"),
+                    _dvec(F.col(vec_col)).alias("cvec"))
+          .select("neighbor_id", "__cl", "cvec",
+                  _norm(F.col("cvec")).alias("__cn")))
+    joined = (cand.join(F.broadcast(qv), "query_id")
+              .join(cv, "neighbor_id")
+              .filter(F.col("__cl") != F.col("__ql")))
+    scored = _score_pairs(joined, "qvec", "cvec", "__qn", "__cn").filter(
+        F.col("cos") < dup_ceiling)
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"),
+                                               F.asc("neighbor_id"))
+    return (scored.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= k)
+            .select("query_id", F.col("__ql").alias("anchor_label"),
+                    "neighbor_id", F.col("__cl").alias("negative_label"),
+                    "cos", "rk"))

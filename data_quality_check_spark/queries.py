@@ -1532,6 +1532,38 @@ SQL_SIM_LSH_TOPK = (
 )
 
 
+def q_sim_hard_negatives_lsh(spark, sf_dir):
+    """SQL-checked recall invariant for the hard-negative SCALE path
+    (operators/similarity.py::hard_negatives_lsh: multi-table LSH
+    candidates -> label filter -> near-dup ceiling -> top-k; bucket
+    membership is hyperplane-seeded, so the rows can't be oracled —
+    per-query recall against the exact broadcast miner can).
+    Measured recall 0.9 (8 tables) / 1.0 (16) at sf0.001-0.01; 16
+    tables here, per-query floor 0.6."""
+    from .operators.similarity import hard_negatives, hard_negatives_lsh
+
+    em = _t(spark, sf_dir, "embeddings")
+    q = em.filter(F.col("vec_id") < 8)
+    exact = hard_negatives(em, q, k=5).select(
+        "query_id", F.col("neighbor_id").alias("__e"))
+    approx = hard_negatives_lsh(em, q, k=5, tables=16).select(
+        "query_id", F.col("neighbor_id").alias("__a"))
+    hits = (exact.join(approx, (exact.query_id == approx.query_id)
+                       & (F.col("__e") == F.col("__a")))
+            .groupBy(exact.query_id).agg(F.count("*").alias("__hits")))
+    return (exact.groupBy("query_id").agg(F.count("*").alias("n_exact"))
+            .join(hits, "query_id", "left")
+            .select("query_id", "n_exact",
+                    (F.coalesce(F.col("__hits"), F.lit(0))
+                     / F.col("n_exact") >= 0.6).alias("recall_ge_060")))
+
+
+SQL_SIM_HARD_NEGATIVES_LSH = (
+    "SELECT vec_id AS query_id, 5 AS n_exact, TRUE AS recall_ge_060 "
+    "FROM embeddings WHERE vec_id < 8"
+)
+
+
 def q_sim_ivf_topk(spark, sf_dir):
     """SQL-checked recall invariant for IVF top-k (cell assignment is
     kmeans-seeded => rows not oracle-able; recall vs exact is).  One
@@ -5714,6 +5746,8 @@ _ALL_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | No
     "sim_topk_cosine": (q_sim_topk_cosine, SQL_SIM_TOPK_COSINE),
     "sim_hard_negatives": (q_sim_hard_negatives, SQL_SIM_HARD_NEGATIVES),
     "sim_lsh_topk": (q_sim_lsh_topk, SQL_SIM_LSH_TOPK),
+    "sim_hard_negatives_lsh": (q_sim_hard_negatives_lsh,
+                               SQL_SIM_HARD_NEGATIVES_LSH),
     "sim_ivf_topk": (q_sim_ivf_topk, SQL_SIM_IVF_TOPK),
     "dedup_embedding": (q_dedup_embedding, SQL_DEDUP_EMBEDDING),
     "dedup_embedding_lsh": (q_dedup_embedding_lsh, SQL_DEDUP_EMBEDDING_LSH),
