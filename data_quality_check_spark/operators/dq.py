@@ -223,3 +223,47 @@ def freshness(df: DataFrame, ts_col: str, group_col: str,
             .select(group_col, "latest",
                     lag.alias("lag_seconds"),
                     (lag > max_lag_seconds).alias("stale")))
+
+
+def profile_drift(old: DataFrame, new: DataFrame, cols: list[str],
+                  null_jump: float = 0.05,
+                  mean_rel: float = 0.1) -> DataFrame:
+    """Snapshot-over-snapshot profile drift (the check a lakehouse DQ
+    job runs between yesterday's and today's table versions): diff
+    the single-pass column_profile of both snapshots per column —
+    null-fraction jump, distinct-count delta, numeric-mean shift,
+    string-length shift — and flag columns whose null fraction jumped
+    more than `null_jump` or whose mean moved more than `mean_rel`
+    relative.  Catches the classic silent regressions (an upstream
+    parser starts emitting NULLs; a unit change shifts a numeric
+    column) that row-level rules cannot see.
+
+    Scale: two single-pass profile aggregations (one per snapshot)
+    joined on the tiny per-column key — cost = the two scans."""
+    po = column_profile(old, cols).select(
+        "column", F.col("total").alias("total_old"),
+        F.col("null_frac").alias("__nf_o"),
+        F.col("n_distinct").alias("__nd_o"),
+        F.col("mean_numeric").alias("__mn_o"),
+        F.col("avg_len").alias("__al_o"))
+    pn = column_profile(new, cols).select(
+        "column", F.col("total").alias("total_new"),
+        F.col("null_frac").alias("__nf_n"),
+        F.col("n_distinct").alias("__nd_n"),
+        F.col("mean_numeric").alias("__mn_n"),
+        F.col("avg_len").alias("__al_n"))
+    nf_d = F.col("__nf_n") - F.col("__nf_o")
+    mean_d = F.col("__mn_n") - F.col("__mn_o")
+    drifted = (F.abs(nf_d) > null_jump) | (
+        F.col("__mn_o").isNotNull()
+        & (F.abs(mean_d) > mean_rel
+           * F.greatest(F.abs(F.col("__mn_o")), F.lit(1e-9))))
+    return (po.join(pn, "column")
+            .select("column", "total_old", "total_new",
+                    F.round(nf_d, 6).alias("null_frac_delta"),
+                    (F.col("__nd_n") - F.col("__nd_o"))
+                    .alias("distinct_delta"),
+                    F.round(mean_d, 6).alias("mean_delta"),
+                    F.round(F.col("__al_n") - F.col("__al_o"), 6)
+                    .alias("avg_len_delta"),
+                    drifted.alias("drifted")))

@@ -4095,6 +4095,57 @@ SQL_DQ_PROFILE = "\nUNION ALL\n".join([
 ])
 
 
+def q_dq_profile_drift(spark, sf_dir):
+    """Snapshot-over-snapshot profile drift
+    (operators/dq.py::profile_drift): old = the documents table as
+    stored; new = the same table with a simulated upstream parser
+    regression (text NULLed where doc_id % 5 == 0).  The drift
+    report must flag text's null-fraction jump and stay quiet on the
+    untouched columns."""
+    from .operators.dq import profile_drift
+
+    d = _t(spark, sf_dir, "documents")
+    new = d.withColumn(
+        "text", F.when(F.col("doc_id") % 5 == 0,
+                       F.lit(None).cast("string"))
+        .otherwise(F.col("text")))
+    return profile_drift(d, new, ["doc_id", "text", "lang", "n_chars"])
+
+
+def _profile_drift_branch(col: str, numeric: bool, src: str) -> str:
+    return _profile_sql(col, numeric).replace(
+        "FROM documents", f"FROM {src}")
+
+
+_DRIFT_COLS = [("doc_id", True), ("text", False), ("lang", False),
+               ("n_chars", True)]
+
+SQL_DQ_PROFILE_DRIFT = f"""
+WITH newt AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 5 = 0 THEN NULL ELSE text END AS text,
+         lang, n_chars
+  FROM documents
+), po AS (
+{(chr(10) + "UNION ALL" + chr(10)).join(
+    _profile_drift_branch(c, n, "documents") for c, n in _DRIFT_COLS)}
+), pn AS (
+{(chr(10) + "UNION ALL" + chr(10)).join(
+    _profile_drift_branch(c, n, "newt") for c, n in _DRIFT_COLS)}
+)
+SELECT po."column", po.total AS total_old, pn.total AS total_new,
+  round(pn.null_frac - po.null_frac, 6) AS null_frac_delta,
+  pn.n_distinct - po.n_distinct AS distinct_delta,
+  round(pn.mean_numeric - po.mean_numeric, 6) AS mean_delta,
+  round(pn.avg_len - po.avg_len, 6) AS avg_len_delta,
+  (abs(pn.null_frac - po.null_frac) > 0.05) OR
+  (po.mean_numeric IS NOT NULL
+   AND abs(pn.mean_numeric - po.mean_numeric)
+       > 0.1 * greatest(abs(po.mean_numeric), 0.000000001)) AS drifted
+FROM po JOIN pn USING ("column")
+"""
+
+
 def q_text_chunks(spark, sf_dir):
     """Sliding-window token chunking (operators/corpus.py::
     chunk_documents): 64-token windows advancing by 48 (16-token
@@ -5864,6 +5915,7 @@ _ALL_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | No
                                  SQL_TEXT_BLOOM_DECONTAMINATE),
     "dedup_semantic": (q_dedup_semantic, SQL_DEDUP_SEMANTIC),
     "dq_profile": (q_dq_profile, SQL_DQ_PROFILE),
+    "dq_profile_drift": (q_dq_profile_drift, SQL_DQ_PROFILE_DRIFT),
     "text_chunks": (q_text_chunks, SQL_TEXT_CHUNKS),
     "corpus_zipf": (q_corpus_zipf, SQL_CORPUS_ZIPF),
     "multimodal_exact_dups": (q_multimodal_exact_dups,

@@ -174,3 +174,26 @@ def test_scd2_history_single_exchange(spark):
                         "event_id")._jdf.queryExecution().executedPlan() \
         .toString()
     assert plan.count("Exchange") == 1, plan
+
+
+def test_profile_drift_flags_null_regression_only(spark):
+    """A NULL-injection regression on one column must flag that
+    column and leave untouched columns quiet; a mean shift beyond
+    10% relative flags a numeric column."""
+    from pyspark.sql import functions as F
+
+    from data_quality_check_spark.operators.dq import profile_drift
+
+    old = spark.createDataFrame(
+        [(i, f"t{i}", float(i % 10)) for i in range(100)],
+        "id long, txt string, val double")
+    new = (old.withColumn("txt", F.when(F.col("id") % 4 == 0, None)
+                          .otherwise(F.col("txt")))
+           .withColumn("val", F.col("val") * 2.0))
+    out = {r["column"]: r for r in profile_drift(
+        old, new, ["id", "txt", "val"]).collect()}
+    assert out["txt"]["drifted"] and out["txt"]["null_frac_delta"] == 0.25
+    assert out["val"]["drifted"] and out["val"]["mean_delta"] == 4.5
+    assert not out["id"]["drifted"]
+    assert out["id"]["null_frac_delta"] == 0.0
+    assert out["txt"]["distinct_delta"] == -25
