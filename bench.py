@@ -144,6 +144,8 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "runs_per_query": 3,
+        "estimator": "min of 3 timed runs after 1 warm run",
         "rows": n_rows,
         "images_per_sec": round(n_rows / timings["pipeline"], 1),
     }))

@@ -124,23 +124,37 @@ def fuzzy_pairs(df: DataFrame, text_col: str, id_col: str,
                               F.col("s").alias("sa")), "ha")
         .join(strs.select(F.col("ch").alias("hb"),
                           F.col("s").alias("sb")), "hb")
-        .select("ha", "hb", F.levenshtein("sa", "sb").alias("dist"))
+        .select("ha", "hb", "sa", "sb",
+                F.levenshtein("sa", "sb").alias("dist"))
         .filter(F.col("dist") <= k))
 
     # ---- expand distinct-string pairs back to id pairs ------------------
-    hid = ids.select(F.xxhash64("s").alias("h"), "id")
+    # Joins include the string alongside its hash so a 64-bit xxhash64
+    # collision between distinct values can never attach the wrong id
+    # to a verified pair (hash is the shuffle key, string is the tie-
+    # breaker; the extra bytes only travel for candidate-surviving
+    # rows).
+    hid = ids.select(F.xxhash64("s").alias("h"), "s", "id")
     cross = (verified
              .join(hid.select(F.col("h").alias("ha"),
-                              F.col("id").alias("ia")), "ha")
+                              F.col("s").alias("sa"),
+                              F.col("id").alias("ia")), ["ha", "sa"])
              .join(hid.select(F.col("h").alias("hb"),
-                              F.col("id").alias("ib")), "hb")
+                              F.col("s").alias("sb"),
+                              F.col("id").alias("ib")), ["hb", "sb"])
              .select(F.least("ia", "ib").alias("id_a"),
                      F.greatest("ia", "ib").alias("id_b"), "dist"))
+    # Exact branch: hash-pruned self-join, then VERIFY with the real
+    # strings — equal strings keep dist 0; a colliding near-pair (same
+    # h, different s, ed <= k) is caught here because the candidate
+    # path's a.h != b.h filter excludes it; a colliding far pair is
+    # filtered by the distance gate.
     same = (hid.alias("a")
             .join(hid.alias("b"),
                   (F.col("a.h") == F.col("b.h"))
                   & (F.col("a.id") < F.col("b.id")))
             .select(F.col("a.id").alias("id_a"),
                     F.col("b.id").alias("id_b"),
-                    F.lit(0).alias("dist")))
+                    F.levenshtein("a.s", "b.s").alias("dist"))
+            .filter(F.col("dist") <= k))
     return cross.union(same)

@@ -177,8 +177,14 @@ def _round_half_up(v, n: int) -> float | None:
     if f != f:  # NaN
         return None
     q = _Q6 if n == 6 else decimal.Decimal(1).scaleb(-n)
-    return float(decimal.Decimal(repr(f)).quantize(
+    out = float(decimal.Decimal(repr(f)).quantize(
         q, rounding=decimal.ROUND_HALF_UP))
+    # `+ 0.0` normalizes IEEE negative zero: the kernels can emit
+    # -0.0 (e.g. entropy -(p*log2 p).sum() of a one-bin histogram)
+    # while Spark's round() emits +0.0; the two compare equal under
+    # == but hash differently under a bit-sensitive canonicalizer
+    # (the driver's), so fixtures must carry the same bits as Spark.
+    return out + 0.0
 
 
 def _round6(v) -> float | None:

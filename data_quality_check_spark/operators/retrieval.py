@@ -36,8 +36,10 @@ def bm25_topk(docs: DataFrame, queries: list[tuple[str, list[str]]],
     so the ordering is reproducible across engines (the tfidf-key
     float-parity discipline)."""
     spark = docs.sparkSession
+    # dedupe (query_id, term) so a repeated term in a query's list
+    # can't double-count its BM25 contribution or inflate n_terms_hit
     qt = spark.createDataFrame(
-        [(qid, t) for qid, terms in queries for t in terms],
+        sorted({(qid, t) for qid, terms in queries for t in terms}),
         "query_id string, term string")
 
     toks = docs.select(

@@ -1194,7 +1194,7 @@ WITH t AS (
     CASE WHEN len(toks) >= 3
          THEN list_distinct(list_transform(range(1, len(toks) - 1),
               i -> toks[i] || '_' || toks[i+1] || '_' || toks[i+2]))
-         ELSE [array_to_string(toks, '_')] END AS grams
+         ELSE [coalesce(array_to_string(toks, '_'), '')] END AS grams
   FROM t
 ), p AS (
   SELECT a.doc_id AS src_id, b.doc_id AS dst_id,
@@ -2089,8 +2089,13 @@ def q_text_bm25_topk(spark, sf_dir):
     return bm25_topk(d, _BM25_QUERIES, "text", "doc_id", k=5)
 
 
-_BM25_Q_SQL = ", ".join(f"('{qid}', '{t}')"
-                        for qid, terms in _BM25_QUERIES for t in terms)
+# dedupe (query_id, term) exactly as bm25_topk does, so a repeated
+# term in a query list counts once on both sides
+_BM25_Q_SQL = ", ".join(
+    f"('{qid}', '{t}')"
+    for qid, t in sorted({(qid, t)
+                          for qid, terms in _BM25_QUERIES
+                          for t in terms}))
 
 SQL_TEXT_BM25_TOPK = f"""
 WITH q(query_id, term) AS (VALUES {_BM25_Q_SQL}),
@@ -4888,12 +4893,21 @@ def q_rule_compression_ratio(spark, sf_dir):
     im = _images(spark, sf_dir)
     ratio = (F.length("bytes").cast("double")
              / (F.col("w").cast("double") * F.col("h") * 3.0))
+    # round HALF_UP in EXACT integer arithmetic — numerator and
+    # denominator are integers, so round(n/d, 6) = (n*2e6 + d) div
+    # (2*d) micro-units, identical on any engine; double rounding
+    # (Spark HALF_UP-on-repr vs DuckDB binary round) disagrees on
+    # exact ties like 1.0003125 (caught by the strict sweep)
+    bpp = F.expr(
+        "(CAST(length(bytes) AS BIGINT) * 2000000"
+        " + CAST(w AS BIGINT) * h * 3)"
+        " div (2 * CAST(w AS BIGINT) * h * 3)") / F.lit(1e6)
     floor = F.lit(None).cast("double")
     for fmt, fl in _COMPRESSION_FLOORS.items():
         floor = F.when(F.col("fmt") == fmt, F.lit(fl)).otherwise(floor)
     return im.select(
         "image_id", "fmt",
-        F.round(ratio, 6).alias("bytes_per_px"),
+        bpp.alias("bytes_per_px"),
         (ratio >= floor).alias("ratio_ok"))
 
 
@@ -4902,7 +4916,9 @@ _FLOOR_SQL = " ".join(
 
 SQL_RULE_COMPRESSION_RATIO = f"""
 SELECT image_id, fmt,
-  round(octet_length(bytes) / (CAST(w AS DOUBLE) * h * 3.0), 6)
+  ((CAST(octet_length(bytes) AS BIGINT) * 2000000
+    + CAST(w AS BIGINT) * h * 3)
+   // (2 * CAST(w AS BIGINT) * h * 3)) / 1e6
     AS bytes_per_px,
   octet_length(bytes) / (CAST(w AS DOUBLE) * h * 3.0)
     >= (CASE {_FLOOR_SQL} END) AS ratio_ok
@@ -5961,84 +5977,76 @@ _ALL_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | No
 # position 50 together with the round-1/2 smoke, fn_*, agg_* and
 # join/window breadth keys the driver has already confirmed green.
 _DRIVER_WINDOW = [
-    # representative core (2) — join_smj_3way / win_topk /
-    # dedup_exact rotated OUT (driver-verified green in r1 AND r2)
-    # in favour of the round-3 third-wave analyzers below
-    "scan_images",
-    "keep_decision",
-    # round-3 third wave: threshold ROC, Wilson-CI reporting,
-    # embedding drift, pixel-stat histogram (3 + image_quality_hist
-    # with the multimodal family below)
-    "agg_ppl_roc",
-    "agg_keep_rate_ci",
-    "dq_embedding_drift",
-    # dedup / components / image dedup family (12)
-    "dedup_text_pipeline",
-    "dedup_phash_hamming_distinct",
-    "dedup_image_pipeline",
-    "dedup_crossmodal",
-    "dedup_incremental",
-    "dedup_minhash_recall",
-    "dedup_embedding_lsh",
-    # dedup_ngram_jaccard rotated out (driver-verified green in r2)
-    # for the wave-7 orientation-robust decontamination gate
-    "dedup_visual_flips",
-    "dedup_simhash_invariant",
-    "dedup_components_star",
-    "dedup_exact_images",
-    "dedup_cluster_stats",
-    # similarity / embeddings (4) — sim_topk_cosine (r1+r2) and the
-    # LSH/IVF scale paths (r2) rotated out driver-verified, in favour
-    # of the wave-7 contrastive hard-negative miner and DSIR
-    "sim_hard_negatives",
-    "sample_dsir",
-    "image_quality_hist",
-    # round-3 fourth wave: the visual risk family is the tier focus
-    # (quality_filter x image) — win_funnel / win_retention rotate
-    # out (generic event analytics, judge-verified locally)
-    "image_risk_stats",
-    # text analysis / corpus / sampling (17)
-    "text_quality_score",
-    "classifier_distill",
-    "phash_precision_audit",
-    "text_quality_tiers",
-    "corpus_stats",
-    "text_tfidf_topk",
-    "text_bloom_decontaminate",
-    "text_repetition_signals",
-    "text_dup_spans",
-    "text_boilerplate",
-    # text_word_entropy rotated out (two counts-only groupBys,
-    # judge-verified locally) for the wave-5 flagship composition
-    "curation_pipeline",
-    # text_chunks / corpus_zipf rotated out (zero-shuffle chunker and
-    # a rank-regression — judge-verified locally since wave 3) for
-    # the wave-5 visual decontamination + temperature mixing keys
-    "dedup_visual_decontaminate",
-    "sample_temperature",
-    "corpus_source_overlap",
-    "dedup_semantic",
-    "sample_quota",
-    "split_leakage_safe",
-    # packing / scrub / classifier audit / retention (4)
-    "pack_token_bins",
-    "scrub_regex_sql",
-    "langid_confusion",
-    "keep_decision_all",
-    # multimodal family (5)
-    "multimodal_features",
-    "multimodal_near_dups",
-    "multimodal_resize",
-    "multimodal_exact_dups",
-    "multimodal_alignment",
-    # image-table quality / layout / DQ (3) — image_quality_stats
-    # (fused decode-UDF pixel rules, value-pinned) displaced
-    # rule_heuristics_images: caption heuristics are already
-    # represented in the core by keep_decision, and the heuristics
-    # key is judge-verified locally since round 2
-    "layout_zorder",
+    # ROUND-4 ROTATION: rounds 1-3 accumulated driver evidence on 104
+    # of the 176 keys; this window fronts 49 keys with NO prior
+    # driver row (the wave-4..8 additions: CDC, fuzzy join, BM25,
+    # dihedral, rule ablation, calibration, the DQ analyzer family,
+    # sampling modes, image-rule aggregates) plus image_quality_stats,
+    # kept in-window to prove the -0.0 fixture-sign fix from the
+    # round-3 red.  Everything rotated out is driver-green in
+    # CORRECTNESS_r01..r03 and stays in the registry after
+    # position 50.
+    # the round-3 red, now sign-normalized (operators/multimodal.py
+    # ::_round_half_up) — must flip to hash-green
     "image_quality_stats",
-    "dq_profile",
+    # dedup / visual-dedup additions never driver-checked
+    "dedup_containment",
+    "dedup_dihedral_pairs",
+    "dedup_band_stats",
+    "rule_phash_entropy",
+    "dedup_phash_groups",
+    "dedup_incremental_images",
+    "dedup_caption_conflict",
+    "dedup_components",
+    "dedup_keepers_quality",
+    "dedup_threshold_sweep",
+    "win_dup_rank_images",
+    "bucket_assign_images",
+    # fuzzy / retrieval / contamination
+    "join_fuzzy",
+    "text_bm25_topk",
+    "text_decontaminate",
+    "text_contamination_sweep",
+    "text_bigram_nll",
+    "text_fingerprint",
+    "text_langid_heuristic",
+    # classifier audit
+    "rule_ablation",
+    "classifier_calibration",
+    # similarity / embeddings scale paths
+    "sim_hard_negatives_lsh",
+    "sim_phash_topk",
+    "embed_quantize_int8",
+    # sampling modes
+    "sample_hash",
+    "sample_weighted",
+    "sample_mixture",
+    "sample_split",
+    # training-prep
+    "train_ar_buckets",
+    "train_shard_assign",
+    # image rules / quality aggregates
+    "rule_compression_ratio",
+    "rule_heuristics_images",
+    "rule_image_geometry",
+    "agg_image_quality",
+    "agg_image_risk",
+    "keep_decision_full",
+    "agg_bucket_rule_hits",
+    "scrub_luhn",
+    # DQ analyzer family
+    "dq_checks",
+    "dq_stats",
+    "dq_referential",
+    "dq_drift_psi",
+    "dq_outliers",
+    "dq_freshness",
+    "dq_anomaly_zscore",
+    "dq_profile_drift",
+    # CDC family
+    "merge_upsert",
+    "table_diff",
+    "cdc_scd2",
 ]
 
 REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {

@@ -46,8 +46,17 @@ def compare(a: pd.DataFrame, b: pd.DataFrame) -> str | None:
     for c in a.columns:
         if pd.api.types.is_float_dtype(a[c]):
             av, bv = a[c].to_numpy(), b[c].to_numpy()
-            if not ((np.isnan(av) == np.isnan(bv)) | (av == bv)).all():
-                bad = np.nonzero(~((np.isnan(av) == np.isnan(bv)) | (av == bv)))[0][:3]
+            # signbit agreement makes this gate as strict as the
+            # driver's bit-sensitive value hash: -0.0 == +0.0 under
+            # == but the two hash differently (round-3 driver red on
+            # image_quality_stats was exactly this).
+            # NOTE: must be & (both NaN), not == — `isnan(a)==isnan(b)`
+            # is also True when BOTH are plain numbers, which made the
+            # old form pass any non-NaN float mismatch vacuously.
+            ok = ((np.isnan(av) & np.isnan(bv))
+                  | ((av == bv) & (np.signbit(av) == np.signbit(bv))))
+            if not ok.all():
+                bad = np.nonzero(~ok)[0][:3]
                 return f"col {c} float mismatch at {bad}: {av[bad]} vs {bv[bad]}"
         else:
             if not a[c].equals(b[c]):
