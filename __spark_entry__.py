@@ -52,12 +52,13 @@ def oracle_sql() -> dict[str, str]:
     from data_quality_check_spark.operators.multimodal import (
         expected_fixtures, expected_near_dup_pairs)
     from data_quality_check_spark.oracle_fixtures import (
-        ensure_label_fixtures)
+        ensure_hash_fixtures, ensure_label_fixtures)
 
     IM.ensure_images(0.01)
     expected_fixtures(0.01)
     expected_near_dup_pairs(0.01)
     ensure_label_fixtures(0.01)
+    ensure_hash_fixtures(0.01)
     expected_imgquality(0.01)
     expected_imgrisk(0.01)
     return {k: sql for k, (_fn, sql) in REGISTRY.items() if sql is not None}

@@ -300,6 +300,12 @@ def connected_components(pairs: DataFrame, src: str = "id_a",
     co-partitioned on the join key; large-star/small-star alternation
     (Kiveris et al.) would cut round count to O(log d) if diameter
     ever becomes the bottleneck.
+
+    Round latency: the per-round checkpoint is LAZY (eager=False), so
+    the convergence count is the job that materializes it — one Spark
+    job per round instead of two (checkpoint job + count job).  On
+    small per-round data the fixed job/stage latency IS the round
+    cost, so this halves it; at scale it is free either way.
     """
     e = pairs.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     edges = e.union(
@@ -334,7 +340,7 @@ def connected_components(pairs: DataFrame, src: str = "id_a",
                             ).alias("label"),
                     (F.coalesce(nbr_min["nbr_min"], labels["label"])
                      < labels["label"]).alias("__chg"))
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         changed = new_labels.filter(F.col("__chg")).count()
         labels = new_labels.drop("__chg")
@@ -374,10 +380,13 @@ def _contract_min(edges: DataFrame) -> tuple[DataFrame, DataFrame]:
     """
     sym = edges.union(
         edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    # lazy checkpoints: the star loop's round-1 fingerprint is the
+    # job that materializes ce (and, through it, mapping) — zero
+    # extra jobs for the pre-round instead of two
     mapping = (sym.groupBy("u").agg(F.min("v").alias("__mv"))
                .select(F.col("u").alias("node"),
                        F.least("u", "__mv").alias("lbl"))
-               .localCheckpoint())
+               .localCheckpoint(eager=False))
     ce = (edges
           .join(mapping.select(F.col("node").alias("u"),
                                F.col("lbl").alias("__lu")), "u")
@@ -386,7 +395,7 @@ def _contract_min(edges: DataFrame) -> tuple[DataFrame, DataFrame]:
           .select(F.col("__lu").alias("u"), F.col("__lv").alias("v"))
           .filter(F.col("u") != F.col("v"))
           .distinct()
-          .localCheckpoint())
+          .localCheckpoint(eager=False))
     return ce, mapping
 
 
@@ -412,13 +421,18 @@ def connected_components_star(pairs: DataFrame, src: str = "id_a",
     the edge set reaches a fixed point (stars only), checked with an
     order-insensitive xxhash64 fingerprint — no edge-set comparison
     join."""
-    p = pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    # checkpoint the PAIR LIST once — `pairs` is typically an
+    # expensive similarity join, and nodes + edges both consume it
+    # (two eager checkpoints here used to run that upstream plan
+    # twice); everything downstream derives from the cached rows
+    p = (pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+         .localCheckpoint())
     # nodes BEFORE dropping self-loops: a node appearing only as
-    # (x, x) is its own singleton component, not absent
+    # (x, x) is its own singleton component, not absent.  No
+    # checkpoint: computed once, at the final join, from cached p.
     nodes = (p.select(F.col("u").alias("node"))
-             .union(p.select(F.col("v").alias("node"))).distinct()
-             .localCheckpoint())
-    edges = p.filter(F.col("u") != F.col("v")).localCheckpoint()
+             .union(p.select(F.col("v").alias("node"))).distinct())
+    edges = p.filter(F.col("u") != F.col("v"))
     mapping = None
     if pre_contract:
         edges, mapping = _contract_min(edges)
@@ -464,7 +478,11 @@ def connected_components_star(pairs: DataFrame, src: str = "id_a",
               .union(mins2.select("u", F.col("m").alias("v")))
               .filter(F.col("u") != F.col("v"))
               .distinct()
-              .localCheckpoint())
+              # lazy: the fingerprint collect right below is the job
+              # that materializes this round — one job per round, not
+              # two (the eager-checkpoint + collect pattern doubled
+              # the fixed round latency that dominates small tails)
+              .localCheckpoint(eager=False))
         edges = ss
         fp = _fingerprint(edges)
         if fp == prev:
@@ -594,13 +612,36 @@ def text_near_dup_keepers(df: DataFrame, text_col: str, id_col: str,
 
 def phash_band_table(df: DataFrame, max_hamming: int = 3,
                      id_col: str = "image_id",
-                     phash_col: str = "phash") -> DataFrame:
+                     phash_col: str = "phash",
+                     two_level: bool = False) -> DataFrame:
     """(id, phash) -> exploded pigeonhole band table
     (__id, __ph, band, bv): (max_hamming+1) disjoint bit-slices of the
     64-bit hash.  Two hashes within `max_hamming` agree exactly on at
     least one slice (Norouzi et al.), so an equi-join on (band, bv)
     has guaranteed recall.  In production this table IS the persisted
-    visual dedup index (the phash twin of minhash_band_table)."""
+    visual dedup index (the phash twin of minhash_band_table).
+
+    ``two_level=True`` applies the pigeonhole RECURSIVELY (the
+    multi-index-hashing refinement): for each slice, the remaining
+    64-width bits are themselves partitioned into (max_hamming+1)
+    interleaved sub-slices (bit position mod nb), and a row is
+    emitted per (slice, sub-slice) with both values packed into one
+    key.  Recall is still exact: a pair within max_hamming agrees
+    exactly on some slice b, and ALL its <= max_hamming differing
+    bits then lie in the remaining bits, so by the same pigeonhole
+    it agrees exactly on some sub-slice of band b — both rows emit
+    the identical (b*nb+s, bv<<22|sv) key.  Candidates are a strict
+    SUBSET of the one-level table's (they must co-match a sub-slice
+    too), which is what defuses degenerate-slice hot buckets: flat /
+    gradient content collapses onto all-zero / all-one slice values
+    (measured at sf0.01 on the dihedral probe: 4 buckets carried 69%
+    of 7.36M candidate rows), while the sub-key spreads each such
+    bucket by the surviving entropy of the OTHER bits — same probe
+    measured 7.36M -> 0.56M candidates, max bucket 1.62M -> 3.4k
+    pairs, at 3x index rows (scalar (id, hash, int, long) rows).
+    Cost: nb x rows and a wider key; use it on probes whose slice
+    values are degenerate-heavy (orientation-expanded dihedral
+    indexes; corpora with solid fills / borders / logos)."""
     nb = max_hamming + 1
     w = 64 // nb
     src = (df.select(F.col(id_col).alias("__id"),
@@ -612,10 +653,26 @@ def phash_band_table(df: DataFrame, max_hamming: int = 3,
         mask = (1 << width) - 1
         # shiftrightunsigned: bit 63 must not smear sign bits into
         # the high slice
-        slices.append(F.struct(
-            F.lit(b).alias("band"),
-            F.shiftrightunsigned("__ph", b * w)
-             .bitwiseAND(F.lit(mask)).alias("bv")))
+        bv = (F.shiftrightunsigned("__ph", b * w)
+              .bitwiseAND(F.lit(mask)))
+        if not two_level:
+            slices.append(F.struct(F.lit(b).alias("band"),
+                                   bv.alias("bv")))
+            continue
+        lo, hi = b * w, b * w + width
+        for s in range(nb):
+            pos = [p for p in range(64)
+                   if not (lo <= p < hi) and p % nb == s]
+            sv = F.lit(0).cast("long")
+            for j, p in enumerate(pos):
+                sv = sv.bitwiseOR(F.shiftleft(
+                    F.shiftrightunsigned("__ph", p)
+                     .bitwiseAND(F.lit(1)), j))
+            # bv < 2^32 (nb >= 2) and sv < 2^22, so bv<<22 | sv is a
+            # collision-free packed key well inside int64
+            slices.append(F.struct(
+                F.lit(b * nb + s).alias("band"),
+                F.shiftleft(bv, 22).bitwiseOR(sv).alias("bv")))
     return (src.select("__id", "__ph",
                        F.explode(F.array(*slices)).alias("s"))
             .select("__id", "__ph", "s.band", "s.bv"))
@@ -1097,7 +1154,8 @@ def keepers_by_score(df: DataFrame, pairs: DataFrame, id_col: str,
 def visual_decontaminate(train: DataFrame, eval_df: DataFrame,
                          max_hamming: int = 3,
                          id_col: str = "image_id",
-                         phash_col: str = "phash") -> DataFrame:
+                         phash_col: str = "phash",
+                         two_level: bool = False) -> DataFrame:
     """Benchmark decontamination for IMAGES: flag every training
     image that is a visual near-duplicate (phash hamming <=
     `max_hamming`) of some held-out eval image — the visual twin of
@@ -1135,8 +1193,10 @@ def visual_decontaminate(train: DataFrame, eval_df: DataFrame,
     eval scan exactly — the DuckDB oracle checks precisely that."""
     reps = (train.filter(F.col(phash_col).isNotNull())
             .select(F.col(phash_col).alias("__rp")).distinct())
-    eb = phash_band_table(eval_df, max_hamming, id_col, phash_col)
-    tb = phash_band_table(reps, max_hamming, "__rp", "__rp")
+    eb = phash_band_table(eval_df, max_hamming, id_col, phash_col,
+                          two_level=two_level)
+    tb = phash_band_table(reps, max_hamming, "__rp", "__rp",
+                          two_level=two_level)
     dist = F.bit_count(F.col("a.__ph").bitwiseXOR(F.col("b.__ph")))
     hits = (tb.alias("a")
             .join(F.broadcast(eb.alias("b")),
@@ -1274,7 +1334,12 @@ def visual_decontaminate_dihedral(train: DataFrame, eval_df: DataFrame,
     ev = (ev0.select(F.col(id_col), F.explode("__va").alias("__dph"))
           .select(F.col(id_col), F.col("__dph").alias(phash_col))
           .distinct())
-    return visual_decontaminate(train, ev, max_hamming, id_col, phash_col)
+    # two-level banding: the 8x orientation expansion makes the eval
+    # index degenerate-slice-heavy (see dihedral_near_dups) — the
+    # sub-slice key cuts the broadcast-join candidate stream ~13x at
+    # 3x (still tiny, still broadcast) index rows
+    return visual_decontaminate(train, ev, max_hamming, id_col,
+                                phash_col, two_level=True)
 
 
 def dihedral_near_dups(df: DataFrame, max_hamming: int = 2,
@@ -1296,15 +1361,24 @@ def dihedral_near_dups(df: DataFrame, max_hamming: int = 2,
     integer min over code = hamming * 8 + orientation.
 
     Scale shape: the variant band table is 8x the standard probe
-    (scalar rows); candidate pairs are distinct-ed before the verify
-    join; nothing wider than (id, hash / 8-long array) ever
-    shuffles.  The 64-term permutation expressions evaluate ONCE PER
-    IMAGE into an 8-long variant array — verification is then 8
-    xor+bit_counts per candidate pair, not 8 x 64 shift terms (the
-    first cut did the latter: 6.7 s -> see BENCH notes, on a
-    band-dense synthetic corpus with ~60 candidates/image).  Recall
-    is GUARANTEED (pigeonhole per variant), so a brute-force variant
-    scan is value-exact ground truth."""
+    (scalar rows), and verification happens IN the band-join stream —
+    no candidate distinct, no verify joins.  The pigeonhole guarantee
+    holds PER VARIANT: every variant t with hamming(d_t(A), B) <=
+    max_hamming agrees with B exactly on some slice, so that (pair,
+    t, d) match SURFACES in the band join; variants farther than
+    max_hamming never reach the output anyway.  Hence
+    min-over-surfaced-matches == min-over-all-8-variants, and one
+    partial-aggregated groupBy(id_a, id_b).min(code) with code =
+    d*8 + t replaces the former distinct + two sort-merge verify
+    joins (measured at sf0.1/8 cores: the distinct+verify tail was
+    ~27 s of a 29 s wall; in-stream verify removes three Exchanges
+    and both 8M-row sorts).  The 64-term permutation expressions
+    evaluate ONCE PER IMAGE into an 8-long variant array
+    (localCheckpoint — the first cut re-derived them per candidate:
+    6.7 s -> see BENCH notes); duplicate variant hashes keep their
+    smallest t, which the min-code tiebreak would pick anyway.
+    Recall is GUARANTEED (pigeonhole per variant), so a brute-force
+    variant scan is value-exact ground truth."""
     # _widen: the band join's fan-out materializes in the PROBE
     # side's tasks — a narrow scan (or 1-partition localCheckpoint)
     # serializes millions of candidate pairs on a couple of cores
@@ -1325,29 +1399,43 @@ def dihedral_near_dups(df: DataFrame, max_hamming: int = 2,
                         F.array(*[F.expr(e) for e in exprs])
                         .alias("__va"))
             .localCheckpoint())
-    va = varr.select("__id", F.explode("__va").alias("__vph")).distinct()
-    ab = phash_band_table(va, max_hamming, "__id", "__vph")
-    bb = phash_band_table(varr, max_hamming, "__id", "__ph")
-    cand = (ab.alias("a")
-            .join(bb.alias("b"),
+    # keep the variant INDEX through the explosion (posexplode) so
+    # the in-stream verify can report the winning orientation;
+    # coincident variant hashes (symmetric images) keep their
+    # smallest t — exactly the min-code tiebreak's pick
+    va = (varr.select("__id", F.posexplode("__va").alias("__t", "__vph"))
+          .groupBy("__id", "__vph").agg(F.min("__t").alias("__t"))
+          .select(F.struct("__id", "__t").alias("__idt"), "__vph"))
+    # two-level banding: the orientation-expanded index is degenerate-
+    # slice-heavy by construction (every flat/gradient slice appears
+    # in 8 orientations), and one-level banding concentrates 69% of
+    # its candidate stream in 4 all-zero/all-one slice buckets — the
+    # measured N->4N 0.37 hot-bucket wall.  The recursive sub-slice
+    # key cuts candidates 13x and the max bucket 470x with recall
+    # still exact (see phash_band_table).
+    ab = phash_band_table(va, max_hamming, "__idt", "__vph",
+                          two_level=True)
+    bb = phash_band_table(varr, max_hamming, "__id", "__ph",
+                          two_level=True)
+    # shuffle_hash: build the hash table on the (8x smaller) stored
+    # side instead of sorting the variant-side stream — at 100 TB
+    # neither side broadcasts, but hash build beats two sorts
+    d = F.bit_count(F.col("a.__ph").bitwiseXOR(F.col("b.__ph")))
+    return (ab.alias("a")
+            .join(bb.hint("shuffle_hash").alias("b"),
                   (F.col("a.band") == F.col("b.band"))
                   & (F.col("a.bv") == F.col("b.bv")))
-            .filter(F.col("a.__id") < F.col("b.__id"))
-            .select(F.col("a.__id").alias("id_a"),
-                    F.col("b.__id").alias("id_b"))
-            .distinct())
-    pa = varr.select(F.col("__id").alias("id_a"), "__va")
-    pb = varr.select(F.col("__id").alias("id_b"),
-                     F.col("__ph").alias("__pb"))
-    codes = []
-    for t in range(8):
-        d = F.bit_count(F.element_at("__va", t + 1)
-                        .bitwiseXOR(F.col("__pb")))
-        codes.append(F.when(d <= max_hamming, d * 8 + t))
-    best = F.least(*codes)
-    return (cand.join(pa, "id_a").join(pb, "id_b")
-            .withColumn("__code", best)
-            .filter(F.col("__code").isNotNull())
+            .filter(F.col("a.__id.__id") < F.col("b.__id"))
+            # in-stream verify: a.__ph IS variant t's hash, b.__ph the
+            # stored hash — d <= max_hamming matches are the only rows
+            # that shuffle into the min-code aggregate
+            .select(F.col("a.__id.__id").alias("id_a"),
+                    F.col("b.__id").alias("id_b"),
+                    (d * 8 + F.col("a.__id.__t")).alias("__code"),
+                    d.alias("__d"))
+            .filter(F.col("__d") <= max_hamming)
+            .groupBy("id_a", "id_b")
+            .agg(F.min("__code").alias("__code"))
             .select("id_a", "id_b",
                     F.floor(F.col("__code") / 8).cast("int")
                     .alias("min_hamming"),

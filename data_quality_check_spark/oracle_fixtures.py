@@ -170,3 +170,110 @@ def ensure_label_fixtures(sf: float = 0.01,
         "toxic": sc["toxic"].astype(bool),
     }))
     return paths
+
+
+def _minhash_sig_py(text: str, num_hashes: int = 16,
+                    shingle_k: int = 5) -> list[int]:
+    """Driver-side twin of operators/dedup.py::minhash_signatures:
+    one-permutation hashing over char shingles of the lowered text,
+    empty bins densified with xxhash64(global_min, bin_idx).  Uses
+    kernels/xxh64.py (bit-exact vs F.xxhash64 per tests/test_xxh64.py)
+    so the signature longs match the engine's exactly."""
+    from .kernels.xxh64 import hash_int, hash_long, hash_string
+
+    low = text.lower()
+    n = max(len(low) - (shingle_k - 1), 1)
+    sentinel = (1 << 63) - 1
+    sig = [sentinel] * num_hashes
+    for i in range(n):
+        h = hash_string(low[i:i + shingle_k])
+        b = h % num_hashes  # Python floor-mod == Spark pmod for n>0
+        if h < sig[b]:
+            sig[b] = h
+    gmin = min(s for s in sig if s != sentinel)
+    for i in range(num_hashes):
+        if sig[i] == sentinel:
+            # engine densification: xxhash64(gmin:long, i:int) —
+            # sequence(0, n-1) of int literals yields array<int>
+            sig[i] = hash_int(i, hash_long(gmin))
+    return sig
+
+
+def ensure_hash_fixtures(sf: float = 0.01,
+                         root: str = "/root/repo/data",
+                         testdata_dir: str = "/root/testdata/sf0.01",
+                         ) -> dict[str, str]:
+    """Expected MinHash-LSH clusters and SimHash values, computed
+    WITHOUT Spark via the kernels/xxh64.py engine-hash twin —
+    graduating `dedup_minhash_lsh` / `dedup_simhash` (the last two
+    rows-only contract keys) to SQL-value-exact.  What the pin
+    verifies is the distributed plan: the single-pass bin-min
+    aggregate, densification, band explosion + groupBy on one side;
+    the 64 branch-free bit-count aggregates on the other.
+
+    Generate-once caches — DELETE data/doc_minhash_* /
+    data/doc_simhash_* after touching kernels/xxh64.py or the
+    minhash/simhash operators."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from .kernels.xxh64 import hash_long, hash_string
+
+    paths = {
+        "doc_minhash": os.path.join(root, f"doc_minhash_sf{sf:g}.parquet"),
+        "doc_simhash": os.path.join(root, f"doc_simhash_sf{sf:g}.parquet"),
+    }
+    if all(os.path.exists(p) for p in paths.values()):
+        return paths
+    os.makedirs(root, exist_ok=True)
+
+    def _write(path: str, frame: pd.DataFrame) -> None:
+        tmp = path + ".tmp"
+        pq.write_table(pa.Table.from_pandas(frame, preserve_index=False),
+                       tmp)
+        os.replace(tmp, path)
+
+    docs = pq.read_table(
+        os.path.join(testdata_dir, "documents.parquet")).to_pandas()
+
+    # ---- minhash LSH clusters (band, band_hash, n, keeper_id) --------
+    num_hashes, bands = 16, 4
+    rows_per_band = num_hashes // bands
+    clusters: dict[tuple[int, int], list[int]] = {}
+    for doc_id, text in zip(docs["doc_id"], docs["text"]):
+        sig = _minhash_sig_py(text, num_hashes)
+        for b in range(bands):
+            bh = 42
+            for r in range(rows_per_band):
+                bh = hash_long(sig[b * rows_per_band + r], bh)
+            clusters.setdefault((b, bh), []).append(int(doc_id))
+    rows = [{"band": b, "band_hash": bh, "n": len(ids),
+             "keeper_id": min(ids)}
+            for (b, bh), ids in sorted(clusters.items()) if len(ids) > 1]
+    mh = pd.DataFrame(rows,
+                      columns=["band", "band_hash", "n", "keeper_id"])
+    mh["band"] = mh["band"].astype("int32")      # F.lit(b) is int
+    mh["band_hash"] = mh["band_hash"].astype("int64")
+    mh["n"] = mh["n"].astype("int64")
+    mh["keeper_id"] = mh["keeper_id"].astype("int64")
+    _write(paths["doc_minhash"], mh)
+
+    # ---- simhash (doc_id, simhash) ------------------------------------
+    sims = []
+    for text in docs["text"]:
+        toks = [t for t in text.lower().split(" ") if t != ""]
+        if not toks:
+            sims.append(0)
+            continue
+        hs = [hash_string(t) for t in toks]
+        nt = len(hs)
+        u = 0
+        for i in range(64):
+            ones = sum((h >> i) & 1 for h in hs)
+            if 2 * ones > nt:
+                u |= 1 << i
+        sims.append(u - (1 << 64) if u >= (1 << 63) else u)
+    sh = pd.DataFrame({"doc_id": docs["doc_id"].astype("int64"),
+                       "simhash": pd.Series(sims, dtype="int64")})
+    _write(paths["doc_simhash"], sh)
+    return paths

@@ -1118,9 +1118,25 @@ def q_dedup_minhash_lsh(spark, sf_dir):
         "band", "band_hash", "n", "keeper_id")
 
 
+# VALUE-PINNED via the driver-side engine-hash twin
+# (oracle_fixtures.py::ensure_hash_fixtures + kernels/xxh64.py, the
+# pure-Python F.xxhash64 parity kernel): the fixture recomputes every
+# signature long and band hash without Spark, so the compare is
+# bit-exact on the hash VALUES, not just cluster shapes.  sf0.01 is
+# pinned via the literal path (check_contract runs both sides there).
+SQL_DEDUP_MINHASH_LSH = (
+    "SELECT * FROM '/root/repo/data/doc_minhash_sf0.01.parquet'"
+)
+
+
 def q_dedup_simhash(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     return dedup.simhash64(d, "text", "doc_id")
+
+
+SQL_DEDUP_SIMHASH = (
+    "SELECT * FROM '/root/repo/data/doc_simhash_sf0.01.parquet'"
+)
 
 
 def q_dedup_ngram_jaccard(spark, sf_dir):
@@ -1216,7 +1232,7 @@ WITH t AS (
     CASE WHEN len(toks) >= 3
          THEN list_distinct(list_transform(range(1, len(toks) - 1),
               i -> toks[i] || '_' || toks[i+1] || '_' || toks[i+2]))
-         ELSE [array_to_string(toks, '_')] END AS grams
+         ELSE [coalesce(array_to_string(toks, '_'), '')] END AS grams
   FROM t
 ), p AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b,
@@ -1371,14 +1387,18 @@ WITH t AS (
     CASE WHEN len(toks) >= 3
          THEN list_distinct(list_transform(range(1, len(toks) - 1),
               i -> toks[i] || '_' || toks[i+1] || '_' || toks[i+2]))
-         ELSE [array_to_string(toks, '_')] END AS grams
+         ELSE [coalesce(array_to_string(toks, '_'), '')] END AS grams
   FROM t
+), ge AS (
+  -- inverted-index SSJoin (see SQL_DEDUP_TEXT_PIPELINE): exact, and
+  -- fits the sf0.1 oracle budget where the all-pairs scan timed out
+  SELECT doc_id, unnest(grams) AS gram, len(grams) AS lg FROM g
 ), p AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-    round(len(list_intersect(a.grams, b.grams))
-          / CAST(len(list_distinct(list_concat(a.grams, b.grams))) AS DOUBLE),
-          6) AS jaccard
-  FROM g a JOIN g b ON a.doc_id < b.doc_id
+    round(count(*) / CAST(any_value(a.lg) + any_value(b.lg)
+                          - count(*) AS DOUBLE), 6) AS jaccard
+  FROM ge a JOIN ge b ON a.gram = b.gram AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
 )
 SELECT id_a, id_b, jaccard, TRUE AS hamming_le_16
 FROM p WHERE jaccard >= 0.5
@@ -1424,14 +1444,18 @@ WITH t AS (
     CASE WHEN len(toks) >= 3
          THEN list_distinct(list_transform(range(1, len(toks) - 1),
               i -> toks[i] || '_' || toks[i+1] || '_' || toks[i+2]))
-         ELSE [array_to_string(toks, '_')] END AS grams
+         ELSE [coalesce(array_to_string(toks, '_'), '')] END AS grams
   FROM t
+), ge AS (
+  -- inverted-index SSJoin (see SQL_DEDUP_TEXT_PIPELINE): exact, and
+  -- fits the sf0.1 oracle budget where the all-pairs scan timed out
+  SELECT doc_id, unnest(grams) AS gram, len(grams) AS lg FROM g
 ), p AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-    round(len(list_intersect(a.grams, b.grams))
-          / CAST(len(list_distinct(list_concat(a.grams, b.grams))) AS DOUBLE),
-          6) AS jaccard
-  FROM g a JOIN g b ON a.doc_id < b.doc_id
+    round(count(*) / CAST(any_value(a.lg) + any_value(b.lg)
+                          - count(*) AS DOUBLE), 6) AS jaccard
+  FROM ge a JOIN ge b ON a.gram = b.gram AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
 )
 SELECT count(*) AS n_exact_pairs, TRUE AS recall_ge_095
 FROM p WHERE jaccard >= 0.5
@@ -1645,14 +1669,24 @@ WITH RECURSIVE t AS (
     CASE WHEN len(toks) >= 3
          THEN list_distinct(list_transform(range(1, len(toks) - 1),
               i -> toks[i] || '_' || toks[i+1] || '_' || toks[i+2]))
-         ELSE [array_to_string(toks, '_')] END AS grams
+         ELSE [coalesce(array_to_string(toks, '_'), '')] END AS grams
   FROM t
+), ge AS (
+  -- inverted-index set-similarity join instead of the quadratic
+  -- all-pairs scan: grams are list_distinct, so count(*) over the
+  -- gram equi-join IS |A inter B| and |A union B| = la + lb - inter.
+  -- EXACT ground truth, independent of the engine's hash machinery —
+  -- a J >= 0.5 pair shares at least one gram, so no true pair can be
+  -- missed.  (The all-pairs form exceeded the 420 s oracle budget at
+  -- sf0.1: 5k docs -> 12.5M list intersections; this form costs
+  -- ~#shared-gram pairs, the classic SSJoin bound.)
+  SELECT doc_id, unnest(grams) AS gram, len(grams) AS lg FROM g
 ), p AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b
-  FROM g a JOIN g b ON a.doc_id < b.doc_id
-  WHERE round(len(list_intersect(a.grams, b.grams))
-        / CAST(len(list_distinct(list_concat(a.grams, b.grams))) AS DOUBLE),
-        6) >= 0.5
+  FROM ge a JOIN ge b ON a.gram = b.gram AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+  HAVING round(count(*) / CAST(any_value(a.lg) + any_value(b.lg)
+                               - count(*) AS DOUBLE), 6) >= 0.5
 ), e AS (
   SELECT id_a AS src, id_b AS dst FROM p UNION SELECT id_b, id_a FROM p
 ), n AS (SELECT DISTINCT src AS node FROM e),
@@ -4250,14 +4284,24 @@ WITH RECURSIVE t AS (
     CASE WHEN len(toks) >= 3
          THEN list_distinct(list_transform(range(1, len(toks) - 1),
               i -> toks[i] || '_' || toks[i+1] || '_' || toks[i+2]))
-         ELSE [array_to_string(toks, '_')] END AS grams
+         ELSE [coalesce(array_to_string(toks, '_'), '')] END AS grams
   FROM t
+), ge AS (
+  -- inverted-index set-similarity join instead of the quadratic
+  -- all-pairs scan: grams are list_distinct, so count(*) over the
+  -- gram equi-join IS |A inter B| and |A union B| = la + lb - inter.
+  -- EXACT ground truth, independent of the engine's hash machinery —
+  -- a J >= 0.5 pair shares at least one gram, so no true pair can be
+  -- missed.  (The all-pairs form exceeded the 420 s oracle budget at
+  -- sf0.1: 5k docs -> 12.5M list intersections; this form costs
+  -- ~#shared-gram pairs, the classic SSJoin bound.)
+  SELECT doc_id, unnest(grams) AS gram, len(grams) AS lg FROM g
 ), p AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b
-  FROM g a JOIN g b ON a.doc_id < b.doc_id
-  WHERE round(len(list_intersect(a.grams, b.grams))
-        / CAST(len(list_distinct(list_concat(a.grams, b.grams))) AS DOUBLE),
-        6) >= 0.5
+  FROM ge a JOIN ge b ON a.gram = b.gram AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+  HAVING round(count(*) / CAST(any_value(a.lg) + any_value(b.lg)
+                               - count(*) AS DOUBLE), 6) >= 0.5
 ), e AS (
   SELECT id_a AS src, id_b AS dst FROM p UNION SELECT id_b, id_a FROM p
 ), n AS (SELECT DISTINCT src AS node FROM e),
@@ -5799,8 +5843,8 @@ _ALL_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | No
     "fn_json": (q_fn_json, SQL_FN_JSON),
     # training-data pipeline family
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
-    "dedup_minhash_lsh": (q_dedup_minhash_lsh, None),
-    "dedup_simhash": (q_dedup_simhash, None),
+    "dedup_minhash_lsh": (q_dedup_minhash_lsh, SQL_DEDUP_MINHASH_LSH),
+    "dedup_simhash": (q_dedup_simhash, SQL_DEDUP_SIMHASH),
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, SQL_DEDUP_JACCARD_EXACT),
     "dedup_jaccard_exact": (q_dedup_jaccard_exact, SQL_DEDUP_JACCARD_EXACT),
     "dedup_containment": (q_dedup_containment, SQL_DEDUP_CONTAINMENT),

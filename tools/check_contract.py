@@ -80,7 +80,7 @@ def main() -> int:
     from data_quality_check_spark.operators.multimodal import (
         expected_fixtures, expected_near_dup_pairs)
     from data_quality_check_spark.oracle_fixtures import (
-        ensure_label_fixtures)
+        ensure_hash_fixtures, ensure_label_fixtures)
     from data_quality_check_spark.operators.imgquality import (
         expected_imgquality)
     from data_quality_check_spark.operators.imgscore import (
@@ -88,6 +88,7 @@ def main() -> int:
     expected_fixtures(0.01)
     expected_near_dup_pairs(0.01)
     ensure_label_fixtures(0.01)
+    ensure_hash_fixtures(0.01)
     expected_imgquality(0.01)
     expected_imgrisk(0.01)
     con = duckdb.connect()
