@@ -283,8 +283,70 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
     )
 
 
+def _local_components(edges: DataFrame) -> DataFrame:
+    """Single-task union-find over a SMALL edge frame (u, v): the
+    local-finish phase of multi-level connected components.  The
+    distributed rounds (min-contraction / large-small-star) shrink
+    the graph geometrically; once the survivor edge set fits one
+    task, finishing it in a single executor-side pass replaces the
+    remaining O(log n) fixed-latency rounds with ONE job.  This is
+    the standard coarsen-then-solve-locally shape of parallel CC —
+    NOT a driver collect: the edges stay in the cluster, the
+    union-find runs inside a mapInPandas task, and only (node,
+    component) rows come out.  Union-by-min keeps the invariant
+    component == min member id (the smaller root always becomes the
+    parent), matching the distributed rounds' contract exactly.
+
+    Returns (node, component) covering every node incident to an
+    edge (self-loops included).  Id-type-generic: the output schema
+    mirrors the edge column type (long doc ids, string image ids —
+    Python's str ordering is codepoint-wise like Spark's UTF8
+    comparison, so union-by-min agrees with F.min either way)."""
+    import pandas as pd
+
+    def _uf(batches):
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent.get(r, r) != r:
+                r = parent[r]
+            while parent.get(x, x) != x:
+                parent[x], x = r, parent[x]
+            return r
+
+        nodes: set = set()
+        for b in batches:
+            for u, v in zip(b["u"].tolist(), b["v"].tolist()):
+                nodes.add(u)
+                nodes.add(v)
+                ru, rv = find(u), find(v)
+                if ru != rv:
+                    if ru < rv:
+                        parent[rv] = ru
+                    else:
+                        parent[ru] = rv
+        if nodes:
+            ns = sorted(nodes)
+            yield pd.DataFrame({"node": ns,
+                                "component": [find(x) for x in ns]})
+
+    dt = dict(edges.select("u", "v").dtypes)["u"]
+    return (edges.select("u", "v").coalesce(1)
+            .mapInPandas(_uf, f"node {dt}, component {dt}"))
+
+
+# Edge count below which the survivor graph is handed to the
+# single-task local finish: 4M (u, v) int64 pairs ~ 64 MB in one
+# Arrow batch stream — comfortably one task, far above what the
+# distributed coarsening leaves standing at any sane shard size.
+_LOCAL_CC_EDGES = 4_000_000
+
+
 def connected_components(pairs: DataFrame, src: str = "id_a",
-                         dst: str = "id_b", max_iter: int = 30) -> DataFrame:
+                         dst: str = "id_b", max_iter: int = 30,
+                         local_threshold: int = _LOCAL_CC_EDGES,
+                         ) -> DataFrame:
     """Resolve near-dup PAIRS into duplicate CLUSTERS: connected
     components by iterative min-label propagation, the step that turns
     pairwise similarity output into "keep one canonical doc per
@@ -314,6 +376,14 @@ def connected_components(pairs: DataFrame, src: str = "id_a",
     # expensive similarity join, and the loop below would otherwise
     # recompute it on every round
     edges = edges.localCheckpoint()
+    # local finish: when the whole (symmetric) edge list fits one
+    # task, a single union-find job replaces diameter-many
+    # fixed-latency propagation rounds (see _local_components)
+    if edges.count() <= local_threshold:
+        return (_local_components(
+            edges.select(F.col("src").alias("u"),
+                         F.col("dst").alias("v")))
+            .select("node", "component"))
     # initialize labels at the CLOSED-NEIGHBORHOOD min — one groupBy,
     # strictly cheaper than a loop round (no labels join, no
     # convergence count) and it IS the first propagation round, so
@@ -402,7 +472,9 @@ def _contract_min(edges: DataFrame) -> tuple[DataFrame, DataFrame]:
 def connected_components_star(pairs: DataFrame, src: str = "id_a",
                               dst: str = "id_b",
                               max_iter: int = 50,
-                              pre_contract: bool = True) -> DataFrame:
+                              pre_contract: bool = True,
+                              local_threshold: int = _LOCAL_CC_EDGES,
+                              ) -> DataFrame:
     """Connected components by alternating large-star / small-star
     rounds (Kiveris et al., "Connected Components in MapReduce and
     Beyond", SoCC'14 — public algorithm): converges in O(log n)
@@ -420,7 +492,16 @@ def connected_components_star(pairs: DataFrame, src: str = "id_a",
     but exponentially fewer rounds on path-ish graphs.  Convergence =
     the edge set reaches a fixed point (stars only), checked with an
     order-insensitive xxhash64 fingerprint — no edge-set comparison
-    join."""
+    join.
+
+    Multi-level finish: the fingerprint already carries the live
+    edge COUNT, so whenever the survivor graph (after the
+    min-contraction pre-round, or after any star round) fits one
+    task, a single union-find job replaces the remaining rounds —
+    see _local_components.  At web scale the star rounds do the
+    shrinking and the local phase only ever sees the O(components)
+    tail; at sandbox scale it removes the fixed-latency rounds that
+    dominated N->4N (image_keepers eff 0.28 in round 3)."""
     # checkpoint the PAIR LIST once — `pairs` is typically an
     # expensive similarity join, and nodes + edges both consume it
     # (two eager checkpoints here used to run that upstream plan
@@ -451,8 +532,15 @@ def connected_components_star(pairs: DataFrame, src: str = "id_a",
         return ed.union(ed.select(F.col("v").alias("u"),
                                   F.col("u").alias("v")))
 
-    prev = None
+    local = False
+    # the pre-loop fingerprint doubles as the materializer of the
+    # (lazy) contraction checkpoints — same job either way
+    prev = _fingerprint(edges)
     for _ in range(max_iter):
+        if prev[0] <= local_threshold:
+            comp = _local_components(edges)
+            local = True
+            break
         # ---- large-star ------------------------------------------------
         # m(u) = min of u's closed neighborhood; link each strictly
         # larger neighbor v to m
@@ -492,9 +580,10 @@ def connected_components_star(pairs: DataFrame, src: str = "id_a",
         raise RuntimeError(
             f"connected_components_star did not converge in "
             f"{max_iter} rounds")
-    # fixed point: edges are (node -> component-min) stars
-    comp = edges.select(F.col("u").alias("node"),
-                        F.col("v").alias("component"))
+    if not local:
+        # fixed point: edges are (node -> component-min) stars
+        comp = edges.select(F.col("u").alias("node"),
+                            F.col("v").alias("component"))
     if mapping is not None:
         # compose: original node -> its contraction label -> the
         # label's component (the label IS the component when its
@@ -681,7 +770,8 @@ def phash_band_table(df: DataFrame, max_hamming: int = 3,
 def phash_near_dups(df: DataFrame, max_hamming: int = 3,
                     id_col: str = "image_id",
                     phash_col: str = "phash",
-                    collapse_exact: bool = True) -> DataFrame:
+                    collapse_exact: bool = True,
+                    two_level: bool = False) -> DataFrame:
     """EXACT perceptual-hash near-duplicate pairs via multi-index
     pigeonhole banding (Norouzi et al., "Fast Search in Hamming Space
     with Multi-Index Hashing"): a 64-bit hash pair differing in at
@@ -718,7 +808,8 @@ def phash_near_dups(df: DataFrame, max_hamming: int = 3,
                    .filter(F.col("__mph").isNotNull()))
         reps = members.groupBy("__mph").agg(F.min("__mid").alias("__rid"))
         rep_pairs = phash_near_dups(
-            reps, max_hamming, "__rid", "__mph", collapse_exact=False)
+            reps, max_hamming, "__rid", "__mph", collapse_exact=False,
+            two_level=two_level)
         # carry the PHASH of each side through the rep pairs so the
         # member expansion is an equi-join on phash, then restore the
         # id_a < id_b orientation (member ids of the two hash groups
@@ -745,7 +836,14 @@ def phash_near_dups(df: DataFrame, max_hamming: int = 3,
                     F.col("b.__mid").alias("id_b"),
                     F.lit(0).alias("hamming")))
         return cross.unionByName(within)
-    banded = phash_band_table(df, max_hamming, id_col, phash_col)
+    # two_level (recursive pigeonhole, see phash_band_table): worth
+    # its 4x index rows whenever slice values are degenerate-heavy —
+    # measured at sf0.1 on the 82k-distinct-hash graph: 114.8M
+    # candidate rows (top bucket 7.1k index rows ~ 25M joined) with
+    # one-level banding vs 8.4M flat-bucketed (top bucket 320) with
+    # two-level, same 354,329 verified pairs either way
+    banded = phash_band_table(df, max_hamming, id_col, phash_col,
+                              two_level=two_level)
     # shuffle-hash, never broadcast: at corpus scale the banded side
     # cannot broadcast anyway, and locally a broadcast plan lets AQE
     # coalesce a post-aggregate probe side down to 1 partition — the
@@ -803,8 +901,12 @@ def image_near_dup_keepers(df: DataFrame, max_hamming: int = 3,
                     F.col(phash_col).alias("__ph"))
           .filter(F.col("__ph").isNotNull()))
     reps = nn.groupBy("__ph").agg(F.min("__iid").alias("rep"))
+    # two_level: the distinct-hash graph is exactly where degenerate
+    # slice values hurt (see phash_band_table) — measured at sf0.1:
+    # 114.8M one-level candidates (hot bucket ~25M joined rows) vs
+    # 8.4M flat two-level, identical 354,329 verified pairs
     pairs = phash_near_dups(reps, max_hamming, "rep", "__ph",
-                            collapse_exact=False)
+                            collapse_exact=False, two_level=True)
     comp = connected_components_star(pairs.select("id_a", "id_b"))
     grp = (reps.join(comp, reps.rep == comp.node, "left")
            .select("__ph",

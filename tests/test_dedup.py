@@ -176,12 +176,16 @@ def test_star_components_high_diameter(spark):
 
     path = spark.createDataFrame(
         [(i, i + 1) for i in range(100)], "id_a long, id_b long")
+    # local_threshold=0 forces the DISTRIBUTED rounds (the default
+    # would hand a 100-edge graph straight to the local finish)
     got = {(r.node, r.component)
-           for r in connected_components_star(path).collect()}
+           for r in connected_components_star(
+               path, local_threshold=0).collect()}
     assert got == {(i, 0) for i in range(101)}
 
     with pytest.raises(RuntimeError, match="did not converge"):
-        connected_components(path, max_iter=5).collect()
+        connected_components(path, max_iter=5,
+                             local_threshold=0).collect()
 
 
 def test_star_components_matches_minlabel(spark):
@@ -194,11 +198,69 @@ def test_star_components_matches_minlabel(spark):
     pairs = [(random.randrange(200), random.randrange(200))
              for _ in range(150)] + [(5, 5)]  # incl. self-loop node
     df = spark.createDataFrame(pairs, "id_a long, id_b long")
+    # force the distributed rounds on both: the star/minlabel
+    # equivalence is what this test pins
     a = {(r.node, r.component)
-         for r in connected_components_star(df).collect()}
+         for r in connected_components_star(
+             df, local_threshold=0).collect()}
     b = {(r.node, r.component)
-         for r in connected_components(df, max_iter=300).collect()}
+         for r in connected_components(
+             df, max_iter=300, local_threshold=0).collect()}
     assert a == b
+
+
+def test_local_uf_finish_matches_distributed(spark):
+    """The single-task union-find local finish (default path for
+    small survivor graphs) must agree with the forced-distributed
+    rounds on every graph shape: random, path (high diameter),
+    cliques, self-loops, and string-typed ids."""
+    import random
+
+    from data_quality_check_spark.operators.dedup import (
+        connected_components, connected_components_star)
+
+    random.seed(13)
+    pairs = ([(random.randrange(300), random.randrange(300))
+              for _ in range(220)]
+             + [(i, i + 1) for i in range(500, 560)]   # long path
+             + [(900, 900)])                            # self-loop
+    df = spark.createDataFrame(pairs, "id_a long, id_b long")
+    want = {(r.node, r.component)
+            for r in connected_components_star(
+                df, local_threshold=0).collect()}
+    got_star = {(r.node, r.component)
+                for r in connected_components_star(df).collect()}
+    got_prop = {(r.node, r.component)
+                for r in connected_components(df).collect()}
+    assert got_star == want
+    assert got_prop == want
+
+    # string ids: union-by-min must match Spark's UTF8 min ordering
+    sp = spark.createDataFrame(
+        [("img_b", "img_a"), ("img_c", "img_b"), ("img_z", "img_z")],
+        "id_a string, id_b string")
+    got_s = {(r.node, r.component)
+             for r in connected_components_star(sp).collect()}
+    assert got_s == {("img_a", "img_a"), ("img_b", "img_a"),
+                     ("img_c", "img_a"), ("img_z", "img_z")}
+
+
+def test_local_uf_mid_loop_handoff(spark):
+    """A threshold between the initial and contracted edge counts
+    exercises the MID-LOOP handoff: star rounds shrink the graph,
+    then the local finish takes over — output unchanged."""
+    from data_quality_check_spark.operators.dedup import (
+        connected_components_star)
+
+    path = spark.createDataFrame(
+        [(i, i + 1) for i in range(80)], "id_a long, id_b long")
+    want = {(i, 0) for i in range(81)}
+    # 80 edges; threshold 40 skips the pre-loop handoff (contraction
+    # leaves ~half the labels) but triggers after rounds shrink it
+    got = {(r.node, r.component)
+           for r in connected_components_star(
+               path, local_threshold=40).collect()}
+    assert got == want
 
 
 def test_phash_hamming_equals_brute_force(spark):
