@@ -514,6 +514,20 @@ def connected_components_star(pairs: DataFrame, src: str = "id_a",
     nodes = (p.select(F.col("u").alias("node"))
              .union(p.select(F.col("v").alias("node"))).distinct())
     edges = p.filter(F.col("u") != F.col("v"))
+    # Early local finish: p is already materialized, so this count is
+    # one cached-scan job.  When the RAW pair list fits one task,
+    # neither the contraction round (groupBy + double join + distinct
+    # = 3 shuffles) nor the star loop (a fingerprint collect per
+    # round) buys anything — hand the edges straight to the
+    # single-task union-find.  At web scale the count exceeds the
+    # threshold and the distributed rounds run as before; at sandbox
+    # scale this removes the fixed multi-job latency that capped
+    # image_keepers N->4N at ~0.43.
+    if edges.count() <= local_threshold:
+        comp = _local_components(edges)
+        return (nodes.join(comp, "node", "left")
+                .select("node", F.coalesce("component", "node")
+                        .alias("component")))
     mapping = None
     if pre_contract:
         edges, mapping = _contract_min(edges)
@@ -1358,6 +1372,28 @@ DIHEDRAL_MAPS: list[tuple[str, object]] = [
     ("antitranspose", lambda r, c: (7 - c, 7 - r)),
 ]
 
+
+def _dihedral_inverse() -> list[int]:
+    """INV[t] = the index s with m_s == m_t^{-1} as 8x8 grid
+    permutations.  Needed because hamming(d_t(A), B) ==
+    hamming(d_{INV[t]}(B), A) (bit permutations preserve hamming and
+    reading A through m_t equals reading B through m_t^{-1}), which
+    lets one directed band-join match stream serve BOTH orientations
+    of a collapsed hash pair — see dihedral_near_dups.  Derived from
+    DIHEDRAL_MAPS instead of hardcoded so it can never drift."""
+    inv = []
+    for _, mt in DIHEDRAL_MAPS:
+        for s, (_, ms) in enumerate(DIHEDRAL_MAPS):
+            if all(ms(*mt(r, c)) == (r, c)
+                   for r in range(8) for c in range(8)):
+                inv.append(s)
+                break
+    assert len(inv) == len(DIHEDRAL_MAPS)
+    return inv
+
+
+_DIHEDRAL_INV = _dihedral_inverse()
+
 _I64_MIN = "-9223372036854775807 - 1"  # min long; the bare literal
 # does not parse as int64 in either engine (unary minus binds after
 # the out-of-range positive literal)
@@ -1444,9 +1480,70 @@ def visual_decontaminate_dihedral(train: DataFrame, eval_df: DataFrame,
                                 phash_col, two_level=True)
 
 
+def _dihedral_directed_codes(src: DataFrame,
+                             max_hamming: int) -> DataFrame:
+    """Directed dihedral match codes over a UNIQUE-ID (__id, __ph)
+    frame: for every pair id_a < id_b with some variant within
+    max_hamming, one row (id_a, id_b, __code_ab, __code_ba) where
+    __code_ab = min over t of hamming(d_t(ph_a), ph_b) * 8 + t and
+    __code_ba the same with the roles swapped.  Both directions come
+    from ONE band-join stream: a surfaced match (t, d) for a->b is
+    also the match (INV[t], d) for b->a (hamming(d_t(A), B) ==
+    hamming(d_{INV[t]}(B), A)), so the reverse code needs no second
+    join — just a second min over the statically-known inverse
+    orientation.  When coincident variant hashes are deduped
+    (symmetric images), the kept row carries min t AND min INV[t]
+    over its t-class: the two mins are over the same d, so neither
+    direction loses its argmin."""
+    exprs = dihedral_phash_sql("__ph")
+    # project-then-materialize: see dihedral_near_dups (CollapseProject
+    # would re-evaluate the 8x64-term array per consumer)
+    varr = (src.select("__id", "__ph",
+                       F.array(*[F.expr(e) for e in exprs])
+                       .alias("__va"))
+            .localCheckpoint())
+    inv_arr = F.array(*[F.lit(x) for x in _DIHEDRAL_INV])
+    va = (varr.select("__id", F.posexplode("__va").alias("__t", "__vph"))
+          .groupBy("__id", "__vph")
+          .agg(F.min("__t").alias("__t"),
+               F.min(F.element_at(inv_arr, F.col("__t") + 1))
+               .alias("__ti"))
+          .select(F.struct("__id", "__t", "__ti").alias("__idt"),
+                  "__vph"))
+    # two-level banding: the orientation-expanded index is degenerate-
+    # slice-heavy by construction (every flat/gradient slice appears
+    # in 8 orientations); the recursive sub-slice key cuts candidates
+    # ~13x with recall still exact (see phash_band_table)
+    ab = phash_band_table(va, max_hamming, "__idt", "__vph",
+                          two_level=True)
+    bb = phash_band_table(varr, max_hamming, "__id", "__ph",
+                          two_level=True)
+    # shuffle_hash: hash build beats two sorts; at 100 TB neither
+    # side broadcasts anyway
+    d = F.bit_count(F.col("a.__ph").bitwiseXOR(F.col("b.__ph")))
+    return (ab.alias("a")
+            .join(bb.hint("shuffle_hash").alias("b"),
+                  (F.col("a.band") == F.col("b.band"))
+                  & (F.col("a.bv") == F.col("b.bv")))
+            .filter(F.col("a.__id.__id") < F.col("b.__id"))
+            # in-stream verify: a.__ph IS variant t's hash, b.__ph
+            # the stored hash — only d <= max_hamming rows shuffle
+            # into the min-code aggregate
+            .select(F.col("a.__id.__id").alias("id_a"),
+                    F.col("b.__id").alias("id_b"),
+                    (d * 8 + F.col("a.__id.__t")).alias("__cab"),
+                    (d * 8 + F.col("a.__id.__ti")).alias("__cba"),
+                    d.alias("__d"))
+            .filter(F.col("__d") <= max_hamming)
+            .groupBy("id_a", "id_b")
+            .agg(F.min("__cab").alias("__code_ab"),
+                 F.min("__cba").alias("__code_ba")))
+
+
 def dihedral_near_dups(df: DataFrame, max_hamming: int = 2,
                        id_col: str = "image_id",
-                       phash_col: str = "phash") -> DataFrame:
+                       phash_col: str = "phash",
+                       collapse_exact: bool = True) -> DataFrame:
     """Within-corpus orientation-robust near-dup pairs: (a, b) such
     that SOME dihedral variant (flip / rotation / transpose) of a's
     phash is within `max_hamming` of b's stored phash — the mirrored
@@ -1480,7 +1577,25 @@ def dihedral_near_dups(df: DataFrame, max_hamming: int = 2,
     6.7 s -> see BENCH notes); duplicate variant hashes keep their
     smallest t, which the min-code tiebreak would pick anyway.
     Recall is GUARANTEED (pigeonhole per variant), so a brute-force
-    variant scan is value-exact ground truth."""
+    variant scan is value-exact ground truth.
+
+    With ``collapse_exact`` (default), identical stored hashes are
+    collapsed to one representative BEFORE the variant expansion and
+    band join — the phash_near_dups trick, and the bigger lever here
+    because the 8x orientation expansion MULTIPLIES any exact-dup
+    fan-in: a k-copy hash group sends 8k band-table rows (and up to
+    k^2 x slice-multiplicity joined rows against another group)
+    where 8 suffice.  Member pairs are restored by hash equi-joins.
+    Output is provably identical: all members of a group share the
+    hash, so every member pair inherits its rep pair's variant
+    distances verbatim; the only per-pair difference is WHICH side
+    is the smaller id (the orientation is defined as the variant of
+    the smaller id's hash), covered by aggregating both direction
+    codes from the one match stream via the static inverse
+    orientation (see _dihedral_directed_codes).  Same-hash member
+    pairs are identity matches: (min_hamming 0, orientation 0),
+    exactly what the uncollapsed scan reports for them.  Pass False
+    when the input is already hash-distinct."""
     # _widen: the band join's fan-out materializes in the PROBE
     # side's tasks — a narrow scan (or 1-partition localCheckpoint)
     # serializes millions of candidate pairs on a couple of cores
@@ -1488,57 +1603,46 @@ def dihedral_near_dups(df: DataFrame, max_hamming: int = 2,
     base = (_widen(df).filter(F.col(phash_col).isNotNull())
             .select(F.col(id_col).alias("__id"),
                     F.col(phash_col).alias("__ph")))
-    # Project the variant array in its OWN select and MATERIALIZE it
-    # (localCheckpoint): downstream consumers then reference a bound
-    # attribute.  Without the cut, CollapseProject inlines the
-    # 8x64-term array into the explode AND into every element_at of
-    # the verify codes — measured 133us/row (per-element
-    # re-evaluation, the CLAUDE.md HOF trap) vs ~1 s for the whole
-    # sf0.01 table materialized once.  Production persists this
-    # table anyway: it IS the orientation-expanded dedup index.
-    exprs = dihedral_phash_sql("__ph")
-    varr = (base.select("__id", "__ph",
-                        F.array(*[F.expr(e) for e in exprs])
-                        .alias("__va"))
-            .localCheckpoint())
-    # keep the variant INDEX through the explosion (posexplode) so
-    # the in-stream verify can report the winning orientation;
-    # coincident variant hashes (symmetric images) keep their
-    # smallest t — exactly the min-code tiebreak's pick
-    va = (varr.select("__id", F.posexplode("__va").alias("__t", "__vph"))
-          .groupBy("__id", "__vph").agg(F.min("__t").alias("__t"))
-          .select(F.struct("__id", "__t").alias("__idt"), "__vph"))
-    # two-level banding: the orientation-expanded index is degenerate-
-    # slice-heavy by construction (every flat/gradient slice appears
-    # in 8 orientations), and one-level banding concentrates 69% of
-    # its candidate stream in 4 all-zero/all-one slice buckets — the
-    # measured N->4N 0.37 hot-bucket wall.  The recursive sub-slice
-    # key cuts candidates 13x and the max bucket 470x with recall
-    # still exact (see phash_band_table).
-    ab = phash_band_table(va, max_hamming, "__idt", "__vph",
-                          two_level=True)
-    bb = phash_band_table(varr, max_hamming, "__id", "__ph",
-                          two_level=True)
-    # shuffle_hash: build the hash table on the (8x smaller) stored
-    # side instead of sorting the variant-side stream — at 100 TB
-    # neither side broadcasts, but hash build beats two sorts
-    d = F.bit_count(F.col("a.__ph").bitwiseXOR(F.col("b.__ph")))
-    return (ab.alias("a")
-            .join(bb.hint("shuffle_hash").alias("b"),
-                  (F.col("a.band") == F.col("b.band"))
-                  & (F.col("a.bv") == F.col("b.bv")))
-            .filter(F.col("a.__id.__id") < F.col("b.__id"))
-            # in-stream verify: a.__ph IS variant t's hash, b.__ph the
-            # stored hash — d <= max_hamming matches are the only rows
-            # that shuffle into the min-code aggregate
-            .select(F.col("a.__id.__id").alias("id_a"),
+    if collapse_exact:
+        reps = (base.groupBy("__ph").agg(F.min("__id").alias("__id"))
+                .select("__id", "__ph"))
+        codes = _dihedral_directed_codes(reps, max_hamming)
+        # attach each side's hash (reps IS the rep-id -> hash map),
+        # then expand to member pairs by hash equi-joins; the code
+        # for a member pair is the direction whose variant side is
+        # the smaller member id
+        rp = (codes
+              .join(reps.select(F.col("__id").alias("id_a"),
+                                F.col("__ph").alias("__pa")), "id_a")
+              .join(reps.select(F.col("__id").alias("id_b"),
+                                F.col("__ph").alias("__pb")), "id_b"))
+        cross = (rp
+                 .join(base.select(F.col("__ph").alias("__pa"),
+                                   F.col("__id").alias("__ia")), "__pa")
+                 .join(base.select(F.col("__ph").alias("__pb"),
+                                   F.col("__id").alias("__ib")), "__pb")
+                 .select(F.least("__ia", "__ib").alias("id_a"),
+                         F.greatest("__ia", "__ib").alias("id_b"),
+                         F.when(F.col("__ia") < F.col("__ib"),
+                                F.col("__code_ab"))
+                         .otherwise(F.col("__code_ba"))
+                         .alias("__code")))
+        within = (base.alias("a").join(
+            base.alias("b"),
+            (F.col("a.__ph") == F.col("b.__ph"))
+            & (F.col("a.__id") < F.col("b.__id")))
+            .select(F.col("a.__id").alias("id_a"),
                     F.col("b.__id").alias("id_b"),
-                    (d * 8 + F.col("a.__id.__t")).alias("__code"),
-                    d.alias("__d"))
-            .filter(F.col("__d") <= max_hamming)
-            .groupBy("id_a", "id_b")
-            .agg(F.min("__code").alias("__code"))
-            .select("id_a", "id_b",
-                    F.floor(F.col("__code") / 8).cast("int")
-                    .alias("min_hamming"),
-                    (F.col("__code") % 8).cast("int").alias("orientation")))
+                    F.lit(0).cast("int").alias("__code")))
+        out = (cross.select("id_a", "id_b",
+                            F.col("__code").cast("int").alias("__code"))
+               .unionByName(within))
+    else:
+        out = (_dihedral_directed_codes(base, max_hamming)
+               .select("id_a", "id_b",
+                       F.col("__code_ab").cast("int").alias("__code")))
+    return out.select("id_a", "id_b",
+                      F.floor(F.col("__code") / 8).cast("int")
+                      .alias("min_hamming"),
+                      (F.col("__code") % 8).cast("int")
+                      .alias("orientation"))
