@@ -882,7 +882,9 @@ def phash_near_dups(df: DataFrame, max_hamming: int = 3,
 
 def image_near_dup_keepers(df: DataFrame, max_hamming: int = 3,
                            id_col: str = "image_id",
-                           phash_col: str = "phash") -> DataFrame:
+                           phash_col: str = "phash",
+                           local_threshold: int = _LOCAL_CC_EDGES,
+                           ) -> DataFrame:
     """The canonical IMAGE-dedup pipeline, the visual twin of
     text_near_dup_keepers:
 
@@ -921,7 +923,11 @@ def image_near_dup_keepers(df: DataFrame, max_hamming: int = 3,
     # 8.4M flat two-level, identical 354,329 verified pairs
     pairs = phash_near_dups(reps, max_hamming, "rep", "__ph",
                             collapse_exact=False, two_level=True)
-    comp = connected_components_star(pairs.select("id_a", "id_b"))
+    # local_threshold passes through to the multi-level components
+    # finish; lower it to keep the star rounds distributed (the
+    # regime a real cluster run spends its rounds in)
+    comp = connected_components_star(pairs.select("id_a", "id_b"),
+                                     local_threshold=local_threshold)
     grp = (reps.join(comp, reps.rep == comp.node, "left")
            .select("__ph",
                    F.coalesce(F.col("component"), F.col("rep"))

@@ -160,6 +160,40 @@ def one_run():
     dedup.image_near_dup_keepers(im).count()
     return time.time() - t0
 """,
+    "image_keepers_big": """
+# image_near_dup_keepers with the hamming-graph volume scaled so the
+# DISTRIBUTED components rounds carry real data: R=8 replicas, each
+# XOR-perturbed with a rep code whose 4-bit id is repeated 4x (any
+# two codes differ in >= 4 bits > max_hamming 3, so replicas never
+# cross-match and the edge set replicates exactly Rx).  The plain
+# image_keepers job is flat in N at sandbox scale because the
+# multi-level finish hands the 354k-edge survivor graph to ONE task
+# (latency-optimal, serial by design); local_threshold=250k here
+# keeps the star/contract rounds distributed until survivors are
+# small — the round regime a 100 TB run actually spends its time in.
+from pyspark.sql import functions as F
+from data_quality_check_spark.operators import dedup
+from data_quality_check_spark.sources import images as IM
+
+R = 8
+im0 = IM.read_images(spark, sf).select("image_id", "phash")
+code = (F.col("__rep").bitwiseOR(F.shiftleft(F.col("__rep"), 4))
+        .bitwiseOR(F.shiftleft(F.col("__rep"), 8))
+        .bitwiseOR(F.shiftleft(F.col("__rep"), 12)))
+im = (im0.crossJoin(spark.range(R).select(F.col("id").alias("__rep")))
+      .select(F.concat("image_id", F.lit("-"),
+                       F.col("__rep").cast("string")).alias("image_id"),
+              F.col("phash").bitwiseXOR(F.shiftleft(code, 40))
+              .alias("phash"))
+      .localCheckpoint())
+N_UNITS = im.count()
+
+def one_run():
+    import time
+    t0 = time.time()
+    dedup.image_near_dup_keepers(im, local_threshold=250_000).count()
+    return time.time() - t0
+""",
     "image_quality": """
 # the fused decode+stats Arrow UDF (operators/imgquality.py): pure
 # map-side Python-heavy work, zero shuffles below the final hash —
