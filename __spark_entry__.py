@@ -24,12 +24,53 @@ def entry(spark: SparkSession) -> DataFrame:
     """Flagship query: the full quality-filter pipeline (rules + all
     four Arrow UDFs + dup-rank + keep verdict) over the deterministic
     synthetic images table at sf0.001, joined against the sf0.001
-    fixture-scan smoke (rows > 0, stable schema)."""
+    fixture-scan smoke (rows > 0, stable schema).
+
+    Also runs a one-microbatch Structured Streaming smoke: the same
+    input through the foreachBatch bridge (streaming/ingest.py), with
+    a stream==batch order-insensitive hash equality check — so driver
+    rounds exercise the streaming surface, not just its imports."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
     from data_quality_check_spark.plans import pipeline
     from data_quality_check_spark.sources import images as IM
+    from data_quality_check_spark.streaming.ingest import (
+        start_quality_stream)
 
     df = IM.read_images(spark, 0.001)
-    return pipeline.results_select(pipeline.quality_frame(df))
+    res = pipeline.results_select(pipeline.quality_frame(df))
+
+    root = tempfile.mkdtemp(prefix="dqc-entry-stream-")
+    try:
+        df.write.mode("overwrite").parquet(f"{root}/in")
+        q = start_quality_stream(spark, f"{root}/in", root, f"{root}/ckpt",
+                                 max_files_per_trigger=64)
+        q.awaitTermination()
+        streamed = (spark.read.parquet(f"{root}/stream_results")
+                    .drop("batch_id"))
+
+        def _fingerprint(d: DataFrame) -> tuple:
+            # xxhash64 rejects MAP columns (hash is order-sensitive);
+            # canonicalize them to sorted entry arrays first
+            cols = [F.array_sort(F.map_entries(f.name)).alias(f.name)
+                    if f.dataType.typeName() == "map"
+                    else F.col(f.name)
+                    for f in sorted(d.schema.fields, key=lambda f: f.name)]
+            return tuple(d.select(*cols).agg(
+                F.count(F.lit(1)),
+                F.bit_xor(F.xxhash64(F.struct(*[
+                    f.name for f in sorted(d.schema.fields,
+                                           key=lambda f: f.name)])))).first())
+
+        if _fingerprint(streamed) != _fingerprint(res):
+            raise RuntimeError(
+                "streaming smoke: stream/batch verdict mismatch")
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return res
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
