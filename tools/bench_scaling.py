@@ -296,6 +296,37 @@ def one_run():
     out.agg(F.bit_xor(F.xxhash64(F.struct(*out.columns)))).collect()
     return time.time() - t0
 """,
+    "dihedral_pairs_big": """
+# dihedral_near_dups with the hash volume scaled 8x so the band-join
+# DATA stage dominates the ~5 s fixed multi-stage latency (decomposed
+# from the sf0.1 2->8 pair: D ~= 25.6 s scaling ~1.0, F ~= 5.2 s).
+# Each replica XORs a pseudo-random 64-bit code (xxhash64 of the
+# replica id): for any dihedral orientation t, hamming(d_t(c_i), c_j)
+# concentrates near 32 bits >> max_hamming, so replicas add ~zero
+# cross-replica pairs and the verified-edge volume replicates ~Rx
+# while the candidate volume reflects 8x the distinct-hash mass.
+from pyspark.sql import functions as F
+from data_quality_check_spark.operators.dedup import dihedral_near_dups
+from data_quality_check_spark.sources import images as IM
+
+R = 8
+im0 = IM.read_images(spark, sf).select("image_id", "phash")
+im = (im0.crossJoin(spark.range(R).select(F.col("id").alias("__rep")))
+      .select(F.concat("image_id", F.lit("-"),
+                       F.col("__rep").cast("string")).alias("image_id"),
+              F.col("phash")
+              .bitwiseXOR(F.when(F.col("__rep") == 0, F.lit(0).cast("long"))
+                          .otherwise(F.xxhash64("__rep"))).alias("phash"))
+      .localCheckpoint())
+N_UNITS = im.count()
+
+def one_run():
+    import time
+    t0 = time.time()
+    out = dihedral_near_dups(im, 2)
+    out.agg(F.bit_xor(F.xxhash64(F.struct(*out.columns)))).collect()
+    return time.time() - t0
+""",
     "dihedral_pairs": """
 # orientation-robust near-dup pair mining (operators/dedup.py::
 # dihedral_near_dups): 8x variant band table, band-dense candidate
