@@ -148,13 +148,21 @@ def fuzzy_pairs(df: DataFrame, text_col: str, id_col: str,
     # strings — equal strings keep dist 0; a colliding near-pair (same
     # h, different s, ed <= k) is caught here because the candidate
     # path's a.h != b.h filter excludes it; a colliding far pair is
-    # filtered by the distance gate.
+    # filtered by the distance gate.  The equality short-circuit
+    # matters: on exact-dup-heavy inputs this branch emits c^2/2
+    # pairs per repeated value (3.1M at sf0.1's 64-name part pool),
+    # and levenshtein is a full O(len^2) DP even for equal strings —
+    # unconditionally verifying cost 6 s where the string-equals
+    # codegen compare is O(len) (measured 9.7 -> 3.7 s on the
+    # join_fuzzy key); only genuine 64-bit collisions pay the DP.
     same = (hid.alias("a")
             .join(hid.alias("b"),
                   (F.col("a.h") == F.col("b.h"))
                   & (F.col("a.id") < F.col("b.id")))
             .select(F.col("a.id").alias("id_a"),
                     F.col("b.id").alias("id_b"),
-                    F.levenshtein("a.s", "b.s").alias("dist"))
+                    F.when(F.col("a.s") == F.col("b.s"), F.lit(0))
+                    .otherwise(F.levenshtein("a.s", "b.s"))
+                    .alias("dist"))
             .filter(F.col("dist") <= k))
     return cross.union(same)
