@@ -239,3 +239,22 @@ def test_dsir_plan_shape(spark):
     assert "BroadcastHashJoin" in plan
     ex_lines = [ln for ln in plan.splitlines() if "Exchange" in ln]
     assert ex_lines and all("text" not in ln for ln in ex_lines)
+
+
+def test_dihedral_collapse_plan_shape(spark):
+    """Round-4 dihedral collapse plan (BENCH/PLANS.md): the (band,
+    bv) candidate join must honor the shuffle_hash hint (no sorts on
+    the 8x variant stream), the member re-expansion joins must
+    broadcast the |distinct hash|-sized sides, nothing may fall back
+    to a cartesian/all-pairs shape, and pixel bytes must never enter
+    the plan."""
+    from data_quality_check_spark.operators.dedup import dihedral_near_dups
+    from data_quality_check_spark.sources import images as IM
+
+    im = IM.read_images(spark, 0.001).select("image_id", "phash")
+    plan = _plan(dihedral_near_dups(im, 2))
+    assert plan.count("ShuffledHashJoin") == 1       # the band join
+    assert plan.count("SortMergeJoin") == 0
+    assert plan.count("CartesianProduct") == 0
+    assert plan.count("BroadcastHashJoin") >= 4      # attach + expand
+    assert "bytes" not in plan
