@@ -66,6 +66,30 @@ def one_run():
                                 threshold=0.5).count()
     return time.time() - t0
 """,
+    "dedup_text_10x": """
+# dedup_text_big at 10x replication: pair volume grows ~R^2 per
+# clique, so 10x carries ~4x the 5x variant's data term (fit from
+# the 5x pair: D ~= 224 s at 1 core-equivalent, F ~= 7 s fixed) and
+# the fixed term drops to ~6% of the 2-core wall — the flagship
+# pipeline measured in the regime where its data stages dominate.
+# (20x probed at ~260 s/run @8: out of protocol budget.)
+from pyspark.sql import functions as F
+from data_quality_check_spark.operators import dedup
+
+base = spark.read.parquet(f"/root/testdata/sf{sf:g}/documents.parquet")
+docs = (base.crossJoin(spark.range(10).select(F.col("id").alias("__rep")))
+        .select((F.col("doc_id") * 32 + F.col("__rep")).alias("doc_id"),
+                "text"))
+N_UNITS = docs.count()
+
+def one_run():
+    import time
+    t0 = time.time()
+    out = dedup.text_near_dup_keepers(docs, "text", "doc_id",
+                                      threshold=0.5)
+    out.agg(F.bit_xor(F.xxhash64(F.struct(*out.columns)))).collect()
+    return time.time() - t0
+""",
     "dedup_text_big": """
 # dedup_text at sandbox sf is ~70% fixed stage latency (see
 # BASELINE.md); this variant replicates the corpus 5x WITH DISTINCT
