@@ -48,7 +48,13 @@ def entry(spark: SparkSession) -> DataFrame:
         df.write.mode("overwrite").parquet(f"{root}/in")
         q = start_quality_stream(spark, f"{root}/in", root, f"{root}/ckpt",
                                  max_files_per_trigger=64)
-        q.awaitTermination()
+        # availableNow on a static local dir always terminates; the
+        # bound is a guard so a wedged stream can never hang the
+        # driver's smoke check
+        if not q.awaitTermination(180):
+            q.stop()
+            raise RuntimeError("streaming smoke: micro-batch did not "
+                               "finish within 180s")
         streamed = (spark.read.parquet(f"{root}/stream_results")
                     .drop("batch_id"))
 
