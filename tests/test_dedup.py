@@ -747,6 +747,37 @@ def test_dihedral_near_dups_finds_rotated_copy(spark):
             for r in out2] == [("a", "b", 0, 0)]
 
 
+def test_dihedral_collapse_parity_on_dup_heavy_corpus(spark):
+    """The collapse_exact=True rewrite (exact-dup collapse before the
+    8x variant expansion + inverse-orientation directed codes) must
+    emit EXACTLY the rows of the uncollapsed scan — including the
+    direction subtlety: a member pair's orientation is defined on the
+    SMALLER id's hash, which for a cross-group pair may be either
+    group's representative.  Corpus: two exact-dup groups whose reps
+    are rot90 of each other (cross-group member pairs exercise both
+    directions), a symmetric hash (variant-coincidence tiebreak), a
+    near-miss within hamming 2, and an unrelated hash."""
+    base = 0x0123456789ABCDEF
+    rot = dedup.dihedral_phash_py(base, 1)
+    rows = [("a1", base), ("a2", base), ("z9", base),   # group A (+ z9: id ABOVE rot group members)
+            ("b1", rot), ("b2", rot),                   # group B
+            ("s1", 0x0000000000000000),                 # symmetric (all variants equal)
+            ("s2", 0x0000000000000001),                 # hamming 1 off s1
+            ("c1", 0x00FF00FF11221122)]                 # unrelated
+    df = spark.createDataFrame(rows, "image_id string, phash long")
+    def key(rws):
+        return sorted((r["id_a"], r["id_b"], r["min_hamming"],
+                       r["orientation"]) for r in rws)
+    fast = key(dedup.dihedral_near_dups(df, 2).collect())
+    slow = key(dedup.dihedral_near_dups(df, 2,
+                                        collapse_exact=False).collect())
+    assert fast == slow
+    # the cross-group pairs must be present with hamming 0
+    got = {(a, b): (h, o) for a, b, h, o in fast}
+    assert got[("a1", "b1")][0] == 0
+    assert got[("b1", "z9")][0] == 0   # smaller id is in group B here
+
+
 def test_phash_entropy_rule_flags_degenerate_hashes(spark):
     """Flat hash (all zeros) has zero transitions; alternating-column
     hash maxes horizontal transitions; alternating-row hash maxes
