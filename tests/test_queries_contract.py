@@ -18,6 +18,13 @@ from tools.check_contract import TABLES, compare  # noqa: E402
 
 @pytest.fixture(scope="module")
 def duck():
+    # fresh-checkout safety: the file-backed oracles (images parquet,
+    # numpy-oracle expected fixtures) are generate-once caches under
+    # data/ that are NOT in git — ensure them exactly the way the
+    # driver does before any SQL runs
+    import __spark_entry__ as E
+
+    E.oracle_sql()
     con = duckdb.connect()
     for t in TABLES:
         p = os.path.join(SF_DIR, f"{t}.parquet")
