@@ -645,6 +645,58 @@ def cluster_size_stats(df: DataFrame, text_col: str = "text",
                     .alias("pct_docs")))
 
 
+def effective_corpus_size(df: DataFrame, text_col: str = "text",
+                          id_col: str = "doc_id",
+                          threshold: float = 0.5,
+                          num_hashes: int = 16, bands: int = 4) -> DataFrame:
+    """Dedup-aware corpus diversity indices (ONE row) — the release
+    numbers that answer "how much UNIQUE content is really in here?"
+    over the near-dup component structure:
+
+    * ``n_docs`` / ``n_clusters`` and ``dedup_ratio`` = clusters/docs;
+    * ``simpson_eff``: inverse Simpson index 1 / sum p_i^2 over
+      cluster shares p_i = s_i/N — an EXACT integer ratio
+      N^2 / sum(n_g * s_g^2) evaluated from the size histogram, so it
+      is bit-identical on any engine;
+    * ``shannon_eff``: exp(H) with H = sum_g n_g * (s/N) * ln(N/s)
+      (the "effective number of unique documents" — Hill number of
+      order 1).  Per-GROUP terms are floor-quantized to 1e-9 units
+      and long-summed (batch-composition invariance: a float tree sum
+      over groups would depend on partitioning).
+
+    Scale: everything downstream of the dedup pipeline is two
+    counts-only groupBys collapsing to a histogram whose row count is
+    bounded by the largest cluster size, then a single-row
+    aggregate."""
+    from .dedup import text_near_dup_keepers
+    keepers = text_near_dup_keepers(df, text_col, id_col,
+                                    threshold=threshold,
+                                    num_hashes=num_hashes, bands=bands)
+    sizes = keepers.groupBy("keeper_id").agg(
+        F.count("*").alias("s"))
+    hist = sizes.groupBy("s").agg(F.count("*").alias("n"))
+    total = hist.agg(F.sum(F.col("s") * F.col("n")).alias("__N"))
+    h = (hist.crossJoin(F.broadcast(total))
+         .select("s", "n", "__N",
+                 F.floor(F.col("n") * (F.col("s") / F.col("__N"))
+                         * F.log(F.col("__N") / F.col("s")) * 1e9)
+                 .cast("long").alias("__h9")))
+    agg = h.agg(
+        F.max("__N").alias("n_docs"),
+        F.sum("n").alias("n_clusters"),
+        F.sum(F.col("n") * F.col("s") * F.col("s")).alias("__sumsq"),
+        F.sum("__h9").alias("__h9s"))
+    return agg.select(
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("n_clusters").cast("long").alias("n_clusters"),
+        F.round(F.col("n_clusters") / F.col("n_docs").cast("double"), 6)
+         .alias("dedup_ratio"),
+        F.round(F.col("n_docs") * F.col("n_docs")
+                / F.col("__sumsq").cast("double"), 6).alias("simpson_eff"),
+        F.round(F.exp(F.col("__h9s") / F.lit(1e9)), 6)
+         .alias("shannon_eff"))
+
+
 def temperature_sample(df: DataFrame, group_col: str, id_col: str,
                        alpha: float = 0.5, budget_frac: float = 0.5,
                        salt: str = "T:") -> DataFrame:

@@ -329,6 +329,89 @@ def lsh_cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     )
 
 
+def mips_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
+              id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Exact maximum-inner-product top-k (MIPS): retrieval where the
+    vector NORM carries signal (learned relevance / recommendation /
+    distillation-score embeddings), so cosine — which erases it — is
+    the wrong similarity.  Brute-force baseline: broadcast the small
+    query set, one codegen zip_with/aggregate dot product per pair,
+    two-phase rank.  `ip` is rounded to 6 decimals BEFORE ranking
+    with an id tiebreak (the with_cosine cross-engine discipline).
+
+    Scale path at 10^9+ vectors: mips_topk_lsh — the norm-augmentation
+    reduction lets the unchanged hyperplane-LSH cosine index answer
+    MIPS."""
+    q = queries.select(F.col(id_col).alias("query_id"),
+                       _dvec(F.col(vec_col)).alias("qvec"))
+    c = _widen(corpus).select(F.col(id_col).alias("neighbor_id"),
+                              _dvec(F.col(vec_col)).alias("cvec"))
+    joined = c.crossJoin(F.broadcast(q)).filter(
+        F.col("neighbor_id") != F.col("query_id"))
+    scored = joined.withColumn(
+        "ip", F.round(_dot(F.col("qvec"), F.col("cvec")), 6))
+    w = Window.partitionBy("query_id").orderBy(F.desc("ip"),
+                                               F.asc("neighbor_id"))
+    return (scored.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= k)
+            .select("query_id", "neighbor_id", "ip", "rk"))
+
+
+def mips_topk_lsh(corpus: DataFrame, queries: DataFrame, k: int = 5,
+                  bits: int = 3, tables: int = 8, dim: int = 64,
+                  id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Approximate MIPS via the public norm-augmentation reduction
+    (Bachrach et al., RecSys 2014; Neyshabur & Srebro, ICML 2015):
+    with M = max corpus L2 norm, append sqrt(M^2 - |x|^2) to every
+    corpus vector and 0.0 to every query.  Augmented corpus vectors
+    all have norm M, so argmax inner product == argmax augmented
+    cosine — the UNCHANGED hyperplane-LSH machinery indexes MIPS.
+    Candidates come from the augmented index; final scores are the
+    TRUE inner product of the raw vectors (rounded 6, id tiebreak),
+    so a returned row is always exactly scored — only recall is
+    approximate.
+
+    Scale shape: M rides a broadcast one-row aggregate (lazy, no
+    driver action); augmentation is one concat per vector at scan
+    time; the band join carries ids only (lsh_cosine_topk's shape)."""
+    wc = _widen(corpus)
+    sq = F.aggregate(_dvec(F.col(vec_col)), F.lit(0.0),
+                     lambda acc, v: acc + v * v)
+    m_row = wc.select(sq.alias("__sq")).agg(
+        F.max(F.sqrt(F.col("__sq"))).alias("__m"))
+    aug_c = (wc.crossJoin(F.broadcast(m_row))
+             .select(F.col(id_col),
+                     F.concat(
+                         _dvec(F.col(vec_col)),
+                         F.array(F.sqrt(F.greatest(
+                             F.lit(0.0),
+                             F.col("__m") * F.col("__m") - sq))))
+                     .alias("__aug")))
+    aug_q = queries.select(
+        F.col(id_col),
+        F.concat(_dvec(F.col(vec_col)),
+                 F.array(F.lit(0.0))).alias("__aug"))
+    c = _banded_sigs(aug_c, "neighbor_id", "cvec", dim + 1, bits,
+                     tables, id_col, "__aug").drop("cvec")
+    q = _banded_sigs(aug_q, "query_id", "qvec", dim + 1, bits,
+                     tables, id_col, "__aug").drop("qvec")
+    cand = (c.join(F.broadcast(q), ["band", "sig"])
+            .filter(F.col("neighbor_id") != F.col("query_id"))
+            .select("query_id", "neighbor_id").distinct())
+    cv = wc.select(F.col(id_col).alias("neighbor_id"),
+                   _dvec(F.col(vec_col)).alias("cvec"))
+    qv = queries.select(F.col(id_col).alias("query_id"),
+                        _dvec(F.col(vec_col)).alias("qvec"))
+    joined = cand.join(F.broadcast(qv), "query_id").join(cv, "neighbor_id")
+    scored = joined.withColumn(
+        "ip", F.round(_dot(F.col("qvec"), F.col("cvec")), 6))
+    w = Window.partitionBy("query_id").orderBy(F.desc("ip"),
+                                               F.asc("neighbor_id"))
+    return (scored.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= k)
+            .select("query_id", "neighbor_id", "ip", "rk"))
+
+
 def semantic_dedup(df: DataFrame, cluster_col: str,
                    threshold: float = 0.3, id_col: str = "vec_id",
                    vec_col: str = "embedding") -> DataFrame:

@@ -1556,6 +1556,66 @@ SQL_SIM_LSH_TOPK = (
 )
 
 
+def q_sim_mips_topk(spark, sf_dir):
+    """Exact maximum-inner-product top-k (operators/similarity.py::
+    mips_topk): retrieval where the vector norm carries learned
+    relevance, so cosine is the wrong similarity.  Brute-force
+    broadcast baseline, SQL-exact vs DuckDB's list arithmetic; the
+    scale path is the norm-augmentation LSH (sim_mips_lsh)."""
+    from .operators.similarity import mips_topk
+
+    em = _t(spark, sf_dir, "embeddings")
+    return mips_topk(em, em.filter(F.col("vec_id") < 5), k=5)
+
+
+SQL_SIM_MIPS_TOPK = """
+WITH scored AS (
+  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+    round(list_sum(list_transform(list_zip(q.embedding, n.embedding),
+          t -> CAST(t[1] AS DOUBLE) * CAST(t[2] AS DOUBLE))), 6) AS ip
+  FROM embeddings q, embeddings n
+  WHERE q.vec_id < 5 AND n.vec_id <> q.vec_id
+), ranked AS (
+  SELECT query_id, neighbor_id, ip, row_number() OVER
+    (PARTITION BY query_id ORDER BY ip DESC, neighbor_id ASC) AS rk
+  FROM scored
+)
+SELECT query_id, neighbor_id, ip, rk FROM ranked WHERE rk <= 5
+"""
+
+
+def q_sim_mips_lsh(spark, sf_dir):
+    """SQL-checked recall invariant for the MIPS SCALE path
+    (operators/similarity.py::mips_topk_lsh — the Bachrach et al.
+    norm-augmentation reduction over the unchanged hyperplane-LSH
+    index; bucket membership is hyperplane-seeded, so the rows can't
+    be oracled — the per-query recall against the exact brute-force
+    MIPS top-k can).  Per-query floor 0.6 (the sim_lsh_topk
+    discipline)."""
+    from .operators.similarity import mips_topk, mips_topk_lsh
+
+    em = _t(spark, sf_dir, "embeddings")
+    q = em.filter(F.col("vec_id") < 5)
+    exact = mips_topk(em, q, k=5).select(
+        "query_id", F.col("neighbor_id").alias("__e"))
+    approx = mips_topk_lsh(em, q, k=5).select(
+        "query_id", F.col("neighbor_id").alias("__a"))
+    hits = (exact.join(approx, (exact.query_id == approx.query_id)
+                       & (F.col("__e") == F.col("__a")))
+            .groupBy(exact.query_id).agg(F.count("*").alias("__hits")))
+    return (exact.groupBy("query_id").agg(F.count("*").alias("n_exact"))
+            .join(hits, "query_id", "left")
+            .select("query_id", "n_exact",
+                    (F.coalesce(F.col("__hits"), F.lit(0)) / F.col("n_exact")
+                     >= 0.6).alias("recall_ge_060")))
+
+
+SQL_SIM_MIPS_LSH = (
+    "SELECT vec_id AS query_id, 5 AS n_exact, TRUE AS recall_ge_060 "
+    "FROM embeddings WHERE vec_id < 5"
+)
+
+
 def q_sim_hard_negatives_lsh(spark, sf_dir):
     """SQL-checked recall invariant for the hard-negative SCALE path
     (operators/similarity.py::hard_negatives_lsh: multi-table LSH
@@ -4373,6 +4433,46 @@ FROM h
 """
 
 
+def q_corpus_effective_size(spark, sf_dir):
+    """Dedup-aware corpus diversity indices (operators/corpus.py::
+    effective_corpus_size): unique-cluster count, dedup ratio,
+    inverse-Simpson and Shannon (Hill-number) effective corpus sizes
+    over the near-dup component structure.  Simpson is an exact
+    integer ratio; the Shannon entropy sum is per-group
+    floor-quantized to 1e-9 units before a long sum, so both engines
+    add the same integers.  Ground truth via the same recursive-CTE
+    components as the cluster histogram."""
+    from .operators.corpus import effective_corpus_size
+
+    return effective_corpus_size(_t(spark, sf_dir, "documents"),
+                                 "text", "doc_id", threshold=0.5)
+
+
+SQL_CORPUS_EFFECTIVE_SIZE = _SPLIT_COMP_CTE + """
+, sz AS (
+  SELECT component, count(*) AS s FROM lab GROUP BY component
+), h AS (
+  SELECT s, count(*) AS n FROM sz GROUP BY s
+), tot AS (
+  -- DuckDB identifiers are case-insensitive: the total must NOT be
+  -- named N or it collides with h.n inside hh
+  SELECT sum(s * n) AS nd FROM h
+), hh AS (
+  SELECT h.s, h.n, tot.nd,
+         CAST(floor(h.n * (h.s / CAST(tot.nd AS DOUBLE))
+              * ln(CAST(tot.nd AS DOUBLE) / h.s) * 1e9) AS BIGINT) AS h9
+  FROM h, tot
+)
+SELECT CAST(max(nd) AS BIGINT) AS n_docs,
+  CAST(sum(n) AS BIGINT) AS n_clusters,
+  round(sum(n) / CAST(max(nd) AS DOUBLE), 6) AS dedup_ratio,
+  round(max(nd) * max(nd) / CAST(sum(n * s * s) AS DOUBLE), 6)
+    AS simpson_eff,
+  round(exp(sum(h9) / 1e9), 6) AS shannon_eff
+FROM hh
+"""
+
+
 # ---------------------------------------------------------------------------
 # Images-table queries with DuckDB oracles: DuckDB reads the
 # deterministic generated parquet directly by path.  The driver
@@ -5857,6 +5957,12 @@ _ALL_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | No
     "sim_topk_cosine": (q_sim_topk_cosine, SQL_SIM_TOPK_COSINE),
     "sim_hard_negatives": (q_sim_hard_negatives, SQL_SIM_HARD_NEGATIVES),
     "sim_lsh_topk": (q_sim_lsh_topk, SQL_SIM_LSH_TOPK),
+    # round-4 session-10 wave: MIPS retrieval (exact + the
+    # norm-augmentation LSH scale path) and dedup-aware diversity
+    "sim_mips_topk": (q_sim_mips_topk, SQL_SIM_MIPS_TOPK),
+    "sim_mips_lsh": (q_sim_mips_lsh, SQL_SIM_MIPS_LSH),
+    "corpus_effective_size": (q_corpus_effective_size,
+                              SQL_CORPUS_EFFECTIVE_SIZE),
     "sim_hard_negatives_lsh": (q_sim_hard_negatives_lsh,
                                SQL_SIM_HARD_NEGATIVES_LSH),
     "sim_ivf_topk": (q_sim_ivf_topk, SQL_SIM_IVF_TOPK),

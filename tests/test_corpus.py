@@ -649,3 +649,48 @@ def test_contamination_sweep_monotone_in_n(spark):
     for r in rows:
         assert 0 <= r["contaminated_rate"] <= 1
         assert r["n_docs"] > 0
+
+
+def test_effective_corpus_size_known_structure(spark):
+    """Diversity indices on a corpus with a KNOWN cluster structure
+    (3 copies of A, 2 of B, 1 unique): dedup_ratio 3/6, inverse
+    Simpson 36/14, Shannon effective size exp(H) — all vs closed-form
+    numpy."""
+    import math
+
+    from data_quality_check_spark.operators.corpus import (
+        effective_corpus_size)
+
+    texts = (["alpha beta gamma delta epsilon zeta"] * 3
+             + ["one two three four five six seven"] * 2
+             + ["lone wolf document with unique words"])
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    row = effective_corpus_size(df, "text", "doc_id").collect()[0]
+    assert row["n_docs"] == 6 and row["n_clusters"] == 3
+    assert row["dedup_ratio"] == 0.5
+    assert row["simpson_eff"] == round(36 / 14, 6)
+    h = (3 / 6) * math.log(6 / 3) + (2 / 6) * math.log(6 / 2) \
+        + (1 / 6) * math.log(6 / 1)
+    # per-group 1e-9 floor quantization of the entropy terms
+    h9 = sum(math.floor(t * 1e9) for t in
+             [(3 / 6) * math.log(6 / 3), (2 / 6) * math.log(6 / 2),
+              (1 / 6) * math.log(6 / 1)])
+    assert row["shannon_eff"] == round(math.exp(h9 / 1e9), 6)
+    assert abs(row["shannon_eff"] - math.exp(h)) < 1e-6
+
+
+def test_effective_corpus_size_no_dups_is_identity(spark):
+    """All-unique corpus: every index equals the document count."""
+    from data_quality_check_spark.operators.corpus import (
+        effective_corpus_size)
+
+    texts = [f"totally unique words number{i} payload{i * 7} tail{i}"
+             for i in range(5)]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    row = effective_corpus_size(df, "text", "doc_id").collect()[0]
+    assert row["n_docs"] == 5 and row["n_clusters"] == 5
+    assert row["dedup_ratio"] == 1.0
+    assert row["simpson_eff"] == 5.0
+    assert abs(row["shannon_eff"] - 5.0) < 1e-5

@@ -350,3 +350,61 @@ def test_hard_negatives_lsh_recall_floor(spark):
     assert len(exact & approx) / len(exact) >= 0.8
     assert all(r["anchor_label"] != r["negative_label"] for r in rows)
     assert all(r["cos"] < 0.99 for r in rows)
+
+
+def test_mips_topk_matches_numpy(spark):
+    """Exact MIPS against a numpy brute force on raw inner products
+    (round-6 + id tiebreak, the cross-engine ranking discipline)."""
+    from data_quality_check_spark.operators.similarity import mips_topk
+
+    em = _emb(spark)
+    got = mips_topk(em, em.filter(F.col("vec_id") < 3), k=5).toPandas()
+    pdf = em.toPandas()
+    X = np.array(pdf.embedding.tolist(), dtype=np.float64)
+    ids = pdf.vec_id.to_numpy()
+    for qid in range(3):
+        qi = np.nonzero(ids == qid)[0][0]
+        ip = np.round(X @ X[qi], 6)
+        ip[qi] = -np.inf
+        order = sorted(range(len(ids)), key=lambda j: (-ip[j], ids[j]))[:5]
+        want = [ids[j] for j in order]
+        have = got[got.query_id == qid].sort_values("rk").neighbor_id.tolist()
+        assert have == want, (qid, have, want)
+
+
+def test_mips_is_not_cosine_when_norms_vary(spark):
+    """The operator's reason to exist: a large-norm vector wins MIPS
+    while a better-aligned small vector wins cosine."""
+    from data_quality_check_spark.operators.similarity import (
+        cosine_topk, mips_topk)
+
+    rows = [
+        (0, [1.0] + [0.0] * 63, 0),            # query
+        (1, [0.99] + [0.01] * 63, 0),          # aligned, small norm
+        (2, [5.0, 3.0] + [0.0] * 62, 0),       # misaligned, big norm
+    ]
+    em = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int")
+    q = em.filter(F.col("vec_id") == 0)
+    mips1 = mips_topk(em, q, k=1).collect()[0]["neighbor_id"]
+    cos1 = cosine_topk(em, q, k=1).collect()[0]["neighbor_id"]
+    assert mips1 == 2 and cos1 == 1
+
+
+def test_mips_lsh_recall_floor(spark):
+    """The norm-augmentation LSH path recovers >= 0.8 of exact MIPS
+    overall on the uniform-random fixture, and every returned score
+    equals the true inner product (exactly scored candidates)."""
+    from data_quality_check_spark.operators.similarity import (
+        mips_topk, mips_topk_lsh)
+
+    em = _emb(spark)
+    q = em.filter(F.col("vec_id") < 5)
+    exact = mips_topk(em, q, k=5).toPandas()
+    approx = mips_topk_lsh(em, q, k=5).toPandas()
+    assert _recall_at_k(exact, approx) >= 0.8
+    truth = {(r.query_id, r.neighbor_id): r.ip
+             for r in exact.itertuples()}
+    for r in approx.itertuples():
+        if (r.query_id, r.neighbor_id) in truth:
+            assert truth[(r.query_id, r.neighbor_id)] == r.ip
