@@ -267,3 +267,51 @@ def profile_drift(old: DataFrame, new: DataFrame, cols: list[str],
                     F.round(F.col("__al_n") - F.col("__al_o"), 6)
                     .alias("avg_len_delta"),
                     drifted.alias("drifted")))
+
+
+def split_contamination(train: DataFrame, eval_df: DataFrame,
+                        threshold: float = 0.95,
+                        id_col: str = "vec_id",
+                        vec_col: str = "embedding") -> DataFrame:
+    """Embedding-level train/eval contamination audit: for every EVAL
+    row, how many TRAIN rows sit within cosine >= `threshold`, plus
+    the max cosine and the worst offender — the semantic companion of
+    the n-gram decontamination family (a paraphrased or re-encoded
+    copy of an eval item shares no 13-gram but cos ~0.97+).
+
+    Scale shape (10^12 train rows): the EVAL side is small by nature
+    (benchmarks are 10^3-10^6 rows), so it BROADCASTS and the train
+    table streams through map-side — one scan, no shuffle of train
+    vectors, and the per-eval aggregate is a groupBy on the eval id
+    only.  Exact by construction (every train row is scored), which
+    is what an audit wants — LSH recall misses are exactly the
+    contaminated pairs you care about; cost is one fused
+    multiply-add pass per (train, eval) pair, the same budget as one
+    epoch of a linear probe."""
+    from .similarity import _dot, _dvec, _norm
+
+    t = train.select(F.col(id_col).alias("train_id"),
+                     _dvec(F.col(vec_col)).alias("tv"))
+    t = t.select("train_id", "tv", _norm(F.col("tv")).alias("__tn"))
+    e = eval_df.select(F.col(id_col).alias("eval_id"),
+                       _dvec(F.col(vec_col)).alias("ev"))
+    e = e.select("eval_id", "ev", _norm(F.col("ev")).alias("__en"))
+    scored = (t.crossJoin(F.broadcast(e))
+              .withColumn("cos", F.round(
+                  _dot(F.col("tv"), F.col("ev"))
+                  / (F.col("__tn") * F.col("__en")), 6)))
+    hits = scored.filter(F.col("cos") >= threshold)
+    agg = hits.groupBy("eval_id").agg(
+        F.count("*").alias("n_contaminating"),
+        F.max("cos").alias("max_cos"),
+        F.min(F.struct((-F.col("cos")).alias("__nc"),
+                       F.col("train_id"))).alias("__w"))
+    base = e.select("eval_id")
+    return (base.join(agg, "eval_id", "left")
+            .select("eval_id",
+                    F.coalesce("n_contaminating", F.lit(0))
+                    .cast("long").alias("n_contaminating"),
+                    F.col("max_cos"),
+                    F.col("__w.train_id").alias("worst_train_id"),
+                    (F.coalesce("n_contaminating", F.lit(0)) > 0)
+                    .alias("is_contaminated")))

@@ -1616,6 +1616,60 @@ SQL_SIM_MIPS_LSH = (
 )
 
 
+def q_dq_split_contamination(spark, sf_dir):
+    """Embedding-level train/eval contamination audit (operators/
+    dq.py::split_contamination): per eval row, the count / max-cos /
+    worst offender among train rows with cosine >= threshold — the
+    semantic companion of the n-gram decontamination keys (a
+    paraphrase shares no 13-gram but cos ~0.97).  Split is the
+    keyed-md5 discipline (resume-stable, engine-portable); the 0.38
+    threshold is tuned to the synthetic corpus's cosine range so both
+    the contaminated and the clean branch carry rows (production
+    default 0.95).  Exact by construction: the eval side broadcasts
+    and every train row is scored in one map-side pass — an audit
+    must not delegate recall to LSH, because the misses ARE the
+    contamination."""
+    from .operators.dq import split_contamination
+
+    em = _t(spark, sf_dir, "embeddings")
+    ev_key = F.substring(
+        F.md5(F.concat(F.lit("ev:"), F.col("vec_id").cast("string"))), 1, 2)
+    return split_contamination(em.filter(ev_key >= "1a"),
+                               em.filter(ev_key < "1a"),
+                               threshold=0.38)
+
+
+SQL_DQ_SPLIT_CONTAMINATION = """
+WITH e AS (
+  SELECT vec_id, embedding FROM embeddings
+  WHERE substr(md5('ev:' || CAST(vec_id AS VARCHAR)), 1, 2) < '1a'
+), t AS (
+  SELECT vec_id, embedding FROM embeddings
+  WHERE substr(md5('ev:' || CAST(vec_id AS VARCHAR)), 1, 2) >= '1a'
+), scored AS (
+  SELECT e.vec_id AS eval_id, t.vec_id AS train_id,
+    round(
+      list_sum(list_transform(list_zip(t.embedding, e.embedding),
+               p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+      / (sqrt(list_sum(list_transform(t.embedding,
+               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+       * sqrt(list_sum(list_transform(e.embedding,
+               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6) AS cos
+  FROM t, e
+), hits AS (
+  SELECT eval_id, count(*) AS n_contaminating, max(cos) AS max_cos,
+    (array_agg(train_id ORDER BY cos DESC, train_id ASC))[1]
+      AS worst_train_id
+  FROM scored WHERE cos >= 0.38 GROUP BY eval_id
+)
+SELECT e.vec_id AS eval_id,
+  CAST(coalesce(h.n_contaminating, 0) AS BIGINT) AS n_contaminating,
+  h.max_cos, h.worst_train_id,
+  coalesce(h.n_contaminating, 0) > 0 AS is_contaminated
+FROM e LEFT JOIN hits h ON e.vec_id = h.eval_id
+"""
+
+
 def q_sim_hard_negatives_lsh(spark, sf_dir):
     """SQL-checked recall invariant for the hard-negative SCALE path
     (operators/similarity.py::hard_negatives_lsh: multi-table LSH
@@ -5963,6 +6017,8 @@ _ALL_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | No
     "sim_mips_lsh": (q_sim_mips_lsh, SQL_SIM_MIPS_LSH),
     "corpus_effective_size": (q_corpus_effective_size,
                               SQL_CORPUS_EFFECTIVE_SIZE),
+    "dq_split_contamination": (q_dq_split_contamination,
+                               SQL_DQ_SPLIT_CONTAMINATION),
     "sim_hard_negatives_lsh": (q_sim_hard_negatives_lsh,
                                SQL_SIM_HARD_NEGATIVES_LSH),
     "sim_ivf_topk": (q_sim_ivf_topk, SQL_SIM_IVF_TOPK),

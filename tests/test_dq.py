@@ -32,3 +32,31 @@ def test_column_profile_matches_pandas(spark):
     assert np.isnan(out.loc["s", "mean_numeric"])
     assert out.loc["const", "n_distinct"] == 1
     assert out.loc["const", "mean_numeric"] == 7.5
+
+
+def test_split_contamination_planted_pair(spark):
+    """A planted eval near-copy is flagged with the right offender;
+    a clean eval row reports 0 / NULLs through the left join."""
+    from data_quality_check_spark.operators.dq import split_contamination
+
+    base = [1.0] * 8
+    rows_t = [
+        (10, [v + 0.01 for v in base]),        # near-copy of eval 1
+        (11, [1.0, -1.0] * 4),                 # orthogonal-ish
+        (12, [v + 0.02 for v in base]),        # second near-copy
+    ]
+    rows_e = [
+        (1, base),
+        (2, [-1.0, 1.0] * 4),                  # clean: no train match
+    ]
+    t = spark.createDataFrame(rows_t, "vec_id long, embedding array<double>")
+    e = spark.createDataFrame(rows_e, "vec_id long, embedding array<double>")
+    out = {r["eval_id"]: r
+           for r in split_contamination(t, e, threshold=0.95).collect()}
+    assert out[1]["n_contaminating"] == 2
+    assert out[1]["worst_train_id"] == 10   # higher cos than 12
+    assert out[1]["is_contaminated"] and out[1]["max_cos"] >= 0.99
+    assert out[2]["n_contaminating"] == 0
+    assert out[2]["max_cos"] is None
+    assert out[2]["worst_train_id"] is None
+    assert not out[2]["is_contaminated"]
