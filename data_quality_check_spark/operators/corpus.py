@@ -894,3 +894,48 @@ def bigram_nll_score(df: DataFrame, text_col: str = "text",
                     F.round(F.col("nll_ppm_sum").cast("double")
                             / F.col("n_bigrams") / 1e6, 6)
                     .alias("avg_nll")))
+
+
+def curriculum_order(df: DataFrame, tier_col: str, id_col: str,
+                     shard_chars: int = 1, salt: str = "cur:") -> DataFrame:
+    """Deterministic curriculum enumeration: a total training order
+    (easy/high-quality tiers first, shuffled within tier) WITHOUT a
+    single-partition global window — the thing a naive
+    row_number() OVER (ORDER BY ...) gets wrong at corpus scale.
+
+    Per row: shard = `shard_chars`-hex-char keyed-md5 prefix (16^c
+    hash-range shards, balanced to ~sqrt(n); a STRING key — no
+    integer parse, portable to any engine, the train_shard_assign
+    discipline); pos_in_shard = rank within
+    (tier, shard) ordered by a SECOND keyed-md5 (the within-tier
+    shuffle; resume-stable, no RNG state); global_pos = pos_in_shard
+    + the cumulative count of all earlier (tier, shard) groups.
+
+    Scale shape: the only per-row window partitions by (tier, shard)
+    — bounded partitions by construction; the offset table is
+    tiers x shards rows (a few hundred), computed with a tiny window
+    and broadcast back.  Total order is (tier asc, shard asc, shuffle
+    key) lexicographic, so readers can also stream shards
+    independently and still honor the curriculum."""
+    kshuf = F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string")))
+    kshard = F.md5(F.concat(F.lit("shard:"),
+                            F.col(id_col).cast("string")))
+    base = df.select(
+        F.col(id_col), F.col(tier_col).alias("tier"),
+        F.substring(kshuf, 1, 8).alias("shuffle_key"),
+        F.substring(kshard, 1, shard_chars).alias("shard"))
+    w = Window.partitionBy("tier", "shard").orderBy(
+        F.asc("shuffle_key"), F.asc(id_col))
+    pos = base.withColumn("pos_in_shard",
+                          F.row_number().over(w).cast("long"))
+    counts = base.groupBy("tier", "shard").agg(
+        F.count("*").alias("__c"))
+    wo = (Window.orderBy(F.asc("tier"), F.asc("shard"))
+          .rowsBetween(Window.unboundedPreceding, -1))
+    offsets = counts.select(
+        "tier", "shard",
+        F.coalesce(F.sum("__c").over(wo), F.lit(0)).alias("__off"))
+    return (pos.join(F.broadcast(offsets), ["tier", "shard"])
+            .select(id_col, "tier", "shard", "pos_in_shard",
+                    (F.col("__off") + F.col("pos_in_shard"))
+                    .cast("long").alias("global_pos")))

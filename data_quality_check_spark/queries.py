@@ -2358,6 +2358,57 @@ SQL_TEXT_QUALITY_TIERS = (
 )
 
 
+def q_train_curriculum_order(spark, sf_dir):
+    """Deterministic curriculum enumeration (operators/corpus.py::
+    curriculum_order) over the language-balanced quality tiers: a
+    TOTAL training order (best tiers first, keyed-md5 shuffle within
+    tier) produced WITHOUT a single-partition global window — the
+    per-row window partitions by (tier, shard) and the global offsets
+    come from a tiers-x-shards count table (a few hundred rows)
+    broadcast back.  SQL-exact including every global position."""
+    from .operators.corpus import curriculum_order
+
+    d = _t(spark, sf_dir, "documents")
+    score = F.round(
+        0.4 * F.least(F.lit(1.0), F.length("text") / F.lit(200.0))
+        + 0.3 * _stop_ratio()
+        + 0.3 * _distinct_ratio(), 6)
+    w = Window.partitionBy("lang").orderBy(
+        F.desc("quality_score"), F.asc("doc_id"))
+    tiers = (d.select("doc_id", "lang", score.alias("quality_score"))
+             .withColumn("tier", F.ntile(10).over(w)))
+    return curriculum_order(tiers.select("doc_id", "tier"),
+                            "tier", "doc_id")
+
+
+SQL_TRAIN_CURRICULUM_ORDER = (
+    "WITH s AS (SELECT doc_id, lang, "
+    "round(0.4 * least(1.0, length(text) / 200.0) "
+    f"+ 0.3 * {_DOC_SR_SQL} + 0.3 * {_DOC_DR_SQL}, 6) AS quality_score "
+    "FROM documents), t AS ("
+    "SELECT doc_id, ntile(10) OVER (PARTITION BY lang "
+    "ORDER BY quality_score DESC, doc_id ASC) AS tier FROM s"
+    "), b AS ("
+    "SELECT doc_id, tier, "
+    "substr(md5('cur:' || CAST(doc_id AS VARCHAR)), 1, 8) AS shuffle_key, "
+    "substr(md5('shard:' || CAST(doc_id AS VARCHAR)), 1, 1) AS shard "
+    "FROM t), p AS ("
+    "SELECT doc_id, tier, shard, shuffle_key, "
+    "CAST(row_number() OVER (PARTITION BY tier, shard "
+    "ORDER BY shuffle_key ASC, doc_id ASC) AS BIGINT) AS pos_in_shard "
+    "FROM b), c AS ("
+    "SELECT tier, shard, count(*) AS cnt FROM b GROUP BY tier, shard"
+    "), o AS ("
+    "SELECT tier, shard, CAST(coalesce(sum(cnt) OVER ("
+    "ORDER BY tier ASC, shard ASC "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) "
+    "AS off FROM c) "
+    "SELECT p.doc_id, p.tier, p.shard, p.pos_in_shard, "
+    "CAST(o.off + p.pos_in_shard AS BIGINT) AS global_pos "
+    "FROM p JOIN o USING (tier, shard)"
+)
+
+
 def q_text_langid_heuristic(spark, sf_dir):
     """Stopword-vote language ID: argmax over per-language stopword
     hit counts (ties broken in LANGS order, zero votes => 'und').
@@ -6019,6 +6070,8 @@ _ALL_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | No
                               SQL_CORPUS_EFFECTIVE_SIZE),
     "dq_split_contamination": (q_dq_split_contamination,
                                SQL_DQ_SPLIT_CONTAMINATION),
+    "train_curriculum_order": (q_train_curriculum_order,
+                               SQL_TRAIN_CURRICULUM_ORDER),
     "sim_hard_negatives_lsh": (q_sim_hard_negatives_lsh,
                                SQL_SIM_HARD_NEGATIVES_LSH),
     "sim_ivf_topk": (q_sim_ivf_topk, SQL_SIM_IVF_TOPK),

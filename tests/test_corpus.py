@@ -694,3 +694,22 @@ def test_effective_corpus_size_no_dups_is_identity(spark):
     assert row["dedup_ratio"] == 1.0
     assert row["simpson_eff"] == 5.0
     assert abs(row["shannon_eff"] - 5.0) < 1e-5
+
+
+def test_curriculum_order_is_total_and_tiered(spark):
+    """global_pos is exactly 1..N, every tier-1 row precedes every
+    tier-2 row, and the order is partitioning-invariant (pure
+    function of the rows)."""
+    from data_quality_check_spark.operators.corpus import curriculum_order
+
+    rows = [(i, 1 + (i % 3)) for i in range(97)]
+    df = spark.createDataFrame(rows, "doc_id long, tier int")
+    out = curriculum_order(df, "tier", "doc_id").toPandas()
+    assert sorted(out.global_pos) == list(range(1, 98))
+    by_id = out.set_index("doc_id")
+    t1 = out[out.tier == 1].global_pos.max()
+    t2 = out[out.tier == 2].global_pos
+    assert (t2 > t1).all()
+    out2 = (curriculum_order(df.repartition(7), "tier", "doc_id")
+            .toPandas().set_index("doc_id"))
+    assert (by_id.global_pos == out2.global_pos.reindex(by_id.index)).all()
