@@ -307,7 +307,9 @@ def split_contamination(train: DataFrame, eval_df: DataFrame,
         F.min(F.struct((-F.col("cos")).alias("__nc"),
                        F.col("train_id"))).alias("__w"))
     base = e.select("eval_id")
-    return (base.join(agg, "eval_id", "left")
+    # both sides of the closing left join are eval-sized (small by
+    # contract) — broadcast the agg so the report never shuffles
+    return (base.join(F.broadcast(agg), "eval_id", "left")
             .select("eval_id",
                     F.coalesce("n_contaminating", F.lit(0))
                     .cast("long").alias("n_contaminating"),

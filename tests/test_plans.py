@@ -258,3 +258,42 @@ def test_dihedral_collapse_plan_shape(spark):
     assert plan.count("CartesianProduct") == 0
     assert plan.count("BroadcastHashJoin") >= 4      # attach + expand
     assert "bytes" not in plan
+
+
+def test_split_contamination_train_never_shuffles(spark):
+    """The train side must stream map-side against a broadcast eval:
+    no SortMergeJoin anywhere, no Exchange before the broadcast
+    join (the only Exchanges aggregate the tiny hit set)."""
+    from data_quality_check_spark.operators.dq import split_contamination
+
+    em = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    out = split_contamination(em.filter("vec_id % 10 <> 0"),
+                              em.filter("vec_id % 10 = 0"),
+                              threshold=0.38)
+    plan = _plan(out)
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_mips_lsh_band_join_is_ids_only(spark):
+    """The augmented-LSH candidate join must carry ids only — the
+    64+1-dim vectors are fetched per-candidate afterwards, never
+    through the band Exchange; the query side broadcasts."""
+    from data_quality_check_spark.operators.similarity import mips_topk_lsh
+
+    em = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    plan = _plan(mips_topk_lsh(em, em.filter("vec_id < 5"), k=5))
+    assert "SortMergeJoin" not in plan
+
+
+def test_curriculum_order_offsets_broadcast(spark):
+    """The per-row side joins the tiny offset table via broadcast —
+    a SortMergeJoin here would shuffle every row on (tier, shard)
+    twice."""
+    from data_quality_check_spark.operators.corpus import curriculum_order
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet") \
+        .select("doc_id", (F.col("doc_id") % 5).alias("tier"))
+    plan = _plan(curriculum_order(d, "tier", "doc_id"))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
