@@ -209,3 +209,41 @@ def start_decontamination_stream(spark: SparkSession, in_path: str,
             .foreachBatch(process)
             .option("checkpointLocation", checkpoint_dir)
             .trigger(availableNow=True))
+
+
+def start_semantic_contamination_stream(spark: SparkSession,
+                                        in_path: str, schema_ddl: str,
+                                        eval_df: DataFrame, catalog,
+                                        checkpoint_dir: str,
+                                        table: str = "semantic_contamination",
+                                        threshold: float = 0.95,
+                                        max_files_per_trigger: int = 4):
+    """Streaming SEMANTIC contamination gate: every arriving embedding
+    shard is scored against the static held-out eval split
+    (operators/dq.py::split_contamination with the roles transposed —
+    here the STREAM side is 'train' and the broadcast eval is fixed),
+    appending per-eval-row contamination verdicts per micro-batch.
+    The ingest-time twin of the batch dq_split_contamination key,
+    sharing the operator verbatim; catches the paraphrased /
+    re-encoded eval copies the n-gram and phash gates structurally
+    miss.  State = none (the eval set is closed over and re-broadcast
+    per trigger; audits over accumulated history re-run the batch
+    operator over the union)."""
+    from pyspark.sql import functions as F
+
+    from ..operators.dq import split_contamination
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        out = split_contamination(batch_df, eval_df, threshold)
+        catalog.append(table, out.withColumn(
+            "batch_id", F.lit(batch_id).cast("long")))
+
+    stream = (spark.readStream.schema(schema_ddl)
+              .option("maxFilesPerTrigger", max_files_per_trigger)
+              .parquet(in_path))
+    return (stream.writeStream
+            .foreachBatch(process)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True))

@@ -408,3 +408,24 @@ def test_mips_lsh_recall_floor(spark):
     for r in approx.itertuples():
         if (r.query_id, r.neighbor_id) in truth:
             assert truth[(r.query_id, r.neighbor_id)] == r.ip
+
+
+def test_mips_norm_augmentation_identity():
+    """The reduction's correctness, checked directly (numpy, no
+    Spark): for random corpora, ranking by augmented-vector cosine
+    against the 0-padded query equals ranking by raw inner product —
+    exactly, for every query, because augmented corpus norms are all
+    M and the query norm is a per-query constant."""
+    rng = np.random.default_rng(7)
+    X = rng.standard_normal((200, 16)) * rng.uniform(0.2, 3.0, (200, 1))
+    Q = rng.standard_normal((10, 16))
+    M = np.linalg.norm(X, axis=1).max()
+    aug = np.hstack([X, np.sqrt(np.maximum(
+        0.0, M * M - (X * X).sum(axis=1)))[:, None]])
+    qa = np.hstack([Q, np.zeros((len(Q), 1))])
+    an = aug / np.linalg.norm(aug, axis=1, keepdims=True)
+    for i in range(len(Q)):
+        ip_order = np.argsort(-(X @ Q[i]), kind="stable")
+        cos_order = np.argsort(
+            -(an @ (qa[i] / np.linalg.norm(qa[i]))), kind="stable")
+        assert (ip_order == cos_order).all()

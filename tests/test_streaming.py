@@ -443,3 +443,51 @@ def test_streaming_decontamination_dihedral_gate(spark, shard_dir):
         assert a.equals(b)
     finally:
         shutil.rmtree(out_root, ignore_errors=True)
+
+
+def test_streaming_semantic_contamination_reaggregates(spark, shard_dir):
+    """Per-micro-batch semantic contamination verdicts RE-AGGREGATE to
+    the batch audit over the union: sum of per-batch counts and max of
+    per-batch max_cos per eval row equal one split_contamination run
+    (shared operator; streaming adds only the batch_id tag)."""
+    from data_quality_check_spark.operators.dq import split_contamination
+    from data_quality_check_spark.plans.catalog import LocalParquetCatalog
+    from data_quality_check_spark.streaming.dq import (
+        start_semantic_contamination_stream)
+
+    em = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet").toPandas()
+    ev_pdf = em[em.vec_id % 10 == 0]
+    tr_pdf = em[em.vec_id % 10 != 0]
+    ev = spark.createDataFrame(ev_pdf)
+
+    for i, chunk in enumerate((tr_pdf.iloc[:225], tr_pdf.iloc[225:])):
+        chunk.to_parquet(os.path.join(shard_dir, f"e{i}.parquet"),
+                         index=False)
+
+    ddl = "vec_id bigint, embedding array<float>, label int"
+    out_root = tempfile.mkdtemp(prefix="dqc-semcon-stream-")
+    try:
+        cat = LocalParquetCatalog(spark, out_root)
+        q = start_semantic_contamination_stream(
+            spark, shard_dir, ddl, ev, cat,
+            checkpoint_dir=os.path.join(out_root, "ckpt"),
+            threshold=0.38, max_files_per_trigger=1).start()
+        q.awaitTermination(120)
+
+        got = cat.read_table("semantic_contamination").toPandas()
+        assert set(got.batch_id) == {0, 1}
+        agg = (got.groupby("eval_id")
+               .agg(n=("n_contaminating", "sum"),
+                    mc=("max_cos", "max")).reset_index())
+
+        want = split_contamination(
+            spark.createDataFrame(tr_pdf), ev, 0.38).toPandas()
+        merged = want.merge(agg, on="eval_id")
+        assert len(merged) == len(want) == len(ev_pdf)
+        assert (merged.n_contaminating == merged.n).all()
+        hit = merged[merged.n_contaminating > 0]
+        assert len(hit) > 0  # fixture has real hits at 0.38
+        assert (hit.max_cos == hit.mc).all()
+    finally:
+        shutil.rmtree(out_root, ignore_errors=True)
