@@ -939,3 +939,55 @@ def curriculum_order(df: DataFrame, tier_col: str, id_col: str,
             .select(id_col, "tier", "shard", "pos_in_shard",
                     (F.col("__off") + F.col("pos_in_shard"))
                     .cast("long").alias("global_pos")))
+
+
+def token_budget_plan(df: DataFrame, group_col: str, token_col,
+                      budget: int) -> DataFrame:
+    """Token-budget mixing plan: allocate an exact integer token
+    budget across groups (sources/languages) proportionally to their
+    token mass, using LARGEST-REMAINDER rounding so the quotas sum to
+    exactly `budget` (or to the corpus total when the budget exceeds
+    it) — the allocation a data-mixing run executes before sampling.
+
+    All arithmetic is integer/decimal: base_g = floor(B*t_g/T),
+    remainder_g = B*t_g - base_g*T, and the B - sum(base) leftover
+    units go to the largest remainders (group-name tiebreak) — no
+    float division anywhere, so the plan is bit-identical on any
+    engine and any partitioning.  Products ride decimal(38,0):
+    B ~ 10^13 times t_g ~ 10^13 overflows int64 exactly where real
+    corpora live.
+
+    Scale: one counts-only groupBy; everything after operates on the
+    per-group table (thousands of rows at most — windows over it are
+    bounded by construction and documented as such)."""
+    d38 = "decimal(38,0)"
+    counts = df.groupBy(group_col).agg(
+        F.count("*").alias("n_docs"),
+        F.sum(token_col).cast(d38).alias("__t"))
+    b = F.lit(budget).cast(d38)
+    # the corpus total / base-quota sum ride FULL-FRAME windows over
+    # the per-group table (bounded by group cardinality — thousands
+    # of rows) instead of an agg + crossJoin.  NB the total must NOT
+    # be named __T: Spark resolves column names case-insensitively,
+    # so __T both REPLACES __t in withColumn and makes select("__t")
+    # ambiguous — the same case-collision trap DuckDB hit with N/n
+    # in the corpus_effective_size oracle
+    wsum = Window.rowsBetween(Window.unboundedPreceding,
+                              Window.unboundedFollowing)
+    j = counts.withColumn("__tot", F.sum("__t").over(wsum).cast(d38))
+    j = j.withColumn(
+        "__base", F.floor(b * F.col("__t") / F.col("__tot")).cast(d38))
+    j = j.withColumn("__rem", (b * F.col("__t")
+                               - F.col("__base") * F.col("__tot")).cast(d38))
+    wrank = Window.orderBy(F.desc("__rem"), F.asc(group_col))
+    j = (j.withColumn("__L", b - F.sum("__base").over(wsum))
+          .withColumn("__rk", F.row_number().over(wrank)))
+    quota = F.when(F.col("__tot") <= b, F.col("__t")).otherwise(
+        F.col("__base")
+        + F.when(F.col("__rk") <= F.col("__L"), F.lit(1)).otherwise(0))
+    return j.select(
+        group_col, "n_docs",
+        F.col("__t").cast("long").alias("group_tokens"),
+        quota.cast("long").alias("quota_tokens"),
+        F.round(quota.cast("double") / F.col("__t").cast("double"), 6)
+         .alias("keep_frac"))

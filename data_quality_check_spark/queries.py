@@ -3867,6 +3867,51 @@ FROM wc GROUP BY id
 """
 
 
+def q_corpus_token_budget(spark, sf_dir):
+    """Token-budget mixing plan (operators/corpus.py::
+    token_budget_plan): allocate a 50k-token budget across sources
+    proportionally with LARGEST-REMAINDER rounding — quotas sum to
+    exactly the budget, all arithmetic integer/decimal (no float
+    division), so the plan is bit-identical on any engine and
+    SQL-exact including every +1 remainder unit."""
+    from .operators.corpus import token_budget_plan
+
+    d = _t(spark, sf_dir, "documents")
+    return token_budget_plan(d, "source", F.size(_doc_tokens()), 50000)
+
+
+SQL_CORPUS_TOKEN_BUDGET = """
+WITH c AS (
+  SELECT source, count(*) AS n_docs,
+    CAST(sum(len(list_filter(string_split(text, ' '), x -> x != '')))
+         AS HUGEINT) AS t
+  FROM documents GROUP BY source
+), tot AS (SELECT sum(t) AS tt FROM c
+), j AS (
+  SELECT c.source, c.n_docs, c.t, tot.tt,
+         CAST(50000 AS HUGEINT) * c.t // tot.tt AS base
+  FROM c, tot
+), r AS (
+  SELECT *,
+    CAST(50000 AS HUGEINT) * t - base * tt AS rem,
+    CAST(50000 AS HUGEINT) - sum(base) OVER () AS lft,
+    row_number() OVER (
+      ORDER BY (CAST(50000 AS HUGEINT) * t - base * tt) DESC,
+               source ASC) AS rk
+  FROM j
+), q AS (
+  SELECT source, n_docs, t,
+    CASE WHEN tt <= 50000 THEN t
+         ELSE base + CASE WHEN rk <= lft THEN 1 ELSE 0 END END AS quota
+  FROM r
+)
+SELECT source, n_docs, CAST(t AS BIGINT) AS group_tokens,
+  CAST(quota AS BIGINT) AS quota_tokens,
+  round(CAST(quota AS DOUBLE) / CAST(t AS DOUBLE), 6) AS keep_frac
+FROM q
+"""
+
+
 def q_corpus_source_overlap(spark, sf_dir):
     """Exact word-3-gram Jaccard between source corpora
     (operators/corpus.py::source_overlap)."""
@@ -6072,6 +6117,8 @@ _ALL_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | No
                                SQL_DQ_SPLIT_CONTAMINATION),
     "train_curriculum_order": (q_train_curriculum_order,
                                SQL_TRAIN_CURRICULUM_ORDER),
+    "corpus_token_budget": (q_corpus_token_budget,
+                            SQL_CORPUS_TOKEN_BUDGET),
     "sim_hard_negatives_lsh": (q_sim_hard_negatives_lsh,
                                SQL_SIM_HARD_NEGATIVES_LSH),
     "sim_ivf_topk": (q_sim_ivf_topk, SQL_SIM_IVF_TOPK),

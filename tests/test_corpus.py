@@ -713,3 +713,23 @@ def test_curriculum_order_is_total_and_tiered(spark):
     out2 = (curriculum_order(df.repartition(7), "tier", "doc_id")
             .toPandas().set_index("doc_id"))
     assert (by_id.global_pos == out2.global_pos.reindex(by_id.index)).all()
+
+
+def test_token_budget_plan_largest_remainder_exact(spark):
+    """Known allocation: budget 10 over token masses (7, 5, 3):
+    bases floor(10*t/15) = (4, 3, 2) = 9, one leftover unit goes to
+    the largest remainder (7*10=70, rem 70-60=10; 50-45=5; 30-30=0)
+    -> quotas (5, 3, 2) summing exactly to 10; budget >= total keeps
+    everything."""
+    from data_quality_check_spark.operators.corpus import token_budget_plan
+
+    rows = [("a", 7), ("b", 5), ("c", 3)]
+    df = spark.createDataFrame(rows, "src string, ntok int")
+    out = {r["src"]: r for r in
+           token_budget_plan(df, "src", F.col("ntok"), 10).collect()}
+    assert {k: v["quota_tokens"] for k, v in out.items()} == \
+        {"a": 5, "b": 3, "c": 2}
+    assert sum(v["quota_tokens"] for v in out.values()) == 10
+    full = token_budget_plan(df, "src", F.col("ntok"), 100).collect()
+    assert all(r["quota_tokens"] == r["group_tokens"] for r in full)
+    assert all(r["keep_frac"] == 1.0 for r in full)

@@ -464,6 +464,39 @@ def one_run():
     out.agg(F.bit_xor(F.xxhash64(F.struct(*out.columns)))).collect()
     return time.time() - t0
 """,
+    "mips_lsh": """
+# ANN/similarity family scaling row: norm-augmentation MIPS-LSH over
+# a 100x-replicated embedding corpus (each replica scaled by a
+# distinct 1 + rep*1e-4 factor: distinct vectors, same directions —
+# the near-dup-heavy regime a web-scale embedding store actually
+# has; positively-scaled replicas share every hyperplane sign, so
+# the band join carries the worst-case family fan-out).  Data
+# stages: banded signature build (codegen sums), ids-only band join,
+# per-candidate exact dot re-score — shuffle+HOF-bound, zero Python.
+from pyspark.sql import functions as F
+from data_quality_check_spark.operators.similarity import mips_topk_lsh
+
+R = 100
+base = spark.read.parquet(f"/root/testdata/sf{sf:g}/embeddings.parquet")
+corpus = (base.crossJoin(spark.range(R).select(F.col("id").alias("__rep")))
+          .select((F.col("vec_id") * 128 + F.col("__rep")).alias("vec_id"),
+                  F.transform(
+                      "embedding",
+                      lambda x: x * (F.lit(1.0)
+                                     + F.col("__rep") / F.lit(10000.0)))
+                  .alias("embedding"))
+          .localCheckpoint())
+queries = corpus.filter((F.col("vec_id") % 128 == 0)
+                        & (F.col("vec_id") < 32 * 128))
+N_UNITS = corpus.count()
+
+def one_run():
+    import time
+    t0 = time.time()
+    out = mips_topk_lsh(corpus, queries, k=5)
+    out.agg(F.bit_xor(F.xxhash64(F.struct(*out.columns)))).collect()
+    return time.time() - t0
+""",
 }
 
 WORKER = """
