@@ -4954,6 +4954,70 @@ FROM im LEFT JOIN comp ON im.image_id = comp.node
 """
 
 
+def q_image_storage_savings(spark, sf_dir):
+    """Dedup ROI report — the number a storage owner asks for before
+    approving the dedup job: per format, images / near-dup non-keepers
+    / payload bytes total / bytes reclaimed by dropping non-keepers /
+    reclaim fraction.  Byte counts come from length(bytes) taken IN
+    THE SCAN PROJECTION (the payload itself never enters a shuffle —
+    the CLAUDE.md invariant); cluster structure is the same
+    guaranteed-recall phash pipeline as dedup_image_pipeline, joined
+    back by id.  Same 2000-image bound (the ORACLE's quadratic
+    transitive closure, not the Spark job, is the limiter)."""
+    im = _images(spark, sf_dir).filter(
+        F.col("image_id") < "img_000000002000")
+    meta = im.select("image_id", "fmt",
+                     F.length("bytes").cast("long").alias("__nb"))
+    keep = dedup.image_near_dup_keepers(
+        im.select("image_id", "phash"), max_hamming=3).select(
+        F.col("id").alias("image_id"), "is_dup")
+    j = meta.join(keep, "image_id")
+    return (j.groupBy("fmt").agg(
+        F.count("*").alias("n_images"),
+        F.sum(F.col("is_dup").cast("long")).alias("n_dropped"),
+        F.sum("__nb").alias("bytes_total"),
+        F.sum(F.when(F.col("is_dup"), F.col("__nb")).otherwise(0))
+         .alias("bytes_reclaimed"))
+        .select("fmt", "n_images", "n_dropped", "bytes_total",
+                "bytes_reclaimed",
+                F.round(F.col("bytes_reclaimed")
+                        / F.col("bytes_total").cast("double"), 6)
+                 .alias("reclaim_frac")))
+
+
+SQL_IMAGE_STORAGE_SAVINGS = f"""
+WITH RECURSIVE im AS (
+  SELECT image_id, phash, fmt, octet_length(bytes) AS nb
+  FROM {IMAGES_SF001}
+  WHERE image_id < 'img_000000002000'
+), p AS (
+  SELECT a.image_id AS id_a, b.image_id AS id_b
+  FROM im a, im b
+  WHERE a.image_id < b.image_id AND bit_count(xor(a.phash, b.phash)) <= 3
+), e AS (
+  SELECT id_a AS src, id_b AS dst FROM p UNION SELECT id_b, id_a FROM p
+), n AS (SELECT DISTINCT src AS node FROM e),
+reach(node, r) AS (
+  SELECT node, node FROM n
+  UNION
+  SELECT reach.node, e.dst FROM reach JOIN e ON reach.r = e.src
+), comp AS (SELECT node, min(r) AS component FROM reach GROUP BY node),
+lab AS (
+  SELECT im.fmt, im.nb,
+         (coalesce(comp.component, im.image_id) <> im.image_id) AS is_dup
+  FROM im LEFT JOIN comp ON im.image_id = comp.node
+)
+SELECT fmt, count(*) AS n_images,
+  CAST(sum(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+  CAST(sum(nb) AS BIGINT) AS bytes_total,
+  CAST(sum(CASE WHEN is_dup THEN nb ELSE 0 END) AS BIGINT)
+    AS bytes_reclaimed,
+  round(sum(CASE WHEN is_dup THEN nb ELSE 0 END)
+        / CAST(sum(nb) AS DOUBLE), 6) AS reclaim_frac
+FROM lab GROUP BY fmt
+"""
+
+
 def q_win_dup_rank_images(spark, sf_dir):
     """O-23 proper: first-wins duplicate ranking on phash."""
     im = _images(spark, sf_dir).select("image_id", "phash")
@@ -6167,6 +6231,8 @@ _ALL_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | No
     "dedup_crossmodal": (q_dedup_crossmodal, SQL_DEDUP_CROSSMODAL),
     "layout_zorder": (q_layout_zorder, SQL_LAYOUT_ZORDER),
     "dedup_image_pipeline": (q_dedup_image_pipeline, SQL_DEDUP_IMAGE_PIPELINE),
+    "image_storage_savings": (q_image_storage_savings,
+                              SQL_IMAGE_STORAGE_SAVINGS),
     "dedup_exact_images": (q_dedup_exact_images, SQL_DEDUP_EXACT_IMAGES),
     "dedup_phash_groups": (q_dedup_phash_groups, SQL_DEDUP_PHASH_GROUPS),
     "dedup_incremental_images": (q_dedup_incremental_images,
