@@ -222,6 +222,8 @@ def ensure_hash_fixtures(sf: float = 0.01,
     paths = {
         "doc_minhash": os.path.join(root, f"doc_minhash_sf{sf:g}.parquet"),
         "doc_simhash": os.path.join(root, f"doc_simhash_sf{sf:g}.parquet"),
+        "doc_minhash_sigs": os.path.join(
+            root, f"doc_minhash_sigs_sf{sf:g}.parquet"),
     }
     if all(os.path.exists(p) for p in paths.values()):
         return paths
@@ -257,6 +259,20 @@ def ensure_hash_fixtures(sf: float = 0.01,
     mh["n"] = mh["n"].astype("int64")
     mh["keeper_id"] = mh["keeper_id"].astype("int64")
     _write(paths["doc_minhash"], mh)
+
+    # ---- raw per-doc signatures (doc_id, sig list<int64>) — the
+    # estimator-audit oracle (dedup_minhash_est_error) reads these to
+    # compute signature agreement in DuckDB ------------------------------
+    sig_rows = [{"doc_id": int(doc_id),
+                 "sig": [s - (1 << 64) if s >= (1 << 63) else s
+                         for s in _minhash_sig_py(text, num_hashes)]}
+                for doc_id, text in zip(docs["doc_id"], docs["text"])]
+    sigs_tbl = pa.Table.from_pylist(
+        sig_rows, schema=pa.schema([("doc_id", pa.int64()),
+                                    ("sig", pa.list_(pa.int64()))]))
+    tmp = paths["doc_minhash_sigs"] + ".tmp"
+    pq.write_table(sigs_tbl, tmp)
+    os.replace(tmp, paths["doc_minhash_sigs"])
 
     # ---- simhash (doc_id, simhash) ------------------------------------
     sims = []

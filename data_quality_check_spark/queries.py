@@ -1155,6 +1155,104 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
     return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
+def q_dedup_minhash_est_error(spark, sf_dir):
+    """MinHash estimator-quality audit — the release-gate check run
+    before trusting banding thresholds: on every exact char-5-shingle
+    Jaccard >= 0.3 pair of a bounded doc subset, compare the 16-bin
+    one-permutation signature agreement k/16 (an unbiased estimator
+    of shingle Jaccard, sd ~ sqrt(J(1-J)/16)) against the exact J.
+    One row: pair count, mean/max absolute error, mean estimate, mean
+    exact.  Per-pair errors are floor-quantized to 1e-9 units before
+    the long sum (batch-composition invariance); the estimate sum is
+    an exact integer (sum of k).  The DuckDB oracle recomputes exact
+    shingle Jaccard from scratch and reads the VALUE-PINNED signature
+    fixture (oracle_fixtures.ensure_hash_fixtures), so this key also
+    cross-checks the distributed signature aggregate end-to-end."""
+    from .operators.dedup import _shingles_of, minhash_signatures
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    low = d.select("doc_id", F.lower(F.col("text")).alias("__lt"))
+    sh = low.select("doc_id",
+                    F.array_distinct(_shingles_of("__lt", 5)).alias("sh"))
+    pairs = (sh.alias("a")
+             .join(sh.alias("b"), F.col("a.doc_id") < F.col("b.doc_id"))
+             .select(F.col("a.doc_id").alias("id_a"),
+                     F.col("b.doc_id").alias("id_b"),
+                     F.col("a.sh").alias("sa"), F.col("b.sh").alias("sb")))
+    inter = F.size(F.array_intersect("sa", "sb")).cast("double")
+    union = (F.size("sa") + F.size("sb")).cast("double") - inter
+    pairs = (pairs.withColumn("jx", F.round(inter / union, 6))
+             .filter(F.col("jx") >= 0.3).select("id_a", "id_b", "jx"))
+    sigs = minhash_signatures(d, "text", "doc_id")
+    j = (pairs
+         .join(sigs.select(F.col("doc_id").alias("id_a"),
+                           F.col("sig").alias("ga")), "id_a")
+         .join(sigs.select(F.col("doc_id").alias("id_b"),
+                           F.col("sig").alias("gb")), "id_b"))
+    k = F.aggregate(
+        F.zip_with("ga", "gb",
+                   lambda x, y: F.when(x == y, F.lit(1)).otherwise(0)),
+        F.lit(0), lambda acc, v: acc + v)
+    j = j.withColumn("k", k)
+    e9 = F.floor(F.abs(F.col("k") / 16 - F.col("jx")) * 1e9).cast("long")
+    j6 = F.round(F.col("jx") * 1e6).cast("long")
+    agg = j.agg(F.count("*").alias("n_pairs"),
+                F.sum(e9).alias("__e9"), F.max(e9).alias("__mx9"),
+                F.sum("k").alias("__sk"), F.sum(j6).alias("__sj6"))
+    return agg.select(
+        "n_pairs",
+        F.round(F.col("__e9") / 1e9 / F.col("n_pairs"), 6)
+         .alias("mean_abs_err"),
+        F.round(F.col("__mx9") / 1e9, 6).alias("max_abs_err"),
+        F.round(F.col("__sk") / (16.0 * F.col("n_pairs")), 6)
+         .alias("mean_est"),
+        F.round(F.col("__sj6") / 1e6 / F.col("n_pairs"), 6)
+         .alias("mean_exact"))
+
+
+SQL_DEDUP_MINHASH_EST_ERROR = """
+WITH d AS (
+  -- pinned to the sigs fixture's scale: the signature parquet is
+  -- generated from sf0.01 documents, so the shingle side must read
+  -- the same rows by literal path, not the mounted view
+  SELECT doc_id, lower(text) AS low
+  FROM '/root/testdata/sf0.01/documents.parquet' WHERE doc_id < 300
+), s AS (
+  SELECT doc_id, list_distinct(list_transform(
+    range(1, greatest(len(low) - 4, 1) + 1),
+    i -> substr(low, i, 5))) AS sh
+  FROM d
+), p AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+    round(len(list_intersect(a.sh, b.sh))
+          / (CAST(len(a.sh) + len(b.sh) AS DOUBLE)
+             - len(list_intersect(a.sh, b.sh))), 6) AS jx
+  FROM s a, s b WHERE a.doc_id < b.doc_id
+), f AS (
+  SELECT id_a, id_b, jx FROM p WHERE jx >= 0.3
+), sig AS (
+  SELECT doc_id, sig FROM '/root/repo/data/doc_minhash_sigs_sf0.01.parquet'
+), e AS (
+  SELECT f.jx,
+    list_sum(list_transform(list_zip(ga.sig, gb.sig),
+             t -> CASE WHEN t[1] = t[2] THEN 1 ELSE 0 END)) AS k
+  FROM f JOIN sig ga ON f.id_a = ga.doc_id
+         JOIN sig gb ON f.id_b = gb.doc_id
+), q AS (
+  SELECT jx, k,
+    CAST(floor(abs(k / 16 - jx) * 1e9) AS BIGINT) AS e9,
+    CAST(round(jx * 1e6) AS BIGINT) AS j6
+  FROM e
+)
+SELECT count(*) AS n_pairs,
+  round(sum(e9) / 1e9 / count(*), 6) AS mean_abs_err,
+  round(max(e9) / 1e9, 6) AS max_abs_err,
+  round(sum(k) / (16.0 * count(*)), 6) AS mean_est,
+  round(sum(j6) / 1e6 / count(*), 6) AS mean_exact
+FROM q
+"""
+
+
 def q_dedup_jaccard_exact(spark, sf_dir):
     """Exact all-pairs n-gram Jaccard on a bounded doc subset: the
     SQL-checkable twin of the LSH-prefiltered dedup_ngram_jaccard."""
@@ -6161,6 +6259,8 @@ _ALL_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | No
     "dedup_simhash": (q_dedup_simhash, SQL_DEDUP_SIMHASH),
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, SQL_DEDUP_JACCARD_EXACT),
     "dedup_jaccard_exact": (q_dedup_jaccard_exact, SQL_DEDUP_JACCARD_EXACT),
+    "dedup_minhash_est_error": (q_dedup_minhash_est_error,
+                                SQL_DEDUP_MINHASH_EST_ERROR),
     "dedup_containment": (q_dedup_containment, SQL_DEDUP_CONTAINMENT),
     "join_fuzzy": (q_join_fuzzy, SQL_JOIN_FUZZY),
     "dedup_simhash_invariant": (q_dedup_simhash_invariant, SQL_DEDUP_SIMHASH_INVARIANT),
