@@ -1253,6 +1253,33 @@ FROM q
 """
 
 
+def q_dedup_simhash_pairs(spark, sf_dir):
+    """SimHash TEXT near-dup pairs through the SAME guaranteed-recall
+    pigeonhole machinery as the visual index — phash_near_dups is
+    hash-agnostic, so the 4-disjoint-16-bit-slice band index + exact
+    bit_count re-score serves 64-bit SimHash codes unchanged (one
+    engine, two modalities).  Oracle: brute-force bit_count(xor) over
+    the VALUE-PINNED simhash fixture, so the banding recall guarantee
+    and the code computation are both checked."""
+    d = _t(spark, sf_dir, "documents")
+    codes = dedup.simhash64(d, "text", "doc_id")
+    return dedup.phash_near_dups(codes, max_hamming=3,
+                                 id_col="doc_id", phash_col="simhash")
+
+
+SQL_DEDUP_SIMHASH_PAIRS = """
+WITH s AS (
+  SELECT doc_id, simhash
+  FROM '/root/repo/data/doc_simhash_sf0.01.parquet'
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+FROM s a, s b
+WHERE a.doc_id < b.doc_id
+  AND bit_count(xor(a.simhash, b.simhash)) <= 3
+"""
+
+
 def q_dedup_jaccard_exact(spark, sf_dir):
     """Exact all-pairs n-gram Jaccard on a bounded doc subset: the
     SQL-checkable twin of the LSH-prefiltered dedup_ngram_jaccard."""
@@ -6261,6 +6288,8 @@ _ALL_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | No
     "dedup_jaccard_exact": (q_dedup_jaccard_exact, SQL_DEDUP_JACCARD_EXACT),
     "dedup_minhash_est_error": (q_dedup_minhash_est_error,
                                 SQL_DEDUP_MINHASH_EST_ERROR),
+    "dedup_simhash_pairs": (q_dedup_simhash_pairs,
+                            SQL_DEDUP_SIMHASH_PAIRS),
     "dedup_containment": (q_dedup_containment, SQL_DEDUP_CONTAINMENT),
     "join_fuzzy": (q_join_fuzzy, SQL_JOIN_FUZZY),
     "dedup_simhash_invariant": (q_dedup_simhash_invariant, SQL_DEDUP_SIMHASH_INVARIANT),
