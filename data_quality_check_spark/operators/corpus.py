@@ -989,5 +989,10 @@ def token_budget_plan(df: DataFrame, group_col: str, token_col,
         group_col, "n_docs",
         F.col("__t").cast("long").alias("group_tokens"),
         quota.cast("long").alias("quota_tokens"),
-        F.round(quota.cast("double") / F.col("__t").cast("double"), 6)
-         .alias("keep_frac"))
+        # zero-token group: quota is trivially 0 of 0 — report 1.0
+        # (everything kept), not 0/0, which is NaN in DuckDB but NULL
+        # in Spark and would split the engines
+        F.when(F.col("__t") > 0,
+               F.round(quota.cast("double")
+                       / F.col("__t").cast("double"), 6))
+         .otherwise(F.lit(1.0)).alias("keep_frac"))

@@ -4032,7 +4032,9 @@ WITH c AS (
 )
 SELECT source, n_docs, CAST(t AS BIGINT) AS group_tokens,
   CAST(quota AS BIGINT) AS quota_tokens,
-  round(CAST(quota AS DOUBLE) / CAST(t AS DOUBLE), 6) AS keep_frac
+  CASE WHEN t > 0
+       THEN round(CAST(quota AS DOUBLE) / CAST(t AS DOUBLE), 6)
+       ELSE 1.0 END AS keep_frac
 FROM q
 """
 

@@ -733,3 +733,18 @@ def test_token_budget_plan_largest_remainder_exact(spark):
     full = token_budget_plan(df, "src", F.col("ntok"), 100).collect()
     assert all(r["quota_tokens"] == r["group_tokens"] for r in full)
     assert all(r["keep_frac"] == 1.0 for r in full)
+
+
+def test_token_budget_plan_zero_token_group(spark):
+    """A group whose rows carry zero tokens gets quota 0 and
+    keep_frac 1.0 (trivially all kept) — not a 0/0 NaN/NULL that
+    would split engines — and never steals remainder units."""
+    from data_quality_check_spark.operators.corpus import token_budget_plan
+
+    rows = [("a", 7), ("b", 5), ("z", 0)]
+    df = spark.createDataFrame(rows, "src string, ntok int")
+    out = {r["src"]: r for r in
+           token_budget_plan(df, "src", F.col("ntok"), 10).collect()}
+    assert out["z"]["quota_tokens"] == 0
+    assert out["z"]["keep_frac"] == 1.0
+    assert out["a"]["quota_tokens"] + out["b"]["quota_tokens"] == 10
