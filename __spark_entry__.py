@@ -96,6 +96,8 @@ def oracle_sql() -> dict[str, str]:
         expected_imgquality)
     from data_quality_check_spark.operators.imgscore import (
         expected_imgrisk)
+    from data_quality_check_spark.operators.audioquality import (
+        expected_audioquality)
     from data_quality_check_spark.operators.multimodal import (
         expected_fixtures, expected_near_dup_pairs)
     from data_quality_check_spark.oracle_fixtures import (
@@ -108,4 +110,5 @@ def oracle_sql() -> dict[str, str]:
     ensure_hash_fixtures(0.01)
     expected_imgquality(0.01)
     expected_imgrisk(0.01)
+    expected_audioquality(0.01)
     return {k: sql for k, (_fn, sql) in REGISTRY.items() if sql is not None}

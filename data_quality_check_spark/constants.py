@@ -228,3 +228,17 @@ MIN_PSNR_DB = 40.0            # lossy formats on real clusters; sandbox
 # Synthetic generator knobs (FIXTURES.md §A1)
 GEN_SEED = 42
 SF_ROWS = 1_000_000           # rows at SF=1.0
+
+# ---------------------------------------------------------------------------
+# Audio quality rules (round-4: the audio modality's visual-rules twin;
+# PCM-WAV is decodable from scratch — RIFF parse + int16 — so unlike
+# the ffmpeg-class formats this path is REAL in-sandbox, not stubbed)
+# ---------------------------------------------------------------------------
+
+AUDIO_SF_ROWS = 200_000       # clips at SF=1.0 (1/5th of images)
+AUDIO_SR = 8_000              # generator sample rate (Hz)
+AUDIO_MIN_DURATION_S = 0.2    # shorter clips carry no usable signal
+AUDIO_SILENCE_RMS_DB = -60.0  # full-clip loudness floor (dBFS)
+AUDIO_CLIP_FRAC_MAX = 0.01    # saturated-sample share ceiling
+AUDIO_SILENCE_FRAC_MAX = 0.9  # near-zero-sample share ceiling
+AUDIO_DC_FRAC_MAX = 0.05      # |mean|/full-scale ceiling (DC offset)

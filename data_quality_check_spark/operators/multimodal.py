@@ -376,8 +376,12 @@ def expected_near_dup_pairs(sf: float,
 
 def decode_audio_stub(*_args, **_kwargs):
     raise NotImplementedError(
-        "audio decode requires libsndfile/ffmpeg, unavailable in this "
-        "sandbox; the mapInPandas plumbing mirrors extract_features")
+        "codec audio (mp3/ogg/flac) requires libsndfile/ffmpeg, "
+        "unavailable in this sandbox.  PCM WAV needs no codec and IS "
+        "implemented end-to-end: kernels/audio.py::decode_wav + "
+        "operators/audioquality.py (decode -> stats -> rules -> "
+        "verdict, value-pinned keys audio_quality_stats / "
+        "agg_audio_quality)")
 
 
 def sample_video_frames_stub(*_args, **_kwargs):

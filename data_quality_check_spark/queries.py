@@ -5977,6 +5977,63 @@ SQL_IMAGE_QUALITY_STATS = (
 )
 
 
+def q_audio_quality_stats(spark, sf_dir):
+    """Per-clip audio quality rules over the DECODED waveform (from-
+    scratch PCM-WAV parse — the audio modality's imgquality twin,
+    operators/audioquality.py), VALUE-CHECKED against the numpy
+    fixture oracle (expected_audioquality; shared kernel = parity by
+    construction, the pin verifies the distributed execution).  Rule
+    booleans come from FULL-precision stats on both sides; rounded
+    stat columns are for the value hash; NaN (undecoded) becomes
+    NULL so both engines hash the same bytes."""
+    from .operators.audioquality import (
+        RULE_COLS as AR, STAT_COLS as AS_, with_audio_quality)
+    from .sources.audio import read_audio
+
+    out = with_audio_quality(read_audio(spark, 0.01))
+
+    def _r6(c: str):
+        col = F.col(c)
+        return F.round(F.when(F.isnan(col), None).otherwise(col), 6) \
+                .alias(c)
+
+    return out.select("clip_id", "decoded", "n_samples",
+                      *[_r6(c) for c in AS_], *AR, "audio_keep")
+
+
+SQL_AUDIO_QUALITY_STATS = (
+    "SELECT * FROM '/root/repo/data/audioquality_sf0.01.parquet'"
+)
+
+
+def q_agg_audio_quality(spark, sf_dir):
+    """Corpus-level audio quality report: decode success rate,
+    per-rule failure counts and the keep rate, one map-side
+    partial-aggregate pass.  The SQL oracle RE-AGGREGATES the
+    per-clip fixture, cross-checking the Spark aggregation itself."""
+    from .operators.audioquality import quality_report, with_audio_quality
+    from .sources.audio import read_audio
+
+    return quality_report(with_audio_quality(read_audio(spark, 0.01)))
+
+
+SQL_AGG_AUDIO_QUALITY = """
+SELECT CAST(count(*) AS BIGINT) AS n_clips,
+  CAST(sum(CASE WHEN decoded THEN 1 ELSE 0 END) AS BIGINT) AS n_decoded,
+  CAST(sum(CASE WHEN duration_ok THEN 0 ELSE 1 END) AS BIGINT)
+    AS bad_duration,
+  CAST(sum(CASE WHEN loudness_ok THEN 0 ELSE 1 END) AS BIGINT)
+    AS bad_loudness,
+  CAST(sum(CASE WHEN clip_ok THEN 0 ELSE 1 END) AS BIGINT) AS bad_clip,
+  CAST(sum(CASE WHEN silence_ok THEN 0 ELSE 1 END) AS BIGINT)
+    AS bad_silence,
+  CAST(sum(CASE WHEN dc_ok THEN 0 ELSE 1 END) AS BIGINT) AS bad_dc,
+  CAST(sum(CASE WHEN audio_keep THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+  round(avg(CASE WHEN audio_keep THEN 1.0 ELSE 0.0 END), 6) AS keep_rate
+FROM '/root/repo/data/audioquality_sf0.01.parquet'
+"""
+
+
 def q_agg_image_quality(spark, sf_dir):
     """Corpus-level visual quality report: decode success rate,
     per-rule failure counts and the visual keep rate, one map-side
@@ -6364,6 +6421,9 @@ _ALL_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | No
     "dedup_image_pipeline": (q_dedup_image_pipeline, SQL_DEDUP_IMAGE_PIPELINE),
     "image_storage_savings": (q_image_storage_savings,
                               SQL_IMAGE_STORAGE_SAVINGS),
+    "audio_quality_stats": (q_audio_quality_stats,
+                            SQL_AUDIO_QUALITY_STATS),
+    "agg_audio_quality": (q_agg_audio_quality, SQL_AGG_AUDIO_QUALITY),
     "dedup_exact_images": (q_dedup_exact_images, SQL_DEDUP_EXACT_IMAGES),
     "dedup_phash_groups": (q_dedup_phash_groups, SQL_DEDUP_PHASH_GROUPS),
     "dedup_incremental_images": (q_dedup_incremental_images,

@@ -1,0 +1,130 @@
+"""Audio quality family: from-scratch WAV codec roundtrip, planted
+defect detection, kernel/fixture parity and plan shape."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from data_quality_check_spark.kernels.audio import (
+    audio_stats,
+    decode_wav,
+    encode_wav,
+)
+
+SF = 0.001
+
+
+def test_wav_roundtrip_and_strictness():
+    rng = np.random.default_rng(5)
+    x = np.clip(rng.normal(0, 8000, 1234), -32768, 32767).astype(np.int16)
+    sr, y = decode_wav(encode_wav(x, 8000))
+    assert sr == 8000 and np.array_equal(x, y)
+    with pytest.raises(ValueError):
+        decode_wav(encode_wav(x, 8000)[:30])      # truncated header
+    with pytest.raises(ValueError):
+        decode_wav(b"RIFFxxxxWAVEgarbage_chunk___")  # bad chunks
+    with pytest.raises(ValueError):
+        decode_wav(b"not audio at all")
+
+
+def test_audio_stats_known_signals():
+    sr = 8000
+    # pure 1 kHz at half scale: centroid ~1 kHz, zcr ~ 2*f/sr
+    t = np.arange(sr) / sr
+    tone = (16384 * np.sin(2 * np.pi * 1000 * t)).astype(np.int16)
+    st = audio_stats(tone, sr)
+    assert abs(st["spectral_centroid_hz"] - 1000) < 30
+    assert abs(st["zcr"] - 2 * 1000 / sr) < 0.01
+    assert abs(st["rms_db"] - 20 * np.log10(16384 / 32768 / np.sqrt(2))) \
+        < 0.1
+    # digital silence: exact floor values
+    st0 = audio_stats(np.zeros(100, dtype=np.int16), sr)
+    assert st0["rms_db"] == -120.0 and st0["silence_frac"] == 1.0
+    # hard-clipped square wave: clip_frac ~ 1
+    sq = np.where(np.sin(2 * np.pi * 100 * t) >= 0, 32767, -32767) \
+        .astype(np.int16)
+    assert audio_stats(sq, sr)["clip_frac"] > 0.9
+
+
+def test_planted_defects_flagged(spark):
+    from data_quality_check_spark.operators.audioquality import (
+        with_audio_quality)
+    from data_quality_check_spark.sources import audio as AU
+
+    out = with_audio_quality(
+        spark.createDataFrame(AU.generate_pandas(SF))).toPandas()
+    assert len(out) == AU.audio_rows(SF)
+    assert out["decoded"].mean() > 0.95          # only truncated fail
+    assert (~out["loudness_ok"] & out["decoded"]).sum() > 0   # silent
+    assert (~out["clip_ok"] & out["decoded"]).sum() > 0       # clipped
+    assert (~out["duration_ok"] & out["decoded"]).sum() > 0   # short
+    assert (~out.loc[~out["decoded"], "audio_keep"]).all()
+    assert 0.3 < out["audio_keep"].mean() < 0.95
+
+
+def test_fixture_matches_spark(spark, tmp_path):
+    """The numpy fixture oracle equals the distributed output row for
+    row (shared kernel -> parity by construction; this guards the
+    Arrow round-trip and the NaN/NULL rule semantics)."""
+    import pyarrow.parquet as pq
+
+    from data_quality_check_spark.operators.audioquality import (
+        RULE_COLS, STAT_COLS, expected_audioquality, with_audio_quality)
+    from data_quality_check_spark.sources import audio as AU
+
+    fix = pq.read_table(
+        expected_audioquality(SF, root=str(tmp_path))).to_pandas()
+    got = with_audio_quality(
+        spark.createDataFrame(AU.generate_pandas(SF)))
+    got = got.select(
+        "clip_id", "decoded", "n_samples",
+        *[F.round(F.when(F.isnan(c), None).otherwise(F.col(c)), 6)
+          .alias(c) for c in STAT_COLS],
+        *RULE_COLS, "audio_keep").toPandas()
+    fix = fix.sort_values("clip_id").reset_index(drop=True)
+    got = got.sort_values("clip_id").reset_index(drop=True)
+    assert list(fix.columns) == list(got.columns)
+    for c in fix.columns:
+        a, b = fix[c], got[c]
+        if c == "clip_id":
+            assert (a == b).all(), c
+        elif a.dtype.kind == "f" or b.dtype.kind == "f" \
+                or a.dtype == object:
+            aa, bb = a.astype("float64"), b.astype("float64")
+            assert ((aa == bb) | (aa.isna() & bb.isna())).all(), c
+        else:
+            assert (a == b).all(), c
+
+
+def test_batch_composition_invariance(spark):
+    """Partitioning must not change any statistic (per-row kernel)."""
+    from data_quality_check_spark.operators.audioquality import (
+        with_audio_quality)
+    from data_quality_check_spark.sources import audio as AU
+
+    df = spark.createDataFrame(AU.generate_pandas(SF))
+    a = with_audio_quality(df).toPandas() \
+        .sort_values("clip_id").reset_index(drop=True)
+    b = with_audio_quality(df.repartition(7)).toPandas() \
+        .sort_values("clip_id").reset_index(drop=True)
+    for c in a.columns:
+        x, y = a[c], b[c]
+        if x.dtype.kind == "f":
+            assert ((x == y) | (x.isna() & y.isna())).all(), c
+        else:
+            assert (x == y).all(), c
+
+
+def test_audio_plan_shape(spark):
+    """One fused ArrowEvalPython stage; bytes never on an Exchange."""
+    from data_quality_check_spark.queries import REGISTRY
+
+    plan = REGISTRY["agg_audio_quality"][0](
+        spark, "/root/testdata/sf0.001") \
+        ._jdf.queryExecution().executedPlan().toString()
+    tree = [ln for ln in plan.splitlines() if "ArrowEvalPython" in ln]
+    assert len(tree) == 1
+    ex_lines = [ln for ln in plan.splitlines() if "Exchange" in ln]
+    assert all("bytes" not in ln for ln in ex_lines)
