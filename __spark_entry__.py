@@ -98,6 +98,8 @@ def oracle_sql() -> dict[str, str]:
         expected_imgrisk)
     from data_quality_check_spark.operators.audioquality import (
         expected_audioquality)
+    from data_quality_check_spark.operators.videoquality import (
+        expected_videoquality)
     from data_quality_check_spark.operators.multimodal import (
         expected_fixtures, expected_near_dup_pairs)
     from data_quality_check_spark.oracle_fixtures import (
@@ -111,4 +113,5 @@ def oracle_sql() -> dict[str, str]:
     expected_imgquality(0.01)
     expected_imgrisk(0.01)
     expected_audioquality(0.01)
+    expected_videoquality(0.01)
     return {k: sql for k, (_fn, sql) in REGISTRY.items() if sql is not None}

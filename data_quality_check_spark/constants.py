@@ -242,3 +242,15 @@ AUDIO_SILENCE_RMS_DB = -60.0  # full-clip loudness floor (dBFS)
 AUDIO_CLIP_FRAC_MAX = 0.01    # saturated-sample share ceiling
 AUDIO_SILENCE_FRAC_MAX = 0.9  # near-zero-sample share ceiling
 AUDIO_DC_FRAC_MAX = 0.05      # |mean|/full-scale ceiling (DC offset)
+
+# Video stand-in container (round-4; ffmpeg is unavailable, so the
+# container is a documented from-scratch format — real PLUMBING,
+# fake-but-deterministic payload, per the driver's multimodal rule)
+VIDEO_SF_ROWS = 20_000        # videos at SF=1.0
+VIDEO_W, VIDEO_H = 32, 32     # gray frames
+VIDEO_FPS = 8
+VIDEO_SAMPLE_FRAMES = 8       # stride-sampled frames per video
+VIDEO_MIN_DURATION_S = 0.5
+VIDEO_MOTION_MIN = 0.002      # mean inter-frame |diff|/255 floor
+VIDEO_BLACK_FRAC_MAX = 0.5    # share of near-black sampled frames
+VIDEO_MIN_FRAMES = 4

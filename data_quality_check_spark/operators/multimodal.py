@@ -386,8 +386,13 @@ def decode_audio_stub(*_args, **_kwargs):
 
 def sample_video_frames_stub(*_args, **_kwargs):
     raise NotImplementedError(
-        "video frame sampling requires ffmpeg, unavailable in this "
-        "sandbox; the mapInPandas plumbing mirrors extract_features")
+        "codec video (mp4/webm) requires ffmpeg, unavailable in this "
+        "sandbox.  The frame-sampling PLUMBING is implemented for the "
+        "documented RVID stand-in container: kernels/video.py + "
+        "operators/videoquality.py (stride sampling -> luminance/"
+        "motion stats -> rules -> verdict, value-pinned keys "
+        "video_frame_stats / agg_video_quality); swap parse_rvid for "
+        "an ffmpeg extractor on a cluster and nothing else changes")
 
 
 def caption_alignment(images: DataFrame,

@@ -6034,6 +6034,57 @@ FROM '/root/repo/data/audioquality_sf0.01.parquet'
 """
 
 
+def q_video_frame_stats(spark, sf_dir):
+    """Per-video stride-frame-sampling quality rules over the RVID
+    stand-in container (operators/videoquality.py — real plumbing,
+    deterministic payload; swap the parser for ffmpeg on a cluster).
+    VALUE-CHECKED against the numpy fixture oracle."""
+    from .operators.videoquality import (
+        RULE_COLS as VR, STAT_COLS as VS, with_video_quality)
+    from .sources.video import read_video
+
+    out = with_video_quality(read_video(spark, 0.01))
+
+    def _r6(c: str):
+        col = F.col(c)
+        return F.round(F.when(F.isnan(col), None).otherwise(col), 6) \
+                .alias(c)
+
+    return out.select("video_id", "decoded", "n_frames",
+                      *[_r6(c) for c in VS], *VR, "frames_ok",
+                      "video_keep")
+
+
+SQL_VIDEO_FRAME_STATS = (
+    "SELECT * FROM '/root/repo/data/videoquality_sf0.01.parquet'"
+)
+
+
+def q_agg_video_quality(spark, sf_dir):
+    """Corpus-level video quality report; the SQL oracle
+    RE-AGGREGATES the per-video fixture."""
+    from .operators.videoquality import quality_report, with_video_quality
+    from .sources.video import read_video
+
+    return quality_report(with_video_quality(read_video(spark, 0.01)))
+
+
+SQL_AGG_VIDEO_QUALITY = """
+SELECT CAST(count(*) AS BIGINT) AS n_videos,
+  CAST(sum(CASE WHEN decoded THEN 1 ELSE 0 END) AS BIGINT) AS n_decoded,
+  CAST(sum(CASE WHEN duration_ok THEN 0 ELSE 1 END) AS BIGINT)
+    AS bad_duration,
+  CAST(sum(CASE WHEN motion_ok THEN 0 ELSE 1 END) AS BIGINT)
+    AS bad_motion,
+  CAST(sum(CASE WHEN black_ok THEN 0 ELSE 1 END) AS BIGINT) AS bad_black,
+  CAST(sum(CASE WHEN frames_ok THEN 0 ELSE 1 END) AS BIGINT)
+    AS bad_frames,
+  CAST(sum(CASE WHEN video_keep THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+  round(avg(CASE WHEN video_keep THEN 1.0 ELSE 0.0 END), 6) AS keep_rate
+FROM '/root/repo/data/videoquality_sf0.01.parquet'
+"""
+
+
 def q_agg_image_quality(spark, sf_dir):
     """Corpus-level visual quality report: decode success rate,
     per-rule failure counts and the visual keep rate, one map-side
@@ -6424,6 +6475,8 @@ _ALL_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | No
     "audio_quality_stats": (q_audio_quality_stats,
                             SQL_AUDIO_QUALITY_STATS),
     "agg_audio_quality": (q_agg_audio_quality, SQL_AGG_AUDIO_QUALITY),
+    "video_frame_stats": (q_video_frame_stats, SQL_VIDEO_FRAME_STATS),
+    "agg_video_quality": (q_agg_video_quality, SQL_AGG_VIDEO_QUALITY),
     "dedup_exact_images": (q_dedup_exact_images, SQL_DEDUP_EXACT_IMAGES),
     "dedup_phash_groups": (q_dedup_phash_groups, SQL_DEDUP_PHASH_GROUPS),
     "dedup_incremental_images": (q_dedup_incremental_images,

@@ -1,0 +1,109 @@
+"""Synthetic `video` table: RVID container generator + schema.
+
+Populations seed the video quality rules: normal moving-pattern
+clips, STATIC clips (every frame identical — the re-encoded
+thumbnail loop a web crawl is full of), near-black clips, too-short
+clips, and truncated blobs (decode-failure rows)."""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from ..constants import GEN_SEED, VIDEO_FPS, VIDEO_H, VIDEO_SF_ROWS, VIDEO_W
+from ..kernels.video import encode_rvid
+
+VIDEO_DDL = ("video_id string, bytes binary, fps int, "
+             "n_frames int, caption string")
+
+ARROW_SCHEMA = pa.schema([
+    ("video_id", pa.string()),
+    ("bytes", pa.binary()),
+    ("fps", pa.int32()),
+    ("n_frames", pa.int32()),
+    ("caption", pa.string()),
+])
+
+P_STATIC = 0.08
+P_BLACK = 0.05
+P_SHORT = 0.05
+P_TRUNCATED = 0.01
+
+
+def video_rows(sf: float) -> int:
+    return max(1, int(round(VIDEO_SF_ROWS * sf)))
+
+
+def video_path(sf: float, root: str = "/root/repo/data") -> str:
+    return os.path.join(root, f"video_sf{sf:g}.parquet")
+
+
+def _moving(rng: np.random.Generator, n: int) -> np.ndarray:
+    """Drifting 2-D gradient + per-frame noise: nonzero motion, mid
+    luminance — the 'good clip' population."""
+    yy, xx = np.mgrid[0:VIDEO_H, 0:VIDEO_W]
+    phase = float(rng.uniform(0, 2 * np.pi))
+    speed = float(rng.uniform(0.2, 1.0))
+    amp = float(rng.uniform(40, 100))
+    base = float(rng.uniform(80, 160))
+    frames = np.empty((n, VIDEO_H, VIDEO_W), dtype=np.uint8)
+    for t in range(n):
+        f = base + amp * np.sin(
+            2 * np.pi * (xx + yy + speed * t * 3) / 24.0 + phase)
+        f = f + rng.normal(0, 6.0, (VIDEO_H, VIDEO_W))
+        frames[t] = np.clip(f, 0, 255).astype(np.uint8)
+    return frames
+
+
+def generate_pandas(sf: float) -> pd.DataFrame:
+    rng = np.random.default_rng(GEN_SEED + 11)
+    n = video_rows(sf)
+    rows = []
+    for i in range(n):
+        u = rng.random()
+        nf = int(rng.integers(8, 33))
+        if u < P_STATIC:
+            frames = np.repeat(_moving(rng, 1), nf, axis=0)
+        elif u < P_STATIC + P_BLACK:
+            frames = rng.integers(0, 6, (nf, VIDEO_H, VIDEO_W)) \
+                .astype(np.uint8)
+        elif u < P_STATIC + P_BLACK + P_SHORT:
+            nf = int(rng.integers(1, 4))
+            frames = _moving(rng, nf)
+        else:
+            frames = _moving(rng, nf)
+        blob = encode_rvid(frames, VIDEO_FPS)
+        if rng.random() < P_TRUNCATED:
+            blob = blob[:int(rng.integers(4, 12))]
+        rows.append({
+            "video_id": f"vid_{i:012d}",
+            "bytes": blob,
+            "fps": VIDEO_FPS,
+            "n_frames": nf,
+            "caption": f"clip {i} moving gradient",
+        })
+    return pd.DataFrame(rows)
+
+
+def ensure_video(sf: float, root: str = "/root/repo/data") -> str:
+    path = video_path(sf, root)
+    if not os.path.exists(path):
+        os.makedirs(root, exist_ok=True)
+        pdf = generate_pandas(sf)
+        tbl = pa.Table.from_pandas(pdf, schema=ARROW_SCHEMA,
+                                   preserve_index=False)
+        codecs_map = {name: "zstd" for name in tbl.schema.names}
+        codecs_map["bytes"] = "none"
+        tmp = path + ".tmp"
+        pq.write_table(tbl, tmp, compression=codecs_map,
+                       row_group_size=2048)
+        os.replace(tmp, path)
+    return path
+
+
+def read_video(spark, sf: float, root: str = "/root/repo/data"):
+    return spark.read.schema(VIDEO_DDL).parquet(ensure_video(sf, root))

@@ -87,6 +87,8 @@ def main() -> int:
         expected_imgrisk)
     from data_quality_check_spark.operators.audioquality import (
         expected_audioquality)
+    from data_quality_check_spark.operators.videoquality import (
+        expected_videoquality)
     expected_fixtures(0.01)
     expected_near_dup_pairs(0.01)
     ensure_label_fixtures(0.01)
@@ -94,6 +96,7 @@ def main() -> int:
     expected_imgquality(0.01)
     expected_imgrisk(0.01)
     expected_audioquality(0.01)
+    expected_videoquality(0.01)
     con = duckdb.connect()
     for t in TABLES:
         p = os.path.join(sf_dir, f"{t}.parquet")
