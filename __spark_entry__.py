@@ -97,7 +97,7 @@ def oracle_sql() -> dict[str, str]:
     from data_quality_check_spark.operators.imgscore import (
         expected_imgrisk)
     from data_quality_check_spark.operators.audioquality import (
-        expected_audioquality)
+        expected_audiofp, expected_audioquality)
     from data_quality_check_spark.operators.videoquality import (
         expected_videoquality)
     from data_quality_check_spark.operators.multimodal import (
@@ -113,5 +113,6 @@ def oracle_sql() -> dict[str, str]:
     expected_imgquality(0.01)
     expected_imgrisk(0.01)
     expected_audioquality(0.01)
+    expected_audiofp(0.01)
     expected_videoquality(0.01)
     return {k: sql for k, (_fn, sql) in REGISTRY.items() if sql is not None}

@@ -112,3 +112,45 @@ def audio_stats(x: np.ndarray, sr: int) -> dict:
     else:
         out["spectral_centroid_hz"] = 0.0
     return out
+
+
+_FP_SLICES = 16
+_FP_BANDS = 4
+
+
+def audio_fingerprint64(x: np.ndarray, sr: int) -> int:
+    """Chromaprint/Shazam-shaped 64-bit spectral fingerprint: the
+    clip is cut into 16 equal time slices; each slice contributes 4
+    log-spaced band energies (rfft magnitude sums); bit (s*4 + b) is
+    1 iff band b's energy ROSE from slice s-1 to slice s (slice 0
+    compares against 0).  The sign of a temporal energy DELTA is
+    invariant to uniform gain, so volume-scaled re-encodes of a clip
+    land within a few bits — the banding index finds them where the
+    exact byte digest cannot.  Returns a SIGNED 64-bit int (Spark
+    LongType convention)."""
+    n = int(x.size)
+    if n == 0:
+        return 0
+    xf = x.astype(np.float64)
+    slice_len = max(n // _FP_SLICES, 1)
+    # log-spaced band edges over [~60 Hz, Nyquist]
+    nyq = sr / 2.0
+    edges = np.geomspace(60.0, nyq, _FP_BANDS + 1)
+    prev = np.zeros(_FP_BANDS)
+    bits = 0
+    for s in range(_FP_SLICES):
+        seg = xf[s * slice_len:(s + 1) * slice_len]
+        if seg.size == 0:
+            cur = np.zeros(_FP_BANDS)
+        else:
+            mag = np.abs(np.fft.rfft(seg))
+            freqs = np.fft.rfftfreq(seg.size, d=1.0 / sr)
+            cur = np.array([
+                float(mag[(freqs >= edges[b]) & (freqs < edges[b + 1])]
+                      .sum())
+                for b in range(_FP_BANDS)])
+        for b in range(_FP_BANDS):
+            if cur[b] > prev[b]:
+                bits |= 1 << (s * _FP_BANDS + b)
+        prev = cur
+    return bits - (1 << 64) if bits >= (1 << 63) else bits

@@ -34,6 +34,7 @@ from pyspark.sql.types import (
     BooleanType,
     DoubleType,
     IntegerType,
+    LongType,
     StructField,
     StructType,
 )
@@ -209,5 +210,86 @@ def expected_audioquality(sf: float,
 
     tmp = path + ".tmp"
     pq.write_table(pa.Table.from_pandas(out, preserve_index=False), tmp)
+    os.replace(tmp, path)
+    return path
+
+
+# NB the return type must be a TYPE OBJECT, not the "long" DDL
+# string: a string is parsed lazily via the active SparkContext, and
+# the PYTHON WORKER re-imports this module with no context -> every
+# OTHER udf in the module dies with SESSION_OR_CONTEXT_NOT_EXISTS
+@pandas_udf(LongType())
+def audiofp_udf(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+    """bytes -> 64-bit spectral fingerprint (kernels/audio.py::
+    audio_fingerprint64); NULL for undecodable blobs."""
+    from ..kernels.audio import audio_fingerprint64, decode_wav
+
+    for blob in it:
+        vals = []
+        for b in blob.to_numpy():
+            if b is None:
+                vals.append(None)
+                continue
+            try:
+                sr, x = decode_wav(bytes(b))
+            except ValueError:
+                vals.append(None)
+                continue
+            vals.append(audio_fingerprint64(x, sr))
+        yield pd.Series(vals, dtype="object").astype("Int64")
+
+
+def audio_fingerprints(audio: DataFrame) -> DataFrame:
+    """(clip_id, afp): one fingerprint per decodable clip — the
+    persisted audio dedup index (the phash twin for the audio
+    modality)."""
+    return (audio
+            .select("clip_id", audiofp_udf("bytes").alias("afp"))
+            .filter(F.col("afp").isNotNull()))
+
+
+def audio_fingerprint_dups(audio: DataFrame,
+                           max_hamming: int = 3) -> DataFrame:
+    """Audio near-dup pairs: the SAME guaranteed-recall pigeonhole
+    band index as the visual pipeline (dedup.phash_near_dups is
+    hash-agnostic) over spectral fingerprints — catches volume-scaled
+    re-encodes the exact byte digest structurally misses (the sign of
+    a temporal energy delta is gain-invariant)."""
+    from .dedup import phash_near_dups
+
+    return phash_near_dups(audio_fingerprints(audio), max_hamming,
+                           id_col="clip_id", phash_col="afp")
+
+
+def expected_audiofp(sf: float, root: str = "/root/repo/data") -> str:
+    """Numpy fixture oracle for the fingerprint pin: (clip_id, afp)
+    for every decodable clip, same kernel, no Spark.  Generate-once
+    cache — DELETE data/audiofp_* with the other audio caches."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ..kernels.audio import audio_fingerprint64, decode_wav
+    from ..sources.audio import generate_pandas
+
+    path = os.path.join(root, f"audiofp_sf{sf:g}.parquet")
+    if os.path.exists(path):
+        return path
+    os.makedirs(root, exist_ok=True)
+    pdf = generate_pandas(sf)
+    rows = []
+    for clip_id, blob in zip(pdf["clip_id"], pdf["bytes"]):
+        try:
+            sr, x = decode_wav(bytes(blob))
+        except ValueError:
+            continue
+        rows.append({"clip_id": clip_id,
+                     "afp": audio_fingerprint64(x, sr)})
+    tbl = pa.Table.from_pylist(
+        rows, schema=pa.schema([("clip_id", pa.string()),
+                                ("afp", pa.int64())]))
+    tmp = path + ".tmp"
+    pq.write_table(tbl, tmp)
     os.replace(tmp, path)
     return path

@@ -6085,6 +6085,54 @@ FROM '/root/repo/data/videoquality_sf0.01.parquet'
 """
 
 
+def q_dedup_exact_audio(spark, sf_dir):
+    """Exact binary audio dedup: byte-identical re-upload groups by
+    content digest — the first pass of audio dedup, same operator as
+    the image side (exact_dedup_binary is payload-agnostic).  Only
+    the digest crosses the shuffle."""
+    from .sources.audio import read_audio
+
+    au = read_audio(spark, 0.01).select("clip_id", "bytes")
+    return dedup.exact_dedup_binary(au, id_col="clip_id")
+
+
+SQL_DEDUP_EXACT_AUDIO = """
+SELECT sha256(hex(bytes)) AS digest,
+       count(*) AS n,
+       min(clip_id) AS keeper_id
+FROM '/root/repo/data/audio_sf0.01.parquet'
+GROUP BY 1 HAVING count(*) >= 2
+"""
+
+
+def q_dedup_audio_fingerprint(spark, sf_dir):
+    """Audio near-dup pairs via spectral fingerprints through the
+    SAME guaranteed-recall pigeonhole band index as the visual
+    pipeline (operators/audioquality.py::audio_fingerprint_dups) —
+    catches the planted volume-scaled re-encodes that byte digests
+    structurally miss (the sign of a temporal band-energy delta is
+    gain-invariant).  Oracle: brute-force bit_count(xor) over the
+    value-pinned fingerprint fixture, so the banding recall guarantee
+    AND the distributed fingerprint computation are both checked."""
+    from .operators.audioquality import audio_fingerprint_dups
+    from .sources.audio import read_audio
+
+    return audio_fingerprint_dups(read_audio(spark, 0.01),
+                                  max_hamming=3)
+
+
+SQL_DEDUP_AUDIO_FINGERPRINT = """
+WITH s AS (
+  SELECT clip_id, afp FROM '/root/repo/data/audiofp_sf0.01.parquet'
+)
+SELECT a.clip_id AS id_a, b.clip_id AS id_b,
+       CAST(bit_count(xor(a.afp, b.afp)) AS INT) AS hamming
+FROM s a, s b
+WHERE a.clip_id < b.clip_id
+  AND bit_count(xor(a.afp, b.afp)) <= 3
+"""
+
+
 def q_agg_image_quality(spark, sf_dir):
     """Corpus-level visual quality report: decode success rate,
     per-rule failure counts and the visual keep rate, one map-side
@@ -6477,6 +6525,9 @@ _ALL_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | No
     "agg_audio_quality": (q_agg_audio_quality, SQL_AGG_AUDIO_QUALITY),
     "video_frame_stats": (q_video_frame_stats, SQL_VIDEO_FRAME_STATS),
     "agg_video_quality": (q_agg_video_quality, SQL_AGG_VIDEO_QUALITY),
+    "dedup_exact_audio": (q_dedup_exact_audio, SQL_DEDUP_EXACT_AUDIO),
+    "dedup_audio_fingerprint": (q_dedup_audio_fingerprint,
+                                SQL_DEDUP_AUDIO_FINGERPRINT),
     "dedup_exact_images": (q_dedup_exact_images, SQL_DEDUP_EXACT_IMAGES),
     "dedup_phash_groups": (q_dedup_phash_groups, SQL_DEDUP_PHASH_GROUPS),
     "dedup_incremental_images": (q_dedup_incremental_images,

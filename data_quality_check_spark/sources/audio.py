@@ -41,6 +41,10 @@ P_DC = 0.04
 P_NOISE = 0.10
 P_TRUNCATED = 0.01
 P_DUP = 0.08
+P_GAIN_DUP = 0.05   # volume-scaled re-encode of a cached clip:
+                    # byte-DIFFERENT, fingerprint-NEAR (the case the
+                    # exact digest misses and audio_fingerprint64
+                    # catches)
 N_DUP_CLUSTERS = 20
 
 
@@ -72,7 +76,7 @@ def generate_pandas(sf: float) -> pd.DataFrame:
     rng = np.random.default_rng(GEN_SEED + 7)
     n = audio_rows(sf)
     rows = []
-    dup_cache: list[bytes] = []
+    dup_cache: list[np.ndarray] = []
     for i in range(n):
         u = rng.random()
         dur = float(rng.uniform(0.3, 1.2))
@@ -97,9 +101,15 @@ def generate_pandas(sf: float) -> pd.DataFrame:
         if rng.random() < P_TRUNCATED:
             blob = blob[:int(rng.integers(4, 40))]
         elif rng.random() < P_DUP and dup_cache:
-            blob = dup_cache[int(rng.integers(0, len(dup_cache)))]
+            x = dup_cache[int(rng.integers(0, len(dup_cache)))]
+            blob = encode_wav(x, AUDIO_SR)   # byte-identical re-upload
+        elif rng.random() < P_GAIN_DUP and dup_cache:
+            base = dup_cache[int(rng.integers(0, len(dup_cache)))]
+            x = (base.astype(np.float64)
+                 * float(rng.uniform(0.4, 0.7))).astype(np.int16)
+            blob = encode_wav(x, AUDIO_SR)   # volume-scaled re-encode
         elif len(dup_cache) < N_DUP_CLUSTERS:
-            dup_cache.append(blob)
+            dup_cache.append(x)
         rows.append({
             "clip_id": f"aud_{i:012d}",
             "bytes": blob,

@@ -128,3 +128,41 @@ def test_audio_plan_shape(spark):
     assert len(tree) == 1
     ex_lines = [ln for ln in plan.splitlines() if "Exchange" in ln]
     assert all("bytes" not in ln for ln in ex_lines)
+
+
+def test_fingerprint_gain_invariance():
+    """Volume scaling flips (almost) no fingerprint bits; unrelated
+    clips differ in ~32 — the margin the banding threshold rides."""
+    from data_quality_check_spark.kernels.audio import audio_fingerprint64
+
+    rng = np.random.default_rng(9)
+    t = np.arange(8000) / 8000
+    x = np.zeros(8000)
+    for _ in range(3):
+        f = rng.uniform(120, 1800)
+        x += rng.uniform(0.2, 0.8) * np.sin(2 * np.pi * f * t)
+    x = (x / np.abs(x).max() * 0.6 * 32767)
+    a = audio_fingerprint64(x.astype(np.int16), 8000)
+    b = audio_fingerprint64((x * 0.5).astype(np.int16), 8000)
+    other = audio_fingerprint64(
+        rng.normal(0, 6000, 8000).astype(np.int16), 8000)
+    ham = lambda p, q: bin((p ^ q) & (2**64 - 1)).count("1")  # noqa: E731
+    assert ham(a, b) <= 3
+    assert ham(a, other) > 15
+
+
+def test_fingerprint_dups_catch_gain_variants(spark):
+    """The banding key finds byte-DIFFERENT near-pairs (the planted
+    volume-scaled re-encodes) that exact digest dedup cannot."""
+    from data_quality_check_spark.operators.audioquality import (
+        audio_fingerprint_dups)
+    from data_quality_check_spark.sources import audio as AU
+
+    pdf = AU.generate_pandas(SF)
+    df = spark.createDataFrame(pdf)
+    pairs = audio_fingerprint_dups(df, max_hamming=3).toPandas()
+    assert len(pairs) > 0
+    blobs = dict(zip(pdf.clip_id, pdf.bytes))
+    byte_diff = [(a, b) for a, b in zip(pairs.id_a, pairs.id_b)
+                 if bytes(blobs[a]) != bytes(blobs[b])]
+    assert len(byte_diff) > 0, "no gain-variant pair found"

@@ -86,7 +86,7 @@ def main() -> int:
     from data_quality_check_spark.operators.imgscore import (
         expected_imgrisk)
     from data_quality_check_spark.operators.audioquality import (
-        expected_audioquality)
+        expected_audiofp, expected_audioquality)
     from data_quality_check_spark.operators.videoquality import (
         expected_videoquality)
     expected_fixtures(0.01)
@@ -96,6 +96,7 @@ def main() -> int:
     expected_imgquality(0.01)
     expected_imgrisk(0.01)
     expected_audioquality(0.01)
+    expected_audiofp(0.01)
     expected_videoquality(0.01)
     con = duckdb.connect()
     for t in TABLES:
