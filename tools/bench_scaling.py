@@ -464,6 +464,49 @@ def one_run():
     out.agg(F.bit_xor(F.xxhash64(F.struct(*out.columns)))).collect()
     return time.time() - t0
 """,
+    "audio_quality": """
+# The audio modality's map-only family: from-scratch WAV decode +
+# waveform statistics in one fused Arrow UDF over 20k clips (~214 MB
+# payload).  Same shape as image_quality/image_risk: scan + Python
+# kernel, zero payload shuffle — the family that should scale like
+# the pipeline's UDF stage.
+from pyspark.sql import functions as F
+from data_quality_check_spark.operators.audioquality import (
+    with_audio_quality)
+from data_quality_check_spark.sources.audio import read_audio
+
+au = read_audio(spark, 0.1)
+N_UNITS = au.count()
+
+def one_run():
+    import time
+    out = with_audio_quality(read_audio(spark, 0.1))
+    t0 = time.time()
+    out.agg(F.bit_xor(F.xxhash64(F.struct(*out.columns)))).collect()
+    return time.time() - t0
+""",
+    "audio_quality_big": """
+# audio_quality at 1x is fixed-term-bound (D ~= 11.7 s, F ~= 1.4 s
+# from the 2->8 floors) — this variant unions FIVE reads of the same
+# corpus (5 independent scans, no payload shuffle) so the decode
+# data term dominates the fixed stage latency.
+import functools
+from pyspark.sql import functions as F
+from data_quality_check_spark.operators.audioquality import (
+    with_audio_quality)
+from data_quality_check_spark.sources.audio import read_audio
+
+N_UNITS = read_audio(spark, 0.1).count() * 5
+
+def one_run():
+    import time
+    frames = [read_audio(spark, 0.1) for _ in range(5)]
+    big = functools.reduce(lambda a, b: a.unionAll(b), frames)
+    out = with_audio_quality(big)
+    t0 = time.time()
+    out.agg(F.bit_xor(F.xxhash64(F.struct(*out.columns)))).collect()
+    return time.time() - t0
+""",
     "mips_lsh": """
 # ANN/similarity family scaling row: norm-augmentation MIPS-LSH over
 # a 100x-replicated embedding corpus (each replica scaled by a
