@@ -247,3 +247,34 @@ def start_semantic_contamination_stream(spark: SparkSession,
             .foreachBatch(process)
             .option("checkpointLocation", checkpoint_dir)
             .trigger(availableNow=True))
+
+
+def start_audio_quality_stream(spark: SparkSession, in_path: str,
+                               schema_ddl: str, catalog,
+                               checkpoint_dir: str,
+                               table: str = "audio_quality_reports",
+                               max_files_per_trigger: int = 4):
+    """Continuous waveform-level quality monitoring over arriving
+    audio shards — the audio twin of start_visual_quality_stream:
+    per micro-batch, the SAME with_audio_quality operator +
+    quality_report aggregation as the batch contract key
+    (queries.py::q_agg_audio_quality), appended to the catalog tagged
+    with the batch id.  Stream/batch parity is by construction (both
+    paths call the identical operator; counts are additive)."""
+    from ..operators.audioquality import quality_report, with_audio_quality
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        row = quality_report(
+            with_audio_quality(batch_df)).collect()[0]
+        catalog.append_rows(table, [{"batch_id": batch_id,
+                                     **row.asDict()}])
+
+    stream = (spark.readStream.schema(schema_ddl)
+              .option("maxFilesPerTrigger", max_files_per_trigger)
+              .parquet(in_path))
+    return (stream.writeStream
+            .foreachBatch(process)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True))

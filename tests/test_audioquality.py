@@ -166,3 +166,49 @@ def test_fingerprint_dups_catch_gain_variants(spark):
     byte_diff = [(a, b) for a, b in zip(pairs.id_a, pairs.id_b)
                  if bytes(blobs[a]) != bytes(blobs[b])]
     assert len(byte_diff) > 0, "no gain-variant pair found"
+
+
+def test_streaming_audio_quality_matches_batch(spark, tmp_path):
+    """Per-micro-batch audio quality reports equal batch runs over
+    the same shards (shared operator; counts additive across
+    batches)."""
+    import os
+
+    from data_quality_check_spark.operators.audioquality import (
+        quality_report, with_audio_quality)
+    from data_quality_check_spark.plans.catalog import LocalParquetCatalog
+    from data_quality_check_spark.sources import audio as AU
+    from data_quality_check_spark.streaming.dq import (
+        start_audio_quality_stream)
+
+    pdf = AU.generate_pandas(SF)
+    shard_dir = str(tmp_path / "shards")
+    os.makedirs(shard_dir)
+    chunks = (pdf.iloc[:120], pdf.iloc[120:])  # unequal: n_clips is the join key
+    for i, chunk in enumerate(chunks):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        pq.write_table(pa.Table.from_pandas(
+            chunk, schema=AU.ARROW_SCHEMA, preserve_index=False),
+            os.path.join(shard_dir, f"a{i}.parquet"))
+
+    out_root = str(tmp_path / "cat")
+    cat = LocalParquetCatalog(spark, out_root)
+    q = start_audio_quality_stream(
+        spark, shard_dir, AU.AUDIO_DDL, cat,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        max_files_per_trigger=1).start()
+    q.awaitTermination(120)
+
+    rep = cat.read_table("audio_quality_reports").toPandas()
+    assert len(rep) == 2 and set(rep.batch_id) == {0, 1}
+    assert int(rep.n_clips.sum()) == len(pdf)
+    want = {}
+    for chunk in chunks:
+        row = quality_report(with_audio_quality(
+            spark.createDataFrame(chunk))).collect()[0]
+        want[row["n_clips"]] = row.asDict()
+    for _, got in rep.iterrows():
+        exp = want[int(got["n_clips"])]
+        for k, v in exp.items():
+            assert got[k] == v, k
