@@ -130,3 +130,19 @@ def test_run_visual_job(spark, tmp_path):
     assert res2["n_input"] == 1000
     assert res2["n_scored"] < 1000          # geometry tail dropped
     assert res2["n_keep_visual_all"] == res["n_keep_visual_all"]
+
+
+def test_run_audio_job(spark, tmp_path):
+    from data_quality_check_spark.sources.audio import ensure_audio
+    from jobs import run_audio
+
+    out = str(tmp_path / "audio_q")
+    res = run_audio.run(spark, ensure_audio(0.001), out)
+    assert res["n_clips"] == 200
+    assert res["n_decoded"] > 190
+    assert 0 < res["n_keep"] < 200
+    assert res["n_exact_dup_groups"] > 0      # planted re-uploads
+    assert res["n_fingerprint_pairs"] > 0     # incl. gain variants
+    written = spark.read.parquet(out)
+    assert written.count() == 200
+    assert "audio_keep" in written.columns
