@@ -99,7 +99,7 @@ def oracle_sql() -> dict[str, str]:
     from data_quality_check_spark.operators.audioquality import (
         expected_audiofp, expected_audioquality)
     from data_quality_check_spark.operators.videoquality import (
-        expected_videoquality)
+        expected_videofp, expected_videoquality)
     from data_quality_check_spark.operators.multimodal import (
         expected_fixtures, expected_near_dup_pairs)
     from data_quality_check_spark.oracle_fixtures import (
@@ -115,4 +115,5 @@ def oracle_sql() -> dict[str, str]:
     expected_audioquality(0.01)
     expected_audiofp(0.01)
     expected_videoquality(0.01)
+    expected_videofp(0.01)
     return {k: sql for k, (_fn, sql) in REGISTRY.items() if sql is not None}

@@ -79,3 +79,42 @@ def video_stats(frames: np.ndarray, fps: int, k: int) -> dict:
         out["motion"] = 0.0
     out["black_frac"] = float(np.count_nonzero(means < 10.0)) / len(idx)
     return out
+
+
+def frame_ahash64(frame: np.ndarray) -> int:
+    """Average-hash of one gray frame: 8x8 block means thresholded at
+    their own mean.  Invariant to uniform brightness shift (both
+    sides of the comparison move together, up to clipping) — the
+    visual analog of the audio fingerprint's gain invariance."""
+    h, w = frame.shape
+    bh, bw = max(h // 8, 1), max(w // 8, 1)
+    f = frame[:bh * 8, :bw * 8].astype(np.float64)
+    blocks = f.reshape(8, bh, 8, bw).mean(axis=(1, 3))
+    m = blocks.mean()
+    bits = 0
+    flat = blocks.ravel()
+    for i in range(64):
+        if flat[i] > m:
+            bits |= 1 << i
+    return bits - (1 << 64) if bits >= (1 << 63) else bits
+
+
+def video_fingerprint64(frames: np.ndarray, k: int) -> int:
+    """64-bit video fingerprint: per-bit MAJORITY vote across the
+    stride-sampled frames' ahashes — stable under dropped/extra
+    frames at the ends and under uniform brightness shifts."""
+    n = int(frames.shape[0])
+    if n == 0:
+        return 0
+    idx = sample_indices(n, k)
+    counts = np.zeros(64, dtype=np.int64)
+    for i in idx:
+        a = frame_ahash64(frames[i]) & ((1 << 64) - 1)
+        for b in range(64):
+            counts[b] += (a >> b) & 1
+    half = len(idx) / 2.0
+    bits = 0
+    for b in range(64):
+        if counts[b] > half:
+            bits |= 1 << b
+    return bits - (1 << 64) if bits >= (1 << 63) else bits

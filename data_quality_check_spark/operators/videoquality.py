@@ -25,6 +25,7 @@ from pyspark.sql.types import (
     BooleanType,
     DoubleType,
     IntegerType,
+    LongType,
     StructField,
     StructType,
 )
@@ -179,5 +180,81 @@ def expected_videoquality(sf: float,
 
     tmp = path + ".tmp"
     pq.write_table(pa.Table.from_pandas(out, preserve_index=False), tmp)
+    os.replace(tmp, path)
+    return path
+
+
+@pandas_udf(LongType())
+def videofp_udf(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+    """bytes -> 64-bit video fingerprint (majority-vote frame ahash,
+    kernels/video.py); NULL for undecodable blobs.  Type OBJECT in
+    the decorator, never the DDL string (worker-side import has no
+    SparkContext — the audiofp lesson)."""
+    from ..kernels.video import parse_rvid, video_fingerprint64
+
+    for blob in it:
+        vals = []
+        for b in blob.to_numpy():
+            if b is None:
+                vals.append(None)
+                continue
+            try:
+                _fps, frames = parse_rvid(bytes(b))
+            except ValueError:
+                vals.append(None)
+                continue
+            vals.append(video_fingerprint64(frames, VIDEO_SAMPLE_FRAMES))
+        yield pd.Series(vals, dtype="object").astype("Int64")
+
+
+def video_fingerprints(video: DataFrame) -> DataFrame:
+    """(video_id, vfp): the persisted video dedup index."""
+    return (video
+            .select("video_id", videofp_udf("bytes").alias("vfp"))
+            .filter(F.col("vfp").isNotNull()))
+
+
+def video_fingerprint_dups(video: DataFrame,
+                           max_hamming: int = 3) -> DataFrame:
+    """Video near-dup pairs through the SAME pigeonhole band index as
+    phash/simhash/audio fingerprints — the FOURTH modality on one
+    banding engine; catches brightness-shifted re-encodes the byte
+    digest misses (ahash thresholds at the frame's own mean)."""
+    from .dedup import phash_near_dups
+
+    return phash_near_dups(video_fingerprints(video), max_hamming,
+                           id_col="video_id", phash_col="vfp")
+
+
+def expected_videofp(sf: float, root: str = "/root/repo/data") -> str:
+    """Numpy fixture oracle for the fingerprint pin.  Generate-once
+    cache — DELETE data/videofp_* with the other video caches."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ..kernels.video import parse_rvid, video_fingerprint64
+    from ..sources.video import generate_pandas
+
+    path = os.path.join(root, f"videofp_sf{sf:g}.parquet")
+    if os.path.exists(path):
+        return path
+    os.makedirs(root, exist_ok=True)
+    pdf = generate_pandas(sf)
+    rows = []
+    for video_id, blob in zip(pdf["video_id"], pdf["bytes"]):
+        try:
+            _fps, frames = parse_rvid(bytes(blob))
+        except ValueError:
+            continue
+        rows.append({"video_id": video_id,
+                     "vfp": video_fingerprint64(frames,
+                                                VIDEO_SAMPLE_FRAMES)})
+    tbl = pa.Table.from_pylist(
+        rows, schema=pa.schema([("video_id", pa.string()),
+                                ("vfp", pa.int64())]))
+    tmp = path + ".tmp"
+    pq.write_table(tbl, tmp)
     os.replace(tmp, path)
     return path

@@ -6133,6 +6133,33 @@ WHERE a.clip_id < b.clip_id
 """
 
 
+def q_dedup_video_fingerprint(spark, sf_dir):
+    """Video near-dup pairs via majority-vote frame-ahash
+    fingerprints through the SAME pigeonhole band index as
+    phash/simhash/audio — the FOURTH modality on one banding engine;
+    catches the planted brightness-shifted re-encodes byte digests
+    miss (operators/videoquality.py::video_fingerprint_dups).
+    Oracle: brute-force bit_count(xor) over the value-pinned
+    fingerprint fixture."""
+    from .operators.videoquality import video_fingerprint_dups
+    from .sources.video import read_video
+
+    return video_fingerprint_dups(read_video(spark, 0.01),
+                                  max_hamming=3)
+
+
+SQL_DEDUP_VIDEO_FINGERPRINT = """
+WITH s AS (
+  SELECT video_id, vfp FROM '/root/repo/data/videofp_sf0.01.parquet'
+)
+SELECT a.video_id AS id_a, b.video_id AS id_b,
+       CAST(bit_count(xor(a.vfp, b.vfp)) AS INT) AS hamming
+FROM s a, s b
+WHERE a.video_id < b.video_id
+  AND bit_count(xor(a.vfp, b.vfp)) <= 3
+"""
+
+
 def q_agg_image_quality(spark, sf_dir):
     """Corpus-level visual quality report: decode success rate,
     per-rule failure counts and the visual keep rate, one map-side
@@ -6528,6 +6555,8 @@ _ALL_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | No
     "dedup_exact_audio": (q_dedup_exact_audio, SQL_DEDUP_EXACT_AUDIO),
     "dedup_audio_fingerprint": (q_dedup_audio_fingerprint,
                                 SQL_DEDUP_AUDIO_FINGERPRINT),
+    "dedup_video_fingerprint": (q_dedup_video_fingerprint,
+                                SQL_DEDUP_VIDEO_FINGERPRINT),
     "dedup_exact_images": (q_dedup_exact_images, SQL_DEDUP_EXACT_IMAGES),
     "dedup_phash_groups": (q_dedup_phash_groups, SQL_DEDUP_PHASH_GROUPS),
     "dedup_incremental_images": (q_dedup_incremental_images,

@@ -32,6 +32,10 @@ P_STATIC = 0.08
 P_BLACK = 0.05
 P_SHORT = 0.05
 P_TRUNCATED = 0.01
+P_RECODE = 0.06     # brightness-shifted copy of a cached clip:
+                    # byte-different, fingerprint-near (ahash is
+                    # brightness-shift-invariant)
+N_RECODE_CACHE = 15
 
 
 def video_rows(sf: float) -> int:
@@ -63,6 +67,7 @@ def generate_pandas(sf: float) -> pd.DataFrame:
     rng = np.random.default_rng(GEN_SEED + 11)
     n = video_rows(sf)
     rows = []
+    recode_cache: list[np.ndarray] = []
     for i in range(n):
         u = rng.random()
         nf = int(rng.integers(8, 33))
@@ -74,8 +79,17 @@ def generate_pandas(sf: float) -> pd.DataFrame:
         elif u < P_STATIC + P_BLACK + P_SHORT:
             nf = int(rng.integers(1, 4))
             frames = _moving(rng, nf)
+        elif u < P_STATIC + P_BLACK + P_SHORT + P_RECODE \
+                and recode_cache:
+            base = recode_cache[int(rng.integers(0, len(recode_cache)))]
+            delta = int(rng.integers(10, 35))
+            frames = np.clip(base.astype(np.int16) + delta,
+                             0, 255).astype(np.uint8)
+            nf = frames.shape[0]
         else:
             frames = _moving(rng, nf)
+            if len(recode_cache) < N_RECODE_CACHE:
+                recode_cache.append(frames)
         blob = encode_rvid(frames, VIDEO_FPS)
         if rng.random() < P_TRUNCATED:
             blob = blob[:int(rng.integers(4, 12))]

@@ -110,3 +110,32 @@ def test_video_plan_shape(spark):
     assert len(tree) == 1
     ex_lines = [ln for ln in plan.splitlines() if "Exchange" in ln]
     assert all("bytes" not in ln for ln in ex_lines)
+
+
+def test_video_fingerprint_brightness_invariance():
+    from data_quality_check_spark.kernels.video import video_fingerprint64
+    from data_quality_check_spark.sources.video import _moving
+
+    rng = np.random.default_rng(13)
+    ham = lambda p, q: bin((p ^ q) & (2**64 - 1)).count("1")  # noqa: E731
+    f = _moving(rng, 16)
+    a = video_fingerprint64(f, 8)
+    shifted = np.clip(f.astype(np.int16) + 25, 0, 255).astype(np.uint8)
+    assert ham(a, video_fingerprint64(shifted, 8)) <= 3
+
+
+def test_video_fingerprint_dups_catch_recodes(spark):
+    """The banding key finds byte-DIFFERENT near-pairs — the planted
+    brightness-shifted re-encodes a byte digest cannot see."""
+    from data_quality_check_spark.operators.videoquality import (
+        video_fingerprint_dups)
+    from data_quality_check_spark.sources import video as VI
+
+    pdf = VI.generate_pandas(0.01)
+    df = spark.createDataFrame(pdf)
+    pairs = video_fingerprint_dups(df, max_hamming=3).toPandas()
+    assert len(pairs) > 0
+    blobs = dict(zip(pdf.video_id, pdf.bytes))
+    byte_diff = [(a, b) for a, b in zip(pairs.id_a, pairs.id_b)
+                 if bytes(blobs[a]) != bytes(blobs[b])]
+    assert len(byte_diff) > 0, "no brightness-recode pair found"

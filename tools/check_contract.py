@@ -88,7 +88,7 @@ def main() -> int:
     from data_quality_check_spark.operators.audioquality import (
         expected_audiofp, expected_audioquality)
     from data_quality_check_spark.operators.videoquality import (
-        expected_videoquality)
+        expected_videofp, expected_videoquality)
     expected_fixtures(0.01)
     expected_near_dup_pairs(0.01)
     ensure_label_fixtures(0.01)
@@ -98,6 +98,7 @@ def main() -> int:
     expected_audioquality(0.01)
     expected_audiofp(0.01)
     expected_videoquality(0.01)
+    expected_videofp(0.01)
     con = duckdb.connect()
     for t in TABLES:
         p = os.path.join(sf_dir, f"{t}.parquet")
