@@ -43,8 +43,15 @@ def test_stream_equals_sequential_batches(spark, dirs):
     ind, outd = dirs
     shards = _shards()
     for i, chunk in enumerate(shards):
+        p = os.path.join(ind, f"shard{i}.parquet")
         pq.write_table(pa.Table.from_pandas(chunk, preserve_index=False),
-                       os.path.join(ind, f"shard{i}.parquet"))
+                       p)
+        # the file source orders micro-batches by modification time;
+        # back-to-back writes can TIE, letting the stream process
+        # shards in a different order than the sequential reference
+        # (observed once as a keeper-set flake under a loaded host) —
+        # pin strictly increasing mtimes
+        os.utime(p, (1_700_000_000 + i, 1_700_000_000 + i))
 
     cat = LocalParquetCatalog(spark, outd)
     q = start_incremental_dedup_stream(
