@@ -146,3 +146,18 @@ def test_run_audio_job(spark, tmp_path):
     written = spark.read.parquet(out)
     assert written.count() == 200
     assert "audio_keep" in written.columns
+
+
+def test_run_video_job(spark, tmp_path):
+    from data_quality_check_spark.sources.video import ensure_video
+    from jobs import run_video
+
+    out = str(tmp_path / "video_q")
+    res = run_video.run(spark, ensure_video(0.01), out)
+    assert res["n_videos"] == 200
+    assert res["n_decoded"] > 190
+    assert 0 < res["n_keep"] < 200
+    assert res["n_fingerprint_pairs"] > 0
+    written = spark.read.parquet(out)
+    assert written.count() == 200
+    assert "video_keep" in written.columns

@@ -507,6 +507,40 @@ def one_run():
     out.agg(F.bit_xor(F.xxhash64(F.struct(*out.columns)))).collect()
     return time.time() - t0
 """,
+    "video_quality_big": """
+# The video family's map-only scaling row (audio_quality_big's twin):
+# RVID parse + stride-sampled frame statistics over a 20x IN-PLAN
+# replication of the sf0.1 corpus — one scan crossJoined with a
+# broadcast range (payload duplicated map-side, never shuffled),
+# so the fixed term stays one scan's worth while the decode data
+# term carries 40k videos.  (A 10x multi-scan union measured
+# F ~= 3.2 s of per-scan latency against D ~= 12 s — this shape
+# removes 9 of the 10 scans.)
+from pyspark.sql import functions as F
+from data_quality_check_spark.operators.videoquality import (
+    with_video_quality)
+from data_quality_check_spark.sources.video import read_video
+
+# the sf0.1 video corpus is only ~37 MB — at the default 8 MB split
+# it scans as ~5 tasks, capping parallelism below 8 cores; 1 MB
+# splits give ~37 base tasks for the in-plan replication to ride
+spark.conf.set("spark.sql.files.maxPartitionBytes", "1m")
+R = 20
+N_UNITS = read_video(spark, 0.1).count() * R
+
+def one_run():
+    import time
+    base = read_video(spark, 0.1)
+    big = (base.crossJoin(spark.range(R).select(F.col("id").alias("__rep")))
+           .select(F.concat("video_id", F.lit("_"),
+                            F.col("__rep").cast("string"))
+                   .alias("video_id"),
+                   "bytes", "fps", "n_frames", "caption"))
+    out = with_video_quality(big)
+    t0 = time.time()
+    out.agg(F.bit_xor(F.xxhash64(F.struct(*out.columns)))).collect()
+    return time.time() - t0
+""",
     "mips_lsh": """
 # ANN/similarity family scaling row: norm-augmentation MIPS-LSH over
 # a 100x-replicated embedding corpus (each replica scaled by a
