@@ -40,7 +40,11 @@ def parse_rvid(blob: bytes) -> tuple[int, np.ndarray]:
     if blob is None or len(blob) < 4 + _HDR.size or blob[:4] != MAGIC:
         raise ValueError("not an RVID blob")
     w, h, fps, n = _HDR.unpack_from(blob, 4)
-    if w == 0 or h == 0 or fps == 0:
+    # w/h < 8 would break frame_ahash64's 8x8 block reshape DOWNSTREAM
+    # of the parse guard (one tiny-but-parseable blob would then fail
+    # the whole Spark task instead of NULLing its row) — reject here,
+    # same "undecodable rows fail every rule" contract
+    if w < 8 or h < 8 or fps == 0:
         raise ValueError("bad RVID header")
     body = blob[4 + _HDR.size:]
     need = n * w * h

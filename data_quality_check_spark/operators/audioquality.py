@@ -74,9 +74,13 @@ AUDIO_RULES: list[tuple[str, str, float, str]] = [
 RULE_COLS = [name for name, *_ in AUDIO_RULES]
 
 
-def _stats_batch(blob: pd.Series, sr: pd.Series) -> pd.DataFrame:
+def _stats_batch(blob: pd.Series) -> pd.DataFrame:
     """Decode + all statistics for one Arrow batch.  Shared by the
-    Spark UDF and the fixture oracle (expected_audioquality)."""
+    Spark UDF and the fixture oracle (expected_audioquality).  The
+    sample rate comes from the decoded RIFF header — the claimed sr
+    metadata column is never consulted (decoded value is
+    authoritative, same discipline as n_samples), so it is not in the
+    UDF signature and never crosses Arrow."""
     from ..kernels.audio import audio_stats, decode_wav
 
     n = len(blob)
@@ -111,13 +115,13 @@ def _stats_batch(blob: pd.Series, sr: pd.Series) -> pd.DataFrame:
 
 @pandas_udf(AUDIOSTATS_SCHEMA)
 def audiostats_udf(
-    it: Iterator[tuple[pd.Series, pd.Series]],
+    it: Iterator[pd.Series],
 ) -> Iterator[pd.DataFrame]:
-    """(bytes, sr) -> audio quality statistics.  One fused
-    ArrowEvalPython stage: the clip ships to Python exactly once and
-    every statistic comes back as a scalar double."""
-    for blob, sr in it:
-        yield _stats_batch(blob, sr)
+    """bytes -> audio quality statistics.  One fused ArrowEvalPython
+    stage: the clip ships to Python exactly once and every statistic
+    comes back as a scalar double."""
+    for blob in it:
+        yield _stats_batch(blob)
 
 
 def with_audio_quality(audio: DataFrame) -> DataFrame:
@@ -129,7 +133,7 @@ def with_audio_quality(audio: DataFrame) -> DataFrame:
     # decoded stats struct's field of the same name — drop it with
     # the payload so the output has ONE authoritative n_samples
     st = audio.withColumn(
-        "s", audiostats_udf("bytes", "sr")).select(
+        "s", audiostats_udf("bytes")).select(
         *[c for c in audio.columns if c not in ("bytes", "n_samples")],
         "s.*")
     for name, stat, thr, mode in AUDIO_RULES:
@@ -185,7 +189,7 @@ def expected_audioquality(sf: float,
         return path
     os.makedirs(root, exist_ok=True)
     pdf = generate_pandas(sf)
-    st = _stats_batch(pdf["bytes"], pdf["sr"])
+    st = _stats_batch(pdf["bytes"])
 
     out = pd.DataFrame({"clip_id": pdf["clip_id"]})
     out["decoded"] = st["decoded"].to_numpy()

@@ -975,10 +975,17 @@ def token_budget_plan(df: DataFrame, group_col: str, token_col,
     wsum = Window.rowsBetween(Window.unboundedPreceding,
                               Window.unboundedFollowing)
     j = counts.withColumn("__tot", F.sum("__t").over(wsum).cast(d38))
+    # exact integer floor WITHOUT lossy division: decimal(38,0) /
+    # decimal(38,0) rounds HALF_UP at scale 6 under allowPrecisionLoss,
+    # so floor(b*__t/__tot) goes off-by-one whenever the true
+    # fractional part is >= 0.9999995 (reachable once totals pass
+    # ~2e6 tokens).  pmod is exact on decimals; subtracting it first
+    # makes the quotient an exact integer, so the scale-6 rounding is
+    # lossless and __base matches DuckDB's HUGEINT // at any scale.
+    prod = (b * F.col("__t")).cast(d38)
+    j = j.withColumn("__rem", F.pmod(prod, F.col("__tot")).cast(d38))
     j = j.withColumn(
-        "__base", F.floor(b * F.col("__t") / F.col("__tot")).cast(d38))
-    j = j.withColumn("__rem", (b * F.col("__t")
-                               - F.col("__base") * F.col("__tot")).cast(d38))
+        "__base", ((prod - F.col("__rem")) / F.col("__tot")).cast(d38))
     wrank = Window.orderBy(F.desc("__rem"), F.asc(group_col))
     j = (j.withColumn("__L", b - F.sum("__base").over(wsum))
           .withColumn("__rk", F.row_number().over(wrank)))

@@ -58,7 +58,10 @@ VIDEO_RULES: list[tuple[str, str, float, str]] = [
 RULE_COLS = [name for name, *_ in VIDEO_RULES]
 
 
-def _stats_batch(blob: pd.Series, fps: pd.Series) -> pd.DataFrame:
+def _stats_batch(blob: pd.Series) -> pd.DataFrame:
+    # fps comes from the decoded RVID header (decoded value is
+    # authoritative, audio's sr discipline) — the claimed fps metadata
+    # column is not in the signature and never crosses Arrow
     from ..kernels.video import parse_rvid, video_stats
 
     n = len(blob)
@@ -90,12 +93,12 @@ def _stats_batch(blob: pd.Series, fps: pd.Series) -> pd.DataFrame:
 
 @pandas_udf(VIDEOSTATS_SCHEMA)
 def videostats_udf(
-    it: Iterator[tuple[pd.Series, pd.Series]],
+    it: Iterator[pd.Series],
 ) -> Iterator[pd.DataFrame]:
-    """(bytes, fps) -> sampled-frame statistics, one fused
-    ArrowEvalPython stage."""
-    for blob, fps in it:
-        yield _stats_batch(blob, fps)
+    """bytes -> sampled-frame statistics, one fused ArrowEvalPython
+    stage."""
+    for blob in it:
+        yield _stats_batch(blob)
 
 
 def with_video_quality(video: DataFrame) -> DataFrame:
@@ -104,7 +107,7 @@ def with_video_quality(video: DataFrame) -> DataFrame:
     n_samples discipline); the frame-count floor is a plain integer
     gate on the decoded value."""
     st = video.withColumn(
-        "s", videostats_udf("bytes", "fps")).select(
+        "s", videostats_udf("bytes")).select(
         *[c for c in video.columns if c not in ("bytes", "n_frames")],
         "s.*")
     for name, stat, thr, mode in VIDEO_RULES:
@@ -153,7 +156,7 @@ def expected_videoquality(sf: float,
         return path
     os.makedirs(root, exist_ok=True)
     pdf = generate_pandas(sf)
-    st = _stats_batch(pdf["bytes"], pdf["fps"])
+    st = _stats_batch(pdf["bytes"])
 
     out = pd.DataFrame({"video_id": pdf["video_id"]})
     out["decoded"] = st["decoded"].to_numpy()

@@ -6673,76 +6673,70 @@ _ALL_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | No
 # position 50 together with the round-1/2 smoke, fn_*, agg_* and
 # join/window breadth keys the driver has already confirmed green.
 _DRIVER_WINDOW = [
-    # ROUND-4 ROTATION: rounds 1-3 accumulated driver evidence on 104
-    # of the 176 keys; this window fronts 49 keys with NO prior
-    # driver row (the wave-4..8 additions: CDC, fuzzy join, BM25,
-    # dihedral, rule ablation, calibration, the DQ analyzer family,
-    # sampling modes, image-rule aggregates) plus image_quality_stats,
-    # kept in-window to prove the -0.0 fixture-sign fix from the
-    # round-3 red.  Everything rotated out is driver-green in
-    # CORRECTNESS_r01..r03 and stays in the registry after
+    # ROUND-5 ROTATION: rounds 1-4 accumulated driver evidence on 153
+    # of the 192 keys; this window fronts the 39 keys with NO prior
+    # driver row — the entire round-4 crop (audio + video quality and
+    # fingerprint families, MIPS exact + LSH, corpus diversity /
+    # token budget / curriculum / split-contamination, estimator
+    # audits) plus the older breadth stragglers — taking
+    # union-of-rounds driver coverage to 192/192.  The remaining 11
+    # slots re-confirm round-1-era keys whose driver evidence is the
+    # oldest.  Everything rotated out is driver-green in
+    # CORRECTNESS_r01..r04 and stays in the registry after
     # position 50.
-    # the round-3 red, now sign-normalized (operators/multimodal.py
-    # ::_round_half_up) — must flip to hash-green
-    "image_quality_stats",
-    # dedup / visual-dedup additions never driver-checked
-    "dedup_containment",
-    "dedup_dihedral_pairs",
-    "dedup_band_stats",
-    "rule_phash_entropy",
-    "dedup_phash_groups",
-    "dedup_incremental_images",
-    "dedup_caption_conflict",
-    "dedup_components",
-    "dedup_keepers_quality",
-    "dedup_threshold_sweep",
-    "win_dup_rank_images",
-    "bucket_assign_images",
-    # fuzzy / retrieval / contamination
-    "join_fuzzy",
-    "text_bm25_topk",
-    "text_decontaminate",
-    "text_contamination_sweep",
-    "text_bigram_nll",
-    "text_fingerprint",
-    "text_langid_heuristic",
-    # classifier audit
-    "rule_ablation",
-    "classifier_calibration",
-    # similarity / embeddings scale paths
-    "sim_hard_negatives_lsh",
-    "sim_phash_topk",
-    "embed_quantize_int8",
-    # sampling modes
-    "sample_hash",
-    "sample_weighted",
-    "sample_mixture",
-    "sample_split",
-    # training-prep
-    "train_ar_buckets",
-    "train_shard_assign",
-    # image rules / quality aggregates
-    "rule_compression_ratio",
-    "rule_heuristics_images",
-    "rule_image_geometry",
-    "agg_image_quality",
-    "agg_image_risk",
-    "keep_decision_full",
-    "agg_bucket_rule_hits",
-    "scrub_luhn",
-    # DQ analyzer family
-    "dq_checks",
-    "dq_stats",
-    "dq_referential",
-    "dq_drift_psi",
-    "dq_outliers",
-    "dq_freshness",
-    "dq_anomaly_zscore",
-    "dq_profile_drift",
-    # CDC family
-    "merge_upsert",
-    "table_diff",
-    "cdc_scd2",
+    # round-4 crop (16)
+    "audio_quality_stats",
+    "agg_audio_quality",
+    "dedup_exact_audio",
+    "dedup_audio_fingerprint",
+    "video_frame_stats",
+    "agg_video_quality",
+    "dedup_video_fingerprint",
+    "sim_mips_topk",
+    "sim_mips_lsh",
+    "corpus_effective_size",
+    "corpus_token_budget",
+    "dq_split_contamination",
+    "train_curriculum_order",
+    "image_storage_savings",
+    "dedup_minhash_est_error",
+    "dedup_simhash_pairs",
+    # join / fn / window breadth stragglers (23)
+    "join_outer",
+    "join_semi",
+    "fn_bitwise",
+    "fn_explode",
+    "fn_map",
+    "win_funnel",
+    "win_lag_lead",
+    "win_retention",
+    "agg_hll_sketch",
+    "agg_cms_heavy_hitters",
+    "dedup_phash_hamming",
+    "dedup_jaccard_exact",
+    "text_chunks",
+    "text_url_domains",
+    "text_word_entropy",
+    "sample_topk_hash",
+    "agg_corr",
+    "agg_stats",
+    "agg_percentile",
+    "agg_pivot",
+    "agg_grouping_sets",
+    "agg_approx_quantiles",
+    "corpus_zipf",
+    # round-1-era re-confirms (11): oldest driver evidence, cheap keys
+    "scan_images",
+    "keep_decision",
+    "udf_langid",
+    "udf_perplexity",
+    "udf_scrub",
+    "udf_decode",
+    "join_asof",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "win_sessionize",
+    "multimodal_alignment",
 ]
 
 REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {

@@ -735,6 +735,35 @@ def test_token_budget_plan_largest_remainder_exact(spark):
     assert all(r["keep_frac"] == 1.0 for r in full)
 
 
+def test_token_budget_plan_decimal_rounding_trigger(spark):
+    """Exact-floor regression at the decimal(38,0)/decimal(38,0)
+    rounding trigger: Spark's lossy decimal division rounds HALF_UP
+    at scale 6, so a true fractional part >= 0.9999995 used to round
+    UP before floor (base off by one vs exact integer //).  Group a:
+    t = 10^10 - 1 of T = 10^10 with budget 4000 -> b*t/T =
+    3999.9999996; exact base 3999 + the leftover unit by largest
+    remainder = 4000, and every intermediate must match pure-Python
+    integer arithmetic (the DuckDB HUGEINT // oracle semantics)."""
+    from data_quality_check_spark.operators.corpus import token_budget_plan
+
+    t_a, t_b, budget = 10_000_000_000 - 1, 1, 4000
+    rows = [("a", t_a), ("b", t_b)]
+    df = spark.createDataFrame(rows, "src string, ntok long")
+    out = {r["src"]: r for r in
+           token_budget_plan(df, "src", F.col("ntok"), budget).collect()}
+    # pure-Python exact largest remainder
+    tot = t_a + t_b
+    base = {"a": budget * t_a // tot, "b": budget * t_b // tot}
+    rem = {k: budget * t for k, t in rows}
+    rem = {k: budget * dict(rows)[k] - base[k] * tot for k in base}
+    left = budget - sum(base.values())
+    order = sorted(base, key=lambda k: (-rem[k], k))
+    exact = {k: base[k] + (1 if order.index(k) < left else 0)
+             for k in base}
+    assert {k: v["quota_tokens"] for k, v in out.items()} == exact
+    assert sum(v["quota_tokens"] for v in out.values()) == budget
+
+
 def test_token_budget_plan_zero_token_group(spark):
     """A group whose rows carry zero tokens gets quota 0 and
     keep_frac 1.0 (trivially all kept) — not a 0/0 NaN/NULL that

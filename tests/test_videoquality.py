@@ -28,6 +28,12 @@ def test_rvid_roundtrip_and_strictness():
         parse_rvid(b"RVIDxx")                     # truncated header
     with pytest.raises(ValueError):
         parse_rvid(b"not a video blob at all")
+    # w/h < 8 parse fine as a container but would break the 8x8
+    # fingerprint reshape downstream — the header guard must reject
+    # them (ValueError -> row fails every rule, not a task crash)
+    tiny = rng.integers(0, 256, (4, 4, 4)).astype(np.uint8)
+    with pytest.raises(ValueError):
+        parse_rvid(encode_rvid(tiny, 8))
 
 
 def test_stride_sampling_deterministic_and_bounded():
