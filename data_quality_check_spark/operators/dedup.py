@@ -716,7 +716,8 @@ def text_near_dup_keepers(df: DataFrame, text_col: str, id_col: str,
 def phash_band_table(df: DataFrame, max_hamming: int = 3,
                      id_col: str = "image_id",
                      phash_col: str = "phash",
-                     two_level: bool = False) -> DataFrame:
+                     two_level: bool = False,
+                     hybrid: bool = False) -> DataFrame:
     """(id, phash) -> exploded pigeonhole band table
     (__id, __ph, band, bv): (max_hamming+1) disjoint bit-slices of the
     64-bit hash.  Two hashes within `max_hamming` agree exactly on at
@@ -744,25 +745,31 @@ def phash_band_table(df: DataFrame, max_hamming: int = 3,
     pairs, at 3x index rows (scalar (id, hash, int, long) rows).
     Cost: nb x rows and a wider key; use it on probes whose slice
     values are degenerate-heavy (orientation-expanded dihedral
-    indexes; corpora with solid fills / borders / logos)."""
+    indexes; corpora with solid fills / borders / logos).
+
+    ``hybrid=True`` pays the sub-slice cost ONLY where it earns its
+    keep: a slice whose value is popcount-degenerate (<=1 bit from
+    all-zero or all-one — the flat/gradient/border mass that owns the
+    measured hot buckets) emits its nb sub-slice rows; every other
+    slice emits the plain one-level row.  The branch predicate is a
+    function of the slice VALUE alone, so any two hashes that agree
+    exactly on a slice take the SAME branch for it and still meet on
+    an identical key — the pigeonhole recall proof is unchanged
+    branch-by-branch (one-level: the (b, v) key; degenerate: the
+    two-level sub-slice argument verbatim).  One-level band ids live
+    in [0, nb) and sub-slice ids in [nb, nb + nb^2), so the two
+    families can never cross-join.  The ~40-term sub-key assembly
+    sits under the conditional, so content with healthy slice
+    entropy skips it entirely (codegen short-circuits the If)."""
     nb = max_hamming + 1
     w = 64 // nb
     src = (df.select(F.col(id_col).alias("__id"),
                      F.col(phash_col).alias("__ph"))
            .filter(F.col("__ph").isNotNull()))
-    slices = []
-    for b in range(nb):
-        width = w if b < nb - 1 else 64 - w * (nb - 1)
-        mask = (1 << width) - 1
-        # shiftrightunsigned: bit 63 must not smear sign bits into
-        # the high slice
-        bv = (F.shiftrightunsigned("__ph", b * w)
-              .bitwiseAND(F.lit(mask)))
-        if not two_level:
-            slices.append(F.struct(F.lit(b).alias("band"),
-                                   bv.alias("bv")))
-            continue
-        lo, hi = b * w, b * w + width
+    two = two_level or hybrid
+
+    def sub_structs(b: int, lo: int, hi: int, bv, band_off: int) -> list:
+        out = []
         for s in range(nb):
             pos = [p for p in range(64)
                    if not (lo <= p < hi) and p % nb == s]
@@ -773,11 +780,35 @@ def phash_band_table(df: DataFrame, max_hamming: int = 3,
                      .bitwiseAND(F.lit(1)), j))
             # bv < 2^32 (nb >= 2) and sv < 2^22, so bv<<22 | sv is a
             # collision-free packed key well inside int64
-            slices.append(F.struct(
-                F.lit(b * nb + s).alias("band"),
+            out.append(F.struct(
+                F.lit(band_off + b * nb + s).alias("band"),
                 F.shiftleft(bv, 22).bitwiseOR(sv).alias("bv")))
-    return (src.select("__id", "__ph",
-                       F.explode(F.array(*slices)).alias("s"))
+        return out
+
+    parts = []
+    for b in range(nb):
+        width = w if b < nb - 1 else 64 - w * (nb - 1)
+        mask = (1 << width) - 1
+        # shiftrightunsigned: bit 63 must not smear sign bits into
+        # the high slice
+        bv = (F.shiftrightunsigned("__ph", b * w)
+              .bitwiseAND(F.lit(mask)))
+        lo, hi = b * w, b * w + width
+        if two_level:
+            parts.append(F.array(*sub_structs(b, lo, hi, bv, 0)))
+        elif hybrid:
+            pc = F.bit_count(bv)
+            deg = (pc <= 1) | (pc >= width - 1)
+            one = F.array(F.struct(F.lit(b).alias("band"),
+                                   bv.alias("bv")))
+            parts.append(F.when(
+                deg, F.array(*sub_structs(b, lo, hi, bv, nb)))
+                .otherwise(one))
+        else:
+            parts.append(F.array(F.struct(F.lit(b).alias("band"),
+                                          bv.alias("bv"))))
+    arr = parts[0] if len(parts) == 1 else F.concat(*parts)
+    return (src.select("__id", "__ph", F.explode(arr).alias("s"))
             .select("__id", "__ph", "s.band", "s.bv"))
 
 
@@ -1516,14 +1547,19 @@ def _dihedral_directed_codes(src: DataFrame,
                .alias("__ti"))
           .select(F.struct("__id", "__t", "__ti").alias("__idt"),
                   "__vph"))
-    # two-level banding: the orientation-expanded index is degenerate-
+    # hybrid banding: the orientation-expanded index is degenerate-
     # slice-heavy by construction (every flat/gradient slice appears
-    # in 8 orientations); the recursive sub-slice key cuts candidates
-    # ~13x with recall still exact (see phash_band_table)
+    # in 8 orientations) — the sub-slice key kills those hot buckets
+    # exactly as two_level does, while the ~90% of slices with
+    # healthy values keep the cheap one-level row and skip the
+    # ~40-term sub-key assembly that pinned the 8-core wall (decomp:
+    # band_ab was 39.8 s of an 80 s materialized-stage total).  Both
+    # tables MUST share the mode — the join meets on the band-id
+    # namespace.
     ab = phash_band_table(va, max_hamming, "__idt", "__vph",
-                          two_level=True)
+                          hybrid=True)
     bb = phash_band_table(varr, max_hamming, "__id", "__ph",
-                          two_level=True)
+                          hybrid=True)
     # shuffle_hash: hash build beats two sorts; at 100 TB neither
     # side broadcasts anyway
     d = F.bit_count(F.col("a.__ph").bitwiseXOR(F.col("b.__ph")))

@@ -33,6 +33,49 @@ class Catalog:
     def table_exists(self, name: str) -> bool: ...
     def snapshot_id(self, name: str) -> str | None: ...
 
+    def append_small(self, name: str, rows: list, schema,
+                     spark: SparkSession) -> None:
+        """Append a SMALL, already-collected row set (<= wave_size
+        rows — the audit table path).  Default routes through a
+        normal Spark append; LocalParquetCatalog overrides with a
+        driver-side arrow write, which removes one Spark job per
+        wave AND is safe under concurrent writers (Spark's
+        append-mode FileOutputCommitter shares one `_temporary/0`
+        staging dir across applications, so two processes appending
+        the same directory can delete each other's pending task
+        files — the multi-process pipeline runs in
+        tools/bench_multiproc.py hit exactly that)."""
+        self.append(name, spark.createDataFrame(rows, schema))
+
+
+def _spark_to_arrow_type(dt):
+    """Minimal Spark->arrow type map for the driver-side small-append
+    path (audit/ledger column types only; extend as schemas grow)."""
+    import pyarrow as pa
+    from pyspark.sql import types as T
+
+    if isinstance(dt, T.StringType):
+        return pa.string()
+    if isinstance(dt, T.IntegerType):
+        return pa.int32()
+    if isinstance(dt, T.LongType):
+        return pa.int64()
+    if isinstance(dt, T.DoubleType):
+        return pa.float64()
+    if isinstance(dt, T.BooleanType):
+        return pa.bool_()
+    if isinstance(dt, T.TimestampType):
+        # tz-pinned micros: naive arrow timestamps would read back as
+        # TIMESTAMP_NTZ under Spark's parquet NTZ inference and split
+        # the column type across files
+        return pa.timestamp("us", tz="UTC")
+    if isinstance(dt, T.MapType):
+        return pa.map_(_spark_to_arrow_type(dt.keyType),
+                       _spark_to_arrow_type(dt.valueType))
+    if isinstance(dt, T.ArrayType):
+        return pa.list_(_spark_to_arrow_type(dt.elementType))
+    raise TypeError(f"append_small: unmapped Spark type {dt}")
+
 
 class LocalParquetCatalog(Catalog):
     def __init__(self, spark: SparkSession, root: str):
@@ -125,6 +168,40 @@ class LocalParquetCatalog(Catalog):
         path = os.path.join(d, f"part-driver-{uuid.uuid4().hex}.parquet")
         # hidden-prefixed temp: a crash mid-write must leave a file
         # Spark's directory listing ignores, or resume breaks
+        tmp = os.path.join(d, f".{uuid.uuid4().hex}.tmp")
+        pq.write_table(tbl, tmp)
+        os.replace(tmp, path)
+        self._write_manifest(name, "append")
+
+    def append_small(self, name: str, rows: list, schema,
+                     spark: SparkSession) -> None:
+        """Driver-side arrow append with an EXPLICIT schema derived
+        from the Spark one (append_rows infers, which is fine for the
+        flat ledger but would turn the audit's map<string,long> into
+        a struct).  Write-then-rename per file: unique names, so any
+        number of concurrent processes can commit waves against one
+        catalog root without a shared staging dir."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        arrow_schema = pa.schema(
+            [(f.name, _spark_to_arrow_type(f.dataType))
+             for f in schema.fields])
+        d = self._dir(name)
+        os.makedirs(d, exist_ok=True)
+        pydicts = []
+        for r in rows:
+            rd = r.asDict(recursive=True) if hasattr(r, "asDict") else dict(r)
+            for f in schema.fields:
+                v = rd.get(f.name)
+                # collect() returns naive local-tz datetimes; make
+                # them aware so the tz=UTC arrow column is exact
+                if v is not None and f.dataType.typeName() == "timestamp" \
+                        and getattr(v, "tzinfo", None) is None:
+                    rd[f.name] = v.astimezone()
+            pydicts.append(rd)
+        tbl = pa.Table.from_pylist(pydicts, schema=arrow_schema)
+        path = os.path.join(d, f"part-driver-{uuid.uuid4().hex}.parquet")
         tmp = os.path.join(d, f".{uuid.uuid4().hex}.tmp")
         pq.write_table(tbl, tmp)
         os.replace(tmp, path)

@@ -64,14 +64,25 @@ def pending_buckets(spark: SparkSession, catalog: Catalog, run_key: str,
 def run(spark: SparkSession, catalog: Catalog, images: DataFrame,
         run_key: str, n_buckets: int = N_BUCKETS, wave_size: int | None = None,
         shuffle_partitions: int | None = None,
-        fail_after_wave: int | None = None) -> dict:
+        fail_after_wave: int | None = None,
+        buckets: list[int] | None = None) -> dict:
     """Process all pending buckets in waves; returns run stats.
 
     fail_after_wave: test hook — raise after committing that many
     waves (tests/test_resume.py fault injection).
+
+    buckets: restrict this invocation to a subset of bucket ids (it
+    still skips already-committed ones) — the multi-executor story:
+    K processes over disjoint ranges against ONE catalog, each wave
+    commit independent (results = per-bucket dynamic partition
+    overwrite, audit/ledger = unique-file driver-side appends, so
+    concurrent commits never share a staging dir).
     """
     t0 = time.time()
     pending = pending_buckets(spark, catalog, run_key, n_buckets)
+    if buckets is not None:
+        allowed = {int(b) for b in buckets}
+        pending = [b for b in pending if b in allowed]
     if not pending:
         return {"run_key": run_key, "waves": 0, "buckets": 0,
                 "skipped": n_buckets, "wall_s": 0.0}
@@ -169,8 +180,12 @@ def run(spark: SparkSession, catalog: Catalog, images: DataFrame,
                 "refusing to commit ledger")
         total_rows += disk_rows
         total_keep += disk_keep
-        catalog.append(
-            AUDIT_TABLE, spark.createDataFrame(audit_rows, audit.schema))
+        # driver-side small append (rows are already collected): no
+        # Spark job for <= wave_size rows, and concurrency-safe —
+        # Spark's append-mode committer shares _temporary/0 across
+        # applications, so concurrent multi-process wave commits
+        # would clobber each other's staging files
+        catalog.append_small(AUDIT_TABLE, audit_rows, audit.schema, spark)
 
         # 3. ledger LAST = commit point (driver-side append: tiny
         #    metadata, no Spark job).  Carries the per-bucket output

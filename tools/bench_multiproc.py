@@ -1,0 +1,145 @@
+"""Multi-process scaling: the N -> 4N *executor* story, run honestly.
+
+The single-JVM 8->32 wall (BENCH/BASELINE.md) is a local-mode
+artifact: one driver, one scheduler, one memory bus.  A real cluster
+scales by adding EXECUTOR PROCESSES, and the per-bucket checkpoint
+protocol (plans/checkpoint.py) is exactly the coordination layer that
+lets independent processes share one job: results are per-bucket
+dynamic-partition overwrites, audit/ledger commits are unique-file
+atomic renames, and the ledger anti-join makes any bucket partition
+of the work resumable and idempotent.
+
+This bench runs the SAME sf0.1 pipeline two ways on one catalog
+layout:
+  A. 1 process,  local[N],  all 64 buckets      (taskset N cores)
+  B. K processes, local[N] each, disjoint 64/K-bucket ranges
+     (taskset onto K disjoint N-core sets, started concurrently)
+Efficiency = (thr_B / thr_A) / K — the spec's two-cluster-size
+criterion with processes standing in for executors.
+
+Usage: python tools/bench_multiproc.py [sf=0.1] [n_cores=8] [k=4] [runs=3]
+Writes BENCH/scaling_multiproc_{N}x{K}.json.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+WORKER = """
+import sys, time
+sys.path.insert(0, {root!r})
+from data_quality_check_spark.session import get_spark
+from data_quality_check_spark.sources import images as IM
+from data_quality_check_spark.plans import checkpoint as CP
+from data_quality_check_spark.plans.catalog import LocalParquetCatalog
+
+cores, sf = {cores}, {sf}
+spark = get_spark(master=f"local[{{cores}}]", shuffle_partitions=cores * 2,
+                  app_name="dqc-mp-{tag}")
+spark.sparkContext.setLogLevel("ERROR")
+df = IM.read_images(spark, sf)
+# warm the Python worker pool + JIT on a tiny prefix before timing
+df.limit(256).count()
+t0 = time.time()
+stats = CP.run(spark, LocalParquetCatalog(spark, {cat!r}), df,
+               run_key={run_key!r}, buckets={buckets!r},
+               wave_size={wave_size})
+print(f"ELAPSED {{time.time() - t0}} BUCKETS {{stats['buckets']}}",
+      flush=True)
+spark.stop()
+"""
+
+
+def start(tag: str, cpu_range: str, n_cores: int, sf: float, cat: str,
+          run_key: str, buckets: list[int],
+          wave_size: int) -> subprocess.Popen:
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    code = WORKER.format(root=root, cores=n_cores, sf=sf, tag=tag,
+                         cat=cat, run_key=run_key, buckets=buckets,
+                         wave_size=wave_size)
+    return subprocess.Popen(
+        ["taskset", "-c", cpu_range, sys.executable, "-c", code],
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True)
+
+
+def finish(procs: list[subprocess.Popen]) -> float:
+    """Wait for all; return the max ELAPSED (the job is done when the
+    last worker commits).  Raises with stderr on failure."""
+    worst = 0.0
+    for p in procs:
+        out, err = p.communicate(timeout=3600)
+        if p.returncode != 0:
+            raise RuntimeError(f"worker failed:\n{err[-3000:]}")
+        line = [ln for ln in out.splitlines() if ln.startswith("ELAPSED")][-1]
+        worst = max(worst, float(line.split()[1]))
+    return worst
+
+
+def main() -> None:
+    sf = float(sys.argv[1]) if len(sys.argv) > 1 else 0.1
+    n_cores = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+    k = int(sys.argv[3]) if len(sys.argv) > 3 else 4
+    runs = int(sys.argv[4]) if len(sys.argv) > 4 else 3
+    n_buckets, wave = 64, 16
+
+    from data_quality_check_spark.sources import images as IM
+    IM.ensure_images(sf)
+    n_units = IM.sf_rows(sf)
+
+    def one_a() -> float:
+        d = tempfile.mkdtemp(prefix="dqc-mpA-")
+        try:
+            p = start("A", f"0-{n_cores - 1}", n_cores, sf, d,
+                      f"a{time.time_ns()}", list(range(n_buckets)), wave)
+            return finish([p])
+        finally:
+            shutil.rmtree(d, ignore_errors=True)
+
+    def one_b() -> float:
+        d = tempfile.mkdtemp(prefix="dqc-mpB-")
+        try:
+            per = n_buckets // k
+            rk = f"b{time.time_ns()}"
+            procs = [
+                start(f"B{i}", f"{i * n_cores}-{(i + 1) * n_cores - 1}",
+                      n_cores, sf, d, rk,
+                      list(range(i * per, (i + 1) * per)), wave // 2)
+                for i in range(k)
+            ]
+            return finish(procs)
+        finally:
+            shutil.rmtree(d, ignore_errors=True)
+
+    a_runs = sorted(one_a() for _ in range(runs))
+    b_runs = sorted(one_b() for _ in range(runs))
+    thr_a = n_units / a_runs[0]
+    thr_b = n_units / b_runs[0]
+    eff = (thr_b / thr_a) / k
+    summary = {
+        "job": "pipeline_multiproc", "sf": sf, "rows": n_units,
+        "n": f"1 process x local[{n_cores}]",
+        "4n": f"{k} processes x local[{n_cores}], disjoint buckets, "
+              "one shared catalog",
+        "floor_s_n": a_runs[0], "floor_s_4n": b_runs[0],
+        "thr_n": round(thr_a, 1), "thr_4n": round(thr_b, 1),
+        "speedup_n_to_4n": round(thr_b / thr_a, 3),
+        "scaling_efficiency": round(eff, 3),
+        "pass": eff >= 0.8,
+        "runs": {"1proc": a_runs, f"{k}proc": b_runs},
+    }
+    os.makedirs("BENCH", exist_ok=True)
+    with open(f"BENCH/scaling_multiproc_{n_cores}x{k}.json", "w") as f:
+        json.dump(summary, f, indent=2)
+    print(json.dumps(summary))
+
+
+if __name__ == "__main__":
+    main()
