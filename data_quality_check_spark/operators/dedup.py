@@ -816,7 +816,8 @@ def phash_near_dups(df: DataFrame, max_hamming: int = 3,
                     id_col: str = "image_id",
                     phash_col: str = "phash",
                     collapse_exact: bool = True,
-                    two_level: bool = False) -> DataFrame:
+                    two_level: bool = False,
+                    hybrid: bool = False) -> DataFrame:
     """EXACT perceptual-hash near-duplicate pairs via multi-index
     pigeonhole banding (Norouzi et al., "Fast Search in Hamming Space
     with Multi-Index Hashing"): a 64-bit hash pair differing in at
@@ -854,7 +855,7 @@ def phash_near_dups(df: DataFrame, max_hamming: int = 3,
         reps = members.groupBy("__mph").agg(F.min("__mid").alias("__rid"))
         rep_pairs = phash_near_dups(
             reps, max_hamming, "__rid", "__mph", collapse_exact=False,
-            two_level=two_level)
+            two_level=two_level, hybrid=hybrid)
         # carry the PHASH of each side through the rep pairs so the
         # member expansion is an equi-join on phash, then restore the
         # id_a < id_b orientation (member ids of the two hash groups
@@ -888,7 +889,7 @@ def phash_near_dups(df: DataFrame, max_hamming: int = 3,
     # one-level banding vs 8.4M flat-bucketed (top bucket 320) with
     # two-level, same 354,329 verified pairs either way
     banded = phash_band_table(df, max_hamming, id_col, phash_col,
-                              two_level=two_level)
+                              two_level=two_level, hybrid=hybrid)
     # shuffle-hash, never broadcast: at corpus scale the banded side
     # cannot broadcast anyway, and locally a broadcast plan lets AQE
     # coalesce a post-aggregate probe side down to 1 partition — the
