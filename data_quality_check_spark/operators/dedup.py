@@ -1541,12 +1541,20 @@ def _dihedral_directed_codes(src: DataFrame,
                        .alias("__va"))
             .localCheckpoint())
     inv_arr = F.array(*[F.lit(x) for x in _DIHEDRAL_INV])
+    # NO variant-dedup shuffle: coincident variant hashes (symmetric
+    # images) may emit up to 8 identical-vph rows, but the final
+    # min-code aggregate dedups them anyway — min over ALL surfaced
+    # (t, d) matches equals min over t-class representatives, since a
+    # t-class shares d and the min picks its smallest t / INV[t]
+    # verbatim.  Dropping the groupBy removes a 8x|hashes|-row
+    # Exchange and a stage boundary from the fixed-latency chain (the
+    # 2->8 scaling item: wall = D/N + F, this cuts F), and makes the
+    # whole ab index build map-side over the checkpointed varr.
     va = (varr.select("__id", F.posexplode("__va").alias("__t", "__vph"))
-          .groupBy("__id", "__vph")
-          .agg(F.min("__t").alias("__t"),
-               F.min(F.element_at(inv_arr, F.col("__t") + 1))
-               .alias("__ti"))
-          .select(F.struct("__id", "__t", "__ti").alias("__idt"),
+          .select(F.struct(
+                      "__id", "__t",
+                      F.element_at(inv_arr, F.col("__t") + 1)
+                      .alias("__ti")).alias("__idt"),
                   "__vph"))
     # hybrid banding: the orientation-expanded index is degenerate-
     # slice-heavy by construction (every flat/gradient slice appears
