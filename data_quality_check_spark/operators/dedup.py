@@ -174,6 +174,20 @@ def simhash64(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     return g.select(F.col(id_col), sim.alias("simhash"))
 
 
+def _hashed_grams(grams):
+    """xxhash64 each gram: 8-byte integer compares instead of 15-30
+    char string compares in array_intersect, and ~3x narrower
+    shuffle/join payloads.  Jaccard over hashed grams equals Jaccard
+    over the strings unless two DISTINCT grams of the same doc pair
+    collide in 64 bits (~|grams|^2 * 2^-64 per pair — vanishing at
+    any realistic doc size; MinHash itself already rests on hashed
+    shingles).  A/B on the 5x text corpus: the candidate-verify
+    stage dropped 6.9 -> 2.5 s at 8 cores / 10.7 -> 4.6 s at 2, same
+    56,400 verified pairs.  The lambda touches only its element, so
+    the CLAUDE.md HOF re-evaluation trap does not apply."""
+    return F.transform(grams, lambda g: F.xxhash64(g))
+
+
 def _gram_expr(toks, n: int):
     """Distinct token n-grams of a token-array column reference."""
     grams = F.when(
@@ -675,8 +689,13 @@ def text_near_dup_keepers(df: DataFrame, text_col: str, id_col: str,
         F.col(id_col),
         F.filter(F.split(F.lower(F.col(text_col)), " "),
                  lambda t: t != F.lit("")).alias("__toks"))
+    # hashed grams: the verify stage is memory-traffic-bound (the
+    # fetch join materializes both arrays per pair row) — see
+    # _hashed_grams for the measured 2.2-2.6x and the collision
+    # argument
     grams = tokd.select(F.col(id_col).alias("gid"),
-                        _gram_expr(F.col("__toks"), ngram).alias("grams"))
+                        _hashed_grams(_gram_expr(F.col("__toks"), ngram))
+                        .alias("grams"))
     # gram arrays are the widest payload in this plan: restrict them
     # to docs that actually appear in a candidate pair BEFORE the
     # fetch joins, so non-candidate docs (the overwhelming majority
@@ -952,7 +971,14 @@ def image_near_dup_keepers(df: DataFrame, max_hamming: int = 3,
     # two_level: the distinct-hash graph is exactly where degenerate
     # slice values hurt (see phash_band_table) — measured at sf0.1:
     # 114.8M one-level candidates (hot bucket ~25M joined rows) vs
-    # 8.4M flat two-level, identical 354,329 verified pairs
+    # 8.4M flat two-level, identical 354,329 verified pairs.  NOT
+    # hybrid: A/B on the 8x big variant at 8 cores read two_level
+    # 15.5-21 s vs hybrid 34-41 s for the pair stage — at
+    # max_hamming=3 (nb=4) the healthy one-level buckets still emit
+    # 36M candidates vs two-level's 8.4M, and that re-score volume
+    # costs more than the sub-key assembly saves.  Hybrid wins only
+    # where the index build dominates (the 8x-expanded dihedral
+    # probe, nb=3 — see _dihedral_directed_codes).
     pairs = phash_near_dups(reps, max_hamming, "rep", "__ph",
                             collapse_exact=False, two_level=True)
     # local_threshold passes through to the multi-level components
@@ -1023,8 +1049,12 @@ def crossmodal_near_dups(df: DataFrame, max_hamming: int = 3,
         F.filter(
             F.split(F.lower(F.coalesce(F.col(caption_col), F.lit(""))), " "),
             lambda t: t != F.lit("")).alias("__toks"))
+    # hashed grams (see _hashed_grams): jaccard VALUES are unchanged
+    # absent 64-bit same-pair collisions, so the rounded output
+    # column still matches the string-gram SQL oracle exactly
     grams = tokd.select(F.col(id_col).alias("gid"),
-                        _gram_expr(F.col("__toks"), ngram).alias("grams"))
+                        _hashed_grams(_gram_expr(F.col("__toks"), ngram))
+                        .alias("grams"))
     cand_ids = (cand.select(F.col("id_a").alias("gid"))
                 .union(cand.select(F.col("id_b").alias("gid")))
                 .distinct())
@@ -1101,7 +1131,8 @@ def incremental_dedup(batch: DataFrame, corpus: DataFrame,
             F.filter(F.split(F.lower(F.col(text_col)), " "),
                      lambda t: t != F.lit("")).alias("__toks"))
         return tokd.select(F.col(id_col).alias("gid"),
-                           _gram_expr(F.col("__toks"), ngram).alias("grams"))
+                           _hashed_grams(_gram_expr(F.col("__toks"), ngram))
+                           .alias("grams"))
 
     def _verified_min(cand: DataFrame, other_grams: DataFrame,
                       batch_grams: DataFrame) -> DataFrame:

@@ -88,7 +88,6 @@ def run(spark: SparkSession, catalog: Catalog, images: DataFrame,
                 "skipped": n_buckets, "wall_s": 0.0}
 
     hot = detect_hot_buckets(images)
-    verdict = quality_frame(images, n_buckets=n_buckets)
     nparts = shuffle_partitions or int(
         spark.conf.get("spark.sql.shuffle.partitions"))
 
@@ -100,10 +99,24 @@ def run(spark: SparkSession, catalog: Catalog, images: DataFrame,
 
     for wi, wave in enumerate(waves):
         wt0 = time.time()
-        # partition pruning: bucket filter sits above the scan and the
-        # verdict frame, Catalyst pushes what it can; hot-bucket salt
-        # spreads duplicate-heavy buckets across tasks (O-30)
-        wave_df = verdict.filter(F.col("bucket").isin([int(b) for b in wave]))
+        # Bucket pruning on the INPUT, not the verdict frame: a
+        # filter on the derived `bucket` column does NOT push below
+        # the ArrowEvalPython boundary (captured plan: Filter directly
+        # above the UDF node), so filtering the verdict made every
+        # wave decode the FULL corpus — measured as 4 waves costing
+        # 4x one wave's UDF time, and the 4-process disjoint-range
+        # mode SLOWER than 1 process.  Re-deriving pmod(phash) on the
+        # raw scan columns lands the predicate in the scan; the
+        # dup-rank window partitions by phash and phash determines
+        # bucket, so per-wave frames are row-identical to the old
+        # post-verdict filter.
+        if len(wave) < n_buckets:
+            bexpr = (F.pmod(F.coalesce(F.col("phash"), F.lit(0)),
+                            F.lit(n_buckets)).cast("int"))
+            src = images.filter(bexpr.isin([int(b) for b in wave]))
+        else:
+            src = images
+        wave_df = quality_frame(src, n_buckets=n_buckets)
         wave_df = salted_repartition(wave_df, nparts,
                                      [b for b in hot if b in set(wave)])
 

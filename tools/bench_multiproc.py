@@ -98,7 +98,8 @@ def main() -> None:
         d = tempfile.mkdtemp(prefix="dqc-mpA-")
         try:
             p = start("A", f"0-{n_cores - 1}", n_cores, sf, d,
-                      f"a{time.time_ns()}", list(range(n_buckets)), wave)
+                      f"a{time.time_ns()}", list(range(n_buckets)),
+                      n_buckets)
             return finish([p])
         finally:
             shutil.rmtree(d, ignore_errors=True)
@@ -108,10 +109,12 @@ def main() -> None:
         try:
             per = n_buckets // k
             rk = f"b{time.time_ns()}"
+            # one wave per process in BOTH configs: the experiment
+            # isolates process-level parallelism, not wave cadence
             procs = [
                 start(f"B{i}", f"{i * n_cores}-{(i + 1) * n_cores - 1}",
                       n_cores, sf, d, rk,
-                      list(range(i * per, (i + 1) * per)), wave // 2)
+                      list(range(i * per, (i + 1) * per)), per)
                 for i in range(k)
             ]
             return finish(procs)
