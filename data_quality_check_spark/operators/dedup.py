@@ -683,6 +683,14 @@ def text_near_dup_keepers(df: DataFrame, text_col: str, id_col: str,
     Returns one row per input id: (id, keeper_id, is_dup); singletons
     keep themselves.  Every stage shuffles only ids/hashes or
     verified pairs."""
+    # widen ONCE for all three consumers (sigs, grams, final join):
+    # the signature path widened internally, but the gram build and
+    # the final join still inherited the input's partitioning — a
+    # narrow scan (or an in-plan crossJoin replication, 2-4 tasks)
+    # then serializes their HOF work on a couple of cores no matter
+    # how many are available.  _widen is a no-op on well-partitioned
+    # inputs, so at corpus scale this adds nothing.
+    df = _widen(df)
     cand = minhash_candidate_pairs(df, text_col, id_col,
                                    num_hashes, bands, shingle_k)
     tokd = df.select(
@@ -1126,7 +1134,7 @@ def incremental_dedup(batch: DataFrame, corpus: DataFrame,
                 F.col("b.__id").alias("cid")).distinct())
 
     def _grams_of(df: DataFrame) -> DataFrame:
-        tokd = df.select(
+        tokd = _widen(df).select(
             F.col(id_col),
             F.filter(F.split(F.lower(F.col(text_col)), " "),
                      lambda t: t != F.lit("")).alias("__toks"))

@@ -90,6 +90,32 @@ def one_run():
     out.agg(F.bit_xor(F.xxhash64(F.struct(*out.columns)))).collect()
     return time.time() - t0
 """,
+    "dedup_text_20x": """
+# The data-carrying variant of the flagship text pipeline, sized for
+# the post-round-5 code: hashed-gram verify + the shared fixed-stage
+# floor left dedup_text_big at D ~= 43 s / F ~= 4.7 s (eff 0.65
+# unchanged even as walls dropped 1.4x — faster D makes F loom
+# larger).  At 20x replication every near-dup clique is 4x the 10x
+# variant's, so D ~= 4x and the fixed term falls to ~5% of the
+# 2-core wall.  (Pre-round-5 code measured ~260 s/run at 8 cores
+# here — out of protocol budget; the same experiment now fits.)
+from pyspark.sql import functions as F
+from data_quality_check_spark.operators import dedup
+
+base = spark.read.parquet(f"/root/testdata/sf{sf:g}/documents.parquet")
+docs = (base.crossJoin(spark.range(20).select(F.col("id").alias("__rep")))
+        .select((F.col("doc_id") * 32 + F.col("__rep")).alias("doc_id"),
+                "text"))
+N_UNITS = docs.count()
+
+def one_run():
+    import time
+    t0 = time.time()
+    out = dedup.text_near_dup_keepers(docs, "text", "doc_id",
+                                      threshold=0.5)
+    out.agg(F.bit_xor(F.xxhash64(F.struct(*out.columns)))).collect()
+    return time.time() - t0
+""",
     "dedup_text_big": """
 # dedup_text at sandbox sf is ~70% fixed stage latency (see
 # BASELINE.md); this variant replicates the corpus 5x WITH DISTINCT

@@ -22,6 +22,7 @@ from data_quality_check_spark.session import get_spark  # noqa: E402
 def main() -> None:
     cores = int(sys.argv[1])
     runs = int(sys.argv[2]) if len(sys.argv) > 2 else 2
+    rep = int(sys.argv[3]) if len(sys.argv) > 3 else 5
     sf = 0.1
     spark = get_spark(master=f"local[{cores}]",
                       shuffle_partitions=cores * 2,
@@ -30,10 +31,11 @@ def main() -> None:
 
     from data_quality_check_spark.operators import dedup
     from data_quality_check_spark.operators.dedup import (
-        _gram_expr, _widen, connected_components, minhash_band_table)
+        _gram_expr, _hashed_grams, _widen, connected_components,
+        minhash_band_table)
 
     base = spark.read.parquet(f"/root/testdata/sf{sf:g}/documents.parquet")
-    docs = (base.crossJoin(spark.range(5).select(F.col("id").alias("__rep")))
+    docs = (base.crossJoin(spark.range(rep).select(F.col("id").alias("__rep")))
             .select((F.col("doc_id") * 32 + F.col("__rep")).alias("doc_id"),
                     "text")
             .localCheckpoint())
@@ -63,7 +65,8 @@ def main() -> None:
             F.filter(F.split(F.lower(F.col("text")), " "),
                      lambda x: x != F.lit("")).alias("__toks"))
         grams = tokd.select(F.col("doc_id").alias("gid"),
-                            _gram_expr(F.col("__toks"), ngram)
+                            _hashed_grams(
+                                _gram_expr(F.col("__toks"), ngram))
                             .alias("grams"))
         cand_ids = (cand.select(F.col("id_a").alias("gid"))
                     .union(cand.select(F.col("id_b").alias("gid")))
