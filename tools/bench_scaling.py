@@ -91,21 +91,26 @@ def one_run():
     return time.time() - t0
 """,
     "dedup_text_20x": """
-# The data-carrying variant of the flagship text pipeline, sized for
-# the post-round-5 code: hashed-gram verify + the shared fixed-stage
-# floor left dedup_text_big at D ~= 43 s / F ~= 4.7 s (eff 0.65
-# unchanged even as walls dropped 1.4x — faster D makes F loom
-# larger).  At 20x replication every near-dup clique is 4x the 10x
-# variant's, so D ~= 4x and the fixed term falls to ~5% of the
-# 2-core wall.  (Pre-round-5 code measured ~260 s/run at 8 cores
-# here — out of protocol budget; the same experiment now fits.)
+# The PIPELINE-isolating variant of the flagship text dedup: R=20
+# replication with the replicated input MATERIALIZED before timing
+# (localCheckpoint — the same construction every other *_big job
+# uses; dedup_text_big/_10x predate it and time 3 re-computations of
+# a 2-4-task crossJoin alongside the pipeline, which is why their
+# efficiency froze at ~0.63 even as round-5 made their walls 1.4-2x
+# faster).  Post-round-5 the checkpointed-input 10x job runs ~2.5 s
+# at 8 cores — pure latency regime — so the data term needs R=20:
+# near-dup cliques grow 4x the 5x variant's, pair volume ~16x
+# (~900k verified pairs), and band join + hashed-gram verify +
+# components carry the wall at both levels.  (R=40 was probed:
+# ~64x pair volume blew the 1800 s 2-core protocol budget.)
 from pyspark.sql import functions as F
 from data_quality_check_spark.operators import dedup
 
 base = spark.read.parquet(f"/root/testdata/sf{sf:g}/documents.parquet")
 docs = (base.crossJoin(spark.range(20).select(F.col("id").alias("__rep")))
         .select((F.col("doc_id") * 32 + F.col("__rep")).alias("doc_id"),
-                "text"))
+                "text")
+        .localCheckpoint())
 N_UNITS = docs.count()
 
 def one_run():
